@@ -1,0 +1,199 @@
+"""Index-tuning heuristics and train/retrain policy.
+
+These pure functions reproduce the reference engine's documented behavior
+(reference: ``mindb/utils/training_utils.py``, ``mindb/train/training_params.py``)
+— they are *semantics*, not plumbing, so the formulas are preserved exactly:
+
+- cluster-count rule            reference ``training_utils.py:5-9``
+- nprobe piecewise-log rule     reference ``training_utils.py:11-32``
+- per-dimension index defaults  reference ``training_utils.py:90-129``
+- coverage-ratio arithmetic     reference ``training_utils.py:131-145``
+- auto-train thresholds         reference ``training_params.py:2-3``
+- strategy chooser              reference ``training_utils.py:75-88``
+
+Everything here is driver-side control logic: it decides *what* index-build
+job to run; the jobs themselves are distributed Spark jobs (see
+``mindb_spark.index``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+# Auto-train policy thresholds (reference training_params.py:2-3, mindb.py:276).
+TRAINING_CUTOFF = 25_000          # auto-train once the DB holds >= this many vectors
+COVERAGE_RATIO_CUTOFF = 0.5       # retrain once coverage drops below this
+FLAT_INDEX_CUTOFF = 5_000         # below this, always use the flat (exact) path
+
+# faiss guidance: k-means needs >= 39 training points per centroid
+# (reference training_utils.py:83).
+MIN_VECTORS_PER_CLUSTER = 39
+
+
+def get_num_clusters(num_vectors: int) -> int:
+    """IVF cluster count for a collection of ``num_vectors`` vectors.
+
+    ``int(0.2 * n^0.75)`` — sub-linear so the centroid table stays tiny
+    relative to the data (200k centroids at 100M vectors), which is what
+    makes the centroid table broadcast-able at cluster scale.
+    """
+    return int(0.2 * num_vectors**0.75)
+
+
+# (log(num_clusters), nprobe/num_clusters) anchor points of the piecewise
+# linear-in-log-space probe-fraction curve.
+_NPROBE_X = [math.log(200), math.log(1000), math.log(6350), math.log(200000)]
+_NPROBE_Y = [0.5, 0.25, 0.07, 0.03]
+
+
+def get_n_probe(num_clusters: int) -> int:
+    """Number of IVF cells to probe at query time.
+
+    A decreasing fraction of the cluster count, linearly interpolated in
+    log-cluster space between anchors (200, 0.5) .. (200000, 0.03).
+    Golden values: 200->100, 1000->250, 6350->444, 200000->6000.
+    """
+    x = math.log(num_clusters)
+    if x <= _NPROBE_X[0]:
+        frac = _NPROBE_Y[0]
+    elif x >= _NPROBE_X[-1]:
+        frac = _NPROBE_Y[-1]
+    else:
+        # find the surrounding anchor pair and interpolate
+        for i in range(len(_NPROBE_X) - 1):
+            x0, x1 = _NPROBE_X[i], _NPROBE_X[i + 1]
+            if x <= x1:
+                t = (x - x0) / (x1 - x0)
+                frac = _NPROBE_Y[i] + t * (_NPROBE_Y[i + 1] - _NPROBE_Y[i])
+                break
+    return int(frac * num_clusters)
+
+
+def get_default_index_params(vector_dimension: int) -> dict:
+    """Per-dimension defaults for PCA/OPQ/PQ (reference training_utils.py:90-129)."""
+    if vector_dimension < 150:
+        return {
+            "pca_dimension": max(64, vector_dimension),
+            "opq_dimension": max(64, vector_dimension),
+            "compressed_vector_bytes": 16,
+        }
+    if vector_dimension < 300:
+        return {"pca_dimension": 128, "opq_dimension": 64, "compressed_vector_bytes": 16}
+    if vector_dimension < 1000:
+        # covers both the <600 and <1000 bands, which share values
+        return {"pca_dimension": 256, "opq_dimension": 128, "compressed_vector_bytes": 32}
+    if vector_dimension < 2000:
+        return {"pca_dimension": 512, "opq_dimension": 256, "compressed_vector_bytes": 32}
+    return {"pca_dimension": 1024, "opq_dimension": 512, "compressed_vector_bytes": 128}
+
+
+def coverage_ratio(
+    num_vectors_trained_on: int,
+    num_new_vectors: int,
+    num_trained_vectors_removed: int,
+) -> float:
+    """Fraction of the live collection the trained index still covers.
+
+    ``(trained - removed_trained) / (trained + new)``; 0 when never trained.
+    (reference training_utils.py:131-145)
+    """
+    if num_vectors_trained_on == 0:
+        return 0.0
+    left = num_vectors_trained_on - num_trained_vectors_removed
+    total = num_vectors_trained_on + num_new_vectors
+    return left / total
+
+
+def needs_initial_training(num_vectors: int, is_trained: bool, training_in_progress: bool) -> bool:
+    """First-train trigger: big enough, still flat, not already training.
+
+    (reference training_utils.py:148-167)
+    """
+    if num_vectors < TRAINING_CUTOFF:
+        return False
+    if is_trained:
+        return False
+    if training_in_progress:
+        return False
+    return True
+
+
+def needs_retraining(num_vectors: int, index_coverage_ratio: float, training_in_progress: bool) -> bool:
+    """Retrain trigger: big enough and the index has gone stale.
+
+    (reference training_utils.py:171-188)
+    """
+    if num_vectors < TRAINING_CUTOFF:
+        return False
+    if index_coverage_ratio > COVERAGE_RATIO_CUTOFF:
+        return False
+    if training_in_progress:
+        return False
+    return True
+
+
+def use_two_level_clustering(num_vectors: int, vector_dimension: int, max_memory_usage: int | None) -> bool:
+    """Strategy chooser (reference training_utils.py:75-88).
+
+    The reference picks two-level k-means when a memory-capped random
+    subsample could not supply 39 points per centroid. Spark's KMeans is
+    already out-of-core/distributed, so for us this only decides whether the
+    *sample* we hand MLlib is taken in one level or two; the memory model is
+    kept for behavioral parity when ``max_memory_usage`` is set.
+    """
+    if max_memory_usage is None:
+        # No memory cap: a flat sample of 39 * k is always affordable on a
+        # cluster; prefer two-level only past ~5M vectors where a single
+        # KMeans over 39*k samples starts to dominate build time.
+        return num_vectors > 5_000_000
+    training_mem = num_vectors * vector_dimension * 4 * 3
+    max_num_vectors = int((max_memory_usage / training_mem) * num_vectors)
+    k = get_num_clusters(num_vectors)
+    return (max_num_vectors // max(k, 1)) < MIN_VECTORS_PER_CLUSTER
+
+
+@dataclass(frozen=True)
+class IndexParams:
+    """Resolved build parameters for one index-build job."""
+
+    num_clusters: int
+    n_probe: int
+    pca_dimension: int | None
+    opq_dimension: int | None
+    compressed_vector_bytes: int | None
+    omit_opq: bool = True  # reference default (training_params.py:7)
+
+    @property
+    def num_subquantizers(self) -> int:
+        if self.compressed_vector_bytes is None:
+            raise ValueError("flat-compressed index has no subquantizers")
+        return self.compressed_vector_bytes
+
+
+def resolve_index_params(
+    num_vectors: int,
+    vector_dimension: int,
+    pca_dimension: int | None = None,
+    opq_dimension: int | None = None,
+    compressed_vector_bytes: int | None = None,
+    omit_opq: bool = True,
+) -> IndexParams:
+    """Fill unset knobs from the per-dimension defaults and size heuristics."""
+    defaults = get_default_index_params(vector_dimension)
+    pca = pca_dimension if pca_dimension is not None else min(defaults["pca_dimension"], vector_dimension)
+    opq = opq_dimension if opq_dimension is not None else defaults["opq_dimension"]
+    pq_bytes = (
+        compressed_vector_bytes
+        if compressed_vector_bytes is not None
+        else defaults["compressed_vector_bytes"]
+    )
+    k = max(1, get_num_clusters(num_vectors))
+    return IndexParams(
+        num_clusters=k,
+        n_probe=max(1, get_n_probe(k)),
+        pca_dimension=pca,
+        opq_dimension=opq,
+        compressed_vector_bytes=pq_bytes,
+        omit_opq=omit_opq,
+    )

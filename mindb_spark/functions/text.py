@@ -1,0 +1,70 @@
+"""Text-feature column expressions for training-data pipelines.
+
+Tokenization, shingling, and fingerprinting as pure Catalyst expressions.
+Deliberately defined by *portable* primitives (regex token extraction, md5)
+so the exact same definition can be evaluated by an independent SQL oracle
+(DuckDB) for correctness checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# One token = a maximal run of non-whitespace. Matches `regexp_extract_all(text, '\S+')`
+# in ANSI-ish SQL engines.
+TOKEN_REGEX = r"\S+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """ARRAY<STRING> of whitespace-delimited tokens."""
+    return F.regexp_extract_all(_c(col), F.lit(TOKEN_REGEX), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """ARRAY<STRING> of word k-shingles (space-joined sliding windows).
+
+    Texts shorter than k tokens yield an empty array.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """ARRAY<STRING> of character n-grams of the whitespace-normalized text."""
+    norm = normalized_text(col)
+    length = F.length(norm)
+    return F.when(length < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), length - n + 1),
+            lambda i: F.substring(norm, i, n),
+        )
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercased, whitespace-collapsed, trimmed text — canonical form for
+    exact dedup and fingerprinting."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint: md5 of the canonical text.
+
+    md5 rather than Spark's xxhash64 so any SQL engine reproduces it.
+    """
+    return F.md5(normalized_text(col))
