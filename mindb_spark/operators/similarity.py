@@ -1,0 +1,163 @@
+"""Similarity joins over embedding columns.
+
+Beyond-reference operators (the reference's own "next feature" direction —
+its README proposes metadata filtering and batch search; a similarity *join*
+is the natural large-scale extension): all-pairs above a cosine threshold,
+and LSH-bucketed approximate variants for the 100 TB path.
+
+Scale notes
+-----------
+``cosine_pairs`` is the exact quadratic join — fine for dim tables and as
+the correctness oracle. At cluster scale use ``cosine_pairs_lsh``: random
+hyperplane signatures (SimHash for vectors) bucket the join so only
+colliding buckets are compared; expected candidate count drops from O(n²)
+to O(n²/2^bits · bands). Both return the same schema so callers can swap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mindb_spark.functions.vector import dot, l2_normalize
+
+
+def _normalized(df: DataFrame, id_col: str, vector_col: str, assume_normalized: bool) -> DataFrame:
+    v = F.col(vector_col) if assume_normalized else l2_normalize(vector_col)
+    return df.select(F.col(id_col), v.alias(vector_col))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_col: str = "cosine_similarity",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact self-join: all (a, b) pairs with cosine >= threshold, a < b.
+
+    The inner-table side is broadcast when small enough (Catalyst/AQE
+    decides); the pair predicate ``a.id < b.id`` halves the output and
+    removes self-pairs. Quadratic by construction — the exact baseline the
+    LSH variant is measured against.
+    """
+    a = _normalized(df, id_col, vector_col, assume_normalized)
+    b = a
+    left = a.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot("_va", "_vb").alias(score_col))
+        .where(F.col(score_col) >= threshold)
+    )
+
+
+def simhash_signature_udf(planes: np.ndarray):
+    """Pandas UDF mapping vector -> int64 random-hyperplane signature."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = planes.shape[0]
+    if n_bits > 63:
+        raise ValueError("at most 63 hyperplane bits fit a signed int64")
+
+    @pandas_udf("long")
+    def sig(vectors: pd.Series) -> pd.Series:
+        mat = np.array(vectors.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0  # (n, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_col: str = "cosine_similarity",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Approximate cosine self-join via random-hyperplane LSH.
+
+    Each band is an independent ``n_bits``-bit SimHash; two vectors become
+    candidates if ANY band collides (probability ``cos_sim -> (1 - θ/π)^bits``
+    per band). Candidates are verified with the exact dot product, so false
+    positives cost time, never correctness; recall is tunable via
+    bands/bits.
+
+    Plan shape: narrow signature projection → explode(bands) →
+    shuffle-on-(band, signature) self-join (equi-join, so a hash join over
+    bucket keys, NOT a cross join) → exact verify → dedup pairs.
+    """
+    rng = np.random.default_rng(seed)
+    norm = _normalized(df, id_col, vector_col, assume_normalized)
+
+    sig_cols = []
+    with_sigs = norm
+    for band in range(n_bands):
+        planes = rng.normal(size=(n_bits, dim))
+        udf = simhash_signature_udf(planes)
+        col = f"_band{band}"
+        with_sigs = with_sigs.withColumn(col, udf(F.col(vector_col)))
+        sig_cols.append(col)
+
+    exploded = with_sigs.select(
+        F.col(id_col),
+        F.col(vector_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(c).alias("sig")) for i, c in enumerate(sig_cols)])
+        ).alias("b"),
+    ).select(id_col, vector_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+    left = exploded.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va")
+    )
+    right = exploded.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb")
+    )
+    candidates = (
+        left.join(right, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select("id_a", "id_b", dot("_va", "_vb").alias(score_col))
+        .where(F.col(score_col) >= threshold)
+    )
+
+
+def ann_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "id",
+    corpus_vec: str = "vector",
+    query_id: str = "query_id",
+    query_vec: str = "vector",
+) -> DataFrame:
+    """Baseline ANN: exact batch kNN via the partial-top-k path.
+
+    Collects the (small) query table to the driver and delegates to
+    ``knn_batch`` — the scalable exact path. The IVF-accelerated variant
+    lives in ``mindb_spark.index.ivf`` and shares this output schema.
+    """
+    from mindb_spark.operators.topk import knn_batch
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qs = [(r[0], r[1]) for r in qrows]
+    return knn_batch(
+        corpus, qs, k,
+        id_col=corpus_id, vector_col=corpus_vec,
+        query_id_col=query_id, assume_normalized=False,
+    )

@@ -1,0 +1,126 @@
+"""Exact top-k operators vs a numpy oracle on real testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindb_spark.functions.vector import l2_normalize
+from mindb_spark.operators import topk as T
+from mindb_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = df.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    norm_df = df.select("vec_id", l2_normalize("embedding").alias("vector"))
+    return norm_df, ids, mat
+
+
+def oracle_topk(ids, mat, q, k):
+    qn = q / np.linalg.norm(q)
+    scores = mat @ qn
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order]
+
+
+def test_knn_matches_oracle(emb):
+    norm_df, ids, mat = emb
+    q = mat[7] * 3.0  # un-normalized on purpose; knn normalizes the query
+    got = T.knn(norm_df, q, 10, id_col="vec_id").collect()
+    exp_ids, exp_scores = oracle_topk(ids, mat, q, 10)
+    assert [r.vec_id for r in got] == list(exp_ids)
+    np.testing.assert_allclose([r.cosine_similarity for r in got], exp_scores, rtol=1e-6)
+    # self is the best match
+    assert got[0].vec_id == ids[7]
+    assert got[0].cosine_similarity == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_clamps_k_and_unique_ids(emb):
+    norm_df, ids, mat = emb
+    got = T.knn(norm_df, mat[0], len(ids) + 500, id_col="vec_id").collect()
+    assert len(got) == len(ids)  # clamp to collection size (reference mindb.py:379)
+    assert len({r.vec_id for r in got}) == len(got)
+
+
+def test_knn_batch_matches_oracle(emb):
+    norm_df, ids, mat = emb
+    queries = [(int(ids[i]), mat[i]) for i in (0, 3, 11, 42)]
+    got = T.knn_batch(norm_df.repartition(5), queries, 8, id_col="vec_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {int(ids[i]) for i in (0, 3, 11, 42)}
+    for qid, vec in queries:
+        rows = sorted(by_q[qid], key=lambda r: (-r.cosine_similarity, r.vec_id))
+        exp_ids, exp_scores = oracle_topk(ids, mat, np.asarray(vec), 8)
+        assert [r.vec_id for r in rows] == list(exp_ids)
+        np.testing.assert_allclose(
+            [r.cosine_similarity for r in rows], exp_scores, rtol=1e-6
+        )
+
+
+def test_knn_join_equals_knn_batch(emb):
+    norm_df, ids, mat = emb
+    spark = norm_df.sparkSession
+    queries = [(int(ids[i]), mat[i].tolist()) for i in (1, 2)]
+    qdf = spark.createDataFrame(queries, "query_id long, vector array<double>")
+    a = T.knn_join(norm_df, qdf, 5, corpus_id="vec_id").collect()
+    b = T.knn_batch(norm_df, queries, 5, id_col="vec_id").collect()
+    key = lambda r: (r.query_id, r.vec_id)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_cosine_pairs_matches_oracle(emb):
+    norm_df, ids, mat = emb
+    # the synthetic embeddings have no high-sim pairs (max ~0.5); use a
+    # threshold that actually selects some
+    tau = 0.35
+    got = {(r.id_a, r.id_b) for r in S.cosine_pairs(norm_df, tau, id_col="vec_id", assume_normalized=True).collect()}
+    sims = mat @ mat.T
+    n = len(ids)
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(n) for j in range(i + 1, n)
+        if sims[i, j] >= tau
+    }
+    assert got == exp
+    assert len(exp) > 0, "threshold produced no pairs; test data assumption broken"
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """Synthetic corpus with planted near-duplicates (cos ~ 0.97+)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:50] + rng.normal(scale=0.08, size=(50, 32))
+    mat = np.vstack([base, dups])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)], "id long, vector array<double>"
+    )
+    return df, mat
+
+
+def test_cosine_pairs_lsh_recall(near_dup_corpus):
+    df, mat = near_dup_corpus
+    tau = 0.9
+    sims = mat @ mat.T
+    n = len(mat)
+    exact = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= tau
+    }
+    assert len(exact) >= 40  # planted dups are found by the oracle
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_lsh(
+            df, tau, dim=32, n_bits=8, n_bands=12, assume_normalized=True,
+        ).collect()
+    }
+    assert approx <= exact  # exact verification removes all false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(approx)}/{len(exact)})"
