@@ -1,0 +1,422 @@
+"""The VectorDB engine: named collections of (id, vector, metadata) rows.
+
+Spark-native counterpart of the reference's ``minDB`` class
+(``mindb/mindb.py``). Same data model — one logical table of
+``(id BIGINT, vector ARRAY<FLOAT>, metadata JSON-string)`` per database
+(SURVEY §1.1) — but storage is snapshot-versioned Parquet instead of LMDB,
+and every operation is a DataFrame job.
+
+Semantics preserved from the reference (SURVEY §2.3):
+- ids are engine-assigned, strictly sequential, never reused
+  (``faiss_utils.py:9-13``; ``max_id`` only grows)
+- vectors are L2-normalized on ingest, unconditionally
+  (``input_validation.py:96-99``) — dot product == cosine downstream
+- dimension pinned by the first add; batch-atomic validation before any
+  write (``mindb.py:175-178``)
+- ``final_top_k`` clamps to the collection size (``mindb.py:379``);
+  result ids unique
+- deletes take effect immediately for search even while an index snapshot
+  still references them (``mindb.py:459-461``) — our two-stage query joins
+  candidates against the live vectors table
+- staleness counters + watermark (``max_trained_id``) with the reference's
+  update rules (``mindb.py:529-546``) drive the auto-train policy
+
+Storage layout (``{base}/{name}/``):
+- ``manifest.json``                      — the config.json analog (§1.2)
+- ``vectors/v{N}/``                      — Parquet snapshots; appends add
+  files to the current snapshot, deletes materialize snapshot N+1 (plain
+  Parquet has no DELETE; on a Delta/Iceberg-backed deployment this class
+  maps 1:1 onto table versions)
+- ``index/v{M}/``                        — centroids/codes/artifacts per
+  index build; the manifest points at the live one (atomic swap =
+  manifest update, replacing the reference's double-buffered index swap,
+  ``mindb.py:339-342``)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mindb_spark.core import heuristics as H
+from mindb_spark.core import validation as V
+
+DEFAULT_BASE = os.path.expanduser("~/.mindb_spark")
+
+VECTOR_SCHEMA = "id long, vector array<float>, metadata string"
+
+
+class VectorDB:
+    def __init__(self, spark: SparkSession, name: str, base_path: str = DEFAULT_BASE):
+        V.validate_database_name(name)
+        self.spark = spark
+        self.name = name
+        self.path = os.path.join(base_path, name)
+        self._manifest: dict[str, Any] = {}
+        if os.path.exists(self._manifest_path):
+            self._load_manifest()
+        else:
+            self._manifest = {
+                "name": name,
+                "vector_dimension": None,
+                "max_id": -1,
+                "data_version": 0,
+                "index_version": None,
+                "max_trained_id": -1,
+                "num_vectors_trained_on": 0,
+                "num_new_vectors": 0,
+                "num_trained_vectors_removed": 0,
+                "index_params": None,
+                "n_buckets": 64,
+            }
+            os.makedirs(self._data_dir, exist_ok=True)
+            self._save_manifest()
+
+    # ------------------------------------------------------------- paths
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "vectors", f"v{self._manifest.get('data_version', 0)}")
+
+    @property
+    def _index_dir(self) -> str | None:
+        v = self._manifest.get("index_version")
+        return None if v is None else os.path.join(self.path, "index", f"v{v}")
+
+    def _load_manifest(self) -> None:
+        with open(self._manifest_path) as f:
+            self._manifest = json.load(f)
+
+    def _save_manifest(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic manifest swap
+
+    # ------------------------------------------------------------- state
+    @property
+    def vector_dimension(self) -> int | None:
+        return self._manifest["vector_dimension"]
+
+    @property
+    def max_id(self) -> int:
+        return self._manifest["max_id"]
+
+    @property
+    def is_trained(self) -> bool:
+        return self._manifest["index_version"] is not None
+
+    @property
+    def num_vectors(self) -> int:
+        if not self._has_data():
+            return 0
+        return self.vectors().count()
+
+    def _has_data(self) -> bool:
+        d = self._data_dir
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def vectors(self) -> DataFrame:
+        """The live vectors table (unit-normalized, id-addressed)."""
+        if not self._has_data():
+            return self.spark.createDataFrame([], VECTOR_SCHEMA)
+        return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_dir)
+
+    def coverage_ratio(self) -> float:
+        m = self._manifest
+        return H.coverage_ratio(
+            m["num_vectors_trained_on"], m["num_new_vectors"], m["num_trained_vectors_removed"]
+        )
+
+    def info(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "num_vectors": self.num_vectors,
+            "vector_dimension": self.vector_dimension,
+            "trained": self.is_trained,
+            "max_id": self.max_id,
+            "max_trained_id": self._manifest["max_trained_id"],
+            "num_vectors_trained_on": self._manifest["num_vectors_trained_on"],
+            "num_new_vectors": self._manifest["num_new_vectors"],
+            "num_trained_vectors_removed": self._manifest["num_trained_vectors_removed"],
+            "trained_index_coverage_ratio": self.coverage_ratio(),
+            "index_params": self._manifest["index_params"],
+        }
+
+    # ------------------------------------------------------------- ingest
+    def add(self, data: list) -> list[int]:
+        """Add ``[(vector, metadata_dict), ...]``; returns assigned ids.
+
+        Driver-side batch API for reference parity (``mindb.py:162-229``).
+        Bulk ingest should use :meth:`add_dataframe`.
+        """
+        vectors, metadata = V.validate_and_normalize_add(data, self.vector_dimension)
+        n = vectors.shape[0]
+        start = self.max_id + 1
+        ids = list(range(start, start + n))
+        rows = [
+            (ids[i], [float(x) for x in vectors[i]], json.dumps(metadata[i]))
+            for i in range(n)
+        ]
+        df = self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+        df.write.mode("append").parquet(self._data_dir)
+        self._manifest["vector_dimension"] = self._manifest["vector_dimension"] or int(vectors.shape[1])
+        self._manifest["max_id"] = ids[-1]
+        self._manifest["num_new_vectors"] += n  # counter rule, ref mindb.py:529-546
+        self._save_manifest()
+        return ids
+
+    def add_dataframe(
+        self, df: DataFrame, vector_col: str = "vector", metadata_col: str | None = None
+    ) -> int:
+        """Distributed ingest: validate/normalize/assign-ids/append in one job.
+
+        Sequential gapless id assignment uses a window over a total order —
+        a single-partition bottleneck by nature (the price of the
+        reference's gapless-id semantic, ``faiss_utils.py:9-13``). For
+        append-heavy 100 TB pipelines prefer ingest batches of bounded size;
+        the window only ranks the *incoming* batch, never the full table.
+        Returns the number of rows added.
+        """
+        from pyspark.sql.window import Window
+
+        from mindb_spark.functions.vector import l2_normalize
+
+        dim = self.vector_dimension
+        first = df.select(vector_col).first()
+        if first is None:
+            return 0
+        incoming_dim = len(first[0])
+        if dim is not None and incoming_dim != dim:
+            raise V.ValidationError(
+                f"Vector is not the correct size. Expected size: {dim} "
+                f"Actual size: {incoming_dim}"
+            )
+        # batch-atomic dimension check before any write
+        bad = df.where(F.size(F.col(vector_col)) != incoming_dim).limit(1).count()
+        if bad:
+            raise V.ValidationError(
+                f"Vector is not the correct size. Expected size: {incoming_dim}"
+            )
+
+        meta = (
+            F.to_json(F.col(metadata_col))
+            if metadata_col and dict(df.dtypes)[metadata_col].startswith(("map", "struct"))
+            else (F.col(metadata_col).cast("string") if metadata_col else F.lit("{}"))
+        )
+        w = Window.orderBy(F.monotonically_increasing_id())
+        start = self.max_id + 1
+        out = df.select(
+            (F.row_number().over(w) + F.lit(start - 1)).cast("long").alias("id"),
+            l2_normalize(vector_col).alias("vector"),
+            meta.alias("metadata"),
+        )
+        out.write.mode("append").parquet(self._data_dir)
+        n = df.count()
+        self._manifest["vector_dimension"] = dim or incoming_dim
+        self._manifest["max_id"] = start + n - 1
+        self._manifest["num_new_vectors"] += n
+        self._save_manifest()
+        return n
+
+    # ------------------------------------------------------------- delete
+    def remove(self, ids) -> list[int]:
+        """Delete by id; returns the ids that actually existed.
+
+        Plain Parquet has no DELETE, so removal materializes the next
+        snapshot version via an anti-join rewrite (Delta/Iceberg deployments
+        would issue ``DELETE FROM`` instead). Counter rules follow the
+        reference (``mindb.py:529-546``): removing an id at or below the
+        training watermark bumps ``num_trained_vectors_removed``; removing a
+        newer id decrements ``num_new_vectors``.
+        """
+        ids = V.validate_remove_ids(ids)
+        id_list = [int(x) for x in ids]
+        current = self.vectors()
+        existing = [
+            r.id for r in current.where(F.col("id").isin(id_list)).select("id").collect()
+        ]
+        if not existing:
+            return []
+        watermark = self._manifest["max_trained_id"]
+        removed_trained = sum(1 for i in existing if i <= watermark)
+
+        next_version = self._manifest["data_version"] + 1
+        next_dir = os.path.join(self.path, "vectors", f"v{next_version}")
+        current.where(~F.col("id").isin(id_list)).write.mode("overwrite").parquet(next_dir)
+        old_dir = self._data_dir
+        self._manifest["data_version"] = next_version
+        self._manifest["num_trained_vectors_removed"] += removed_trained
+        self._manifest["num_new_vectors"] -= len(existing) - removed_trained
+        self._save_manifest()
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return existing
+
+    # ------------------------------------------------------------- train
+    def train(
+        self,
+        pca_dimension: int | None = None,
+        opq_dimension: int | None = None,
+        compressed_vector_bytes: int | None = None,
+        use_two_level_clustering: bool | None = None,
+        force_flat: bool = False,
+        seed: int = 42,
+    ) -> None:
+        """(Re)build the index from a snapshot of the live table.
+
+        Mirrors ``minDB.train`` (``mindb.py:231-344``): <5000 vectors (or
+        ``force_flat``) keeps the exact path; otherwise builds IVF-PQ with
+        the chosen strategy. The build reads the current snapshot; rows
+        added during/after the build are found by ``id > max_trained_id``
+        and searched exactly (replaces the reference's replay/deferred
+        machinery, SURVEY O21).
+        """
+        dim = self.vector_dimension
+        if pca_dimension is not None or opq_dimension is not None or compressed_vector_bytes is not None:
+            V.validate_train_params(dim, pca_dimension, opq_dimension, compressed_vector_bytes)
+        if dim is None:
+            raise V.ValidationError("No vectors have been added to the database")
+
+        n = self.num_vectors
+        if force_flat or n < H.FLAT_INDEX_CUTOFF:  # ref mindb.py:276
+            self._manifest["index_version"] = None
+            self._manifest["index_params"] = None
+            self._set_watermark(n)
+            return
+
+        params = H.resolve_index_params(
+            n, dim, pca_dimension, opq_dimension, compressed_vector_bytes
+        )
+        two_level = (
+            use_two_level_clustering
+            if use_two_level_clustering is not None
+            else H.use_two_level_clustering(n, dim, None)
+        )
+        from mindb_spark.index.build import build_index
+
+        next_version = (self._manifest["index_version"] or 0) + 1
+        index_dir = os.path.join(self.path, "index", f"v{next_version}")
+        snapshot = self.vectors()
+        n_buckets = max(1, min(64, params.num_clusters))
+        build_index(
+            snapshot, params, index_dir,
+            use_two_level=two_level, seed=seed, n_buckets=n_buckets,
+        )
+        self._manifest["index_version"] = next_version
+        self._manifest["n_buckets"] = n_buckets
+        self._manifest["index_params"] = {
+            "num_clusters": params.num_clusters,
+            "n_probe": params.n_probe,
+            "pca_dimension": params.pca_dimension,
+            "compressed_vector_bytes": params.compressed_vector_bytes,
+            "use_two_level_clustering": two_level,
+        }
+        self._set_watermark(n)
+        # old index versions are garbage; keep only the live one
+        index_root = os.path.join(self.path, "index")
+        for entry in os.listdir(index_root):
+            if entry != f"v{next_version}":
+                shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)
+
+    def _set_watermark(self, n: int) -> None:
+        # ref mindb.py:329-337: snapshot watermark + counter reset
+        self._manifest["max_trained_id"] = self._manifest["max_id"]
+        self._manifest["num_vectors_trained_on"] = n
+        self._manifest["num_new_vectors"] = 0
+        self._manifest["num_trained_vectors_removed"] = 0
+        self._save_manifest()
+
+    def maybe_auto_train(self, **train_kwargs) -> bool:
+        """Auto-train policy check (ref training_utils.py:148-188); returns
+        True if a (re)train ran. Call after ingest batches — the Structured
+        Streaming hook does exactly this in foreachBatch."""
+        n = self.num_vectors
+        if not self.is_trained:
+            if H.needs_initial_training(n, self.is_trained, False):
+                self.train(**train_kwargs)
+                return True
+            return False
+        if H.needs_retraining(n, self.coverage_ratio(), False):
+            self.train(**train_kwargs)
+            return True
+        return False
+
+    # ------------------------------------------------------------- query
+    def query_df(
+        self,
+        query_vectors,
+        preliminary_top_k: int = 500,
+        final_top_k: int = 100,
+        n_probe: int | None = None,
+    ) -> DataFrame:
+        """Batch query: (query_id, id, metadata, cosine_similarity) DataFrame.
+
+        query_ids are the 0-based positions of the input vectors. Defaults
+        mirror the reference (prelim 500 / final 100, ``mindb.py:368``).
+        """
+        qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
+        queries = [(i, qmat[i]) for i in range(qmat.shape[0])]
+        vectors = self.vectors()
+
+        if not self.is_trained:
+            from mindb_spark.operators.topk import knn_batch
+
+            hits = knn_batch(vectors, queries, final_top_k)
+            return (
+                hits.join(vectors.select("id", "metadata"), "id")
+                .select("query_id", "id", "metadata", "cosine_similarity")
+            )
+
+        from mindb_spark.index.build import IndexArtifacts
+        from mindb_spark.index import ivf
+
+        artifacts = IndexArtifacts.load(os.path.join(self._index_dir, "artifacts.npz"))
+        codes = self.spark.read.parquet(os.path.join(self._index_dir, "codes"))
+        out = ivf.search(
+            codes, vectors, artifacts, queries,
+            preliminary_top_k=preliminary_top_k,
+            final_top_k=final_top_k,
+            n_probe=n_probe or self._manifest["index_params"]["n_probe"],
+            max_trained_id=self._manifest["max_trained_id"],
+            n_buckets=self._manifest["n_buckets"],
+            extra_cols=("metadata",),
+        )
+        return out.select("query_id", "id", "metadata", "cosine_similarity")
+
+    def query(
+        self,
+        query_vector,
+        preliminary_top_k: int = 500,
+        final_top_k: int = 100,
+    ) -> dict[str, list]:
+        """Single-query convenience with the reference's result shape:
+        ``{ids, metadata, cosine_similarity}`` (``mindb.py:438-442``)."""
+        rows = (
+            self.query_df(query_vector, preliminary_top_k, final_top_k)
+            .orderBy(F.desc("cosine_similarity"), "id")
+            .collect()
+        )
+        return {
+            "ids": [r.id for r in rows],
+            "metadata": [json.loads(r.metadata) if r.metadata else {} for r in rows],
+            "cosine_similarity": [r.cosine_similarity for r in rows],
+        }
+
+    # ------------------------------------------------------------- admin
+    def delete(self) -> None:
+        """Drop the database entirely (ref mindb.py:549-551)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    @classmethod
+    def exists(cls, name: str, base_path: str = DEFAULT_BASE) -> bool:
+        return os.path.exists(os.path.join(base_path, name, "manifest.json"))

@@ -1,0 +1,385 @@
+"""Distributed IVF-PQ index build.
+
+Spark-first re-expression of the reference's offline training machinery
+(``mindb/train/train.py``, ``mindb/train/two_level_clustering.py``):
+
+- PCA transform training        (ref two_level_clustering.py:119-141)
+- coarse quantizer (IVF) via MLlib KMeans — subsampling strategy
+  (ref train.py:45-96) or two-level strategy (ref train.py:12-42,
+  two_level_clustering.py:64-185)
+- PQ codebooks on a bounded residual sample (ref two_level_clustering.py:143-185)
+- one full DataFrame pass assigning every vector to its cell and PQ-encoding
+  it (replaces the reference's memory-bounded LMDB batch loop,
+  train.py:112-133 — Spark's partitioned execution subsumes the batching)
+
+All of the reference's out-of-core bookkeeping (batch sizing, memory models)
+disappears: sampling, shuffling and spilling are the platform's job. What we
+keep are the *semantics*: sample-size floors (39 vectors/centroid,
+256*k1 coarse sample, 64*k2 sub-cluster samples, 64*256 PQ sample) and
+proportional sub-cluster allocation (two_level_clustering.py:103-107).
+
+Scale design notes
+------------------
+- The coarse-assignment + encode pass is a single ``mapInPandas`` over the
+  vectors table: no shuffle at all — each executor streams its partitions
+  through numpy matmuls against broadcast artifacts (mean, PCA matrix,
+  centroid matrix, codebooks; ~200 MB at k=200k, d=256 — broadcastable).
+- The codes table is written partitioned by ``cluster_bucket``
+  (``cluster_id % n_buckets``) and sorted by ``cluster_id`` within files, so
+  an nprobe query prunes directories by bucket and row groups by the
+  ``cluster_id`` min/max stats. Directory-per-cluster would create k dirs
+  (pathological at k=200k); bucketing keeps the file count bounded while
+  preserving pruning.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mindb_spark.core.heuristics import IndexParams, MIN_VECTORS_PER_CLUSTER
+from mindb_spark.index import pq as PQ
+
+COARSE_SAMPLE_PER_CENTROID = 256  # ref two_level_clustering.py coarse sample
+SUB_SAMPLE_PER_CENTROID = 64      # ref two_level_clustering.py sub-cluster sample
+PQ_TRAIN_ROWS = 64 * 256          # ref PQ training sample size
+
+
+class IndexArtifacts:
+    """Small dense artifacts of a trained index, broadcast to executors.
+
+    mean:      (d,)           ingest-space mean (PCA centering)
+    pca:       (d, p)         projection matrix
+    centroids: (k, p)         IVF cell centroids in PCA space
+    codebooks: (m, 256, p/m)  PQ codebooks over cell residuals
+    """
+
+    def __init__(self, mean, pca, centroids, codebooks):
+        self.mean = np.asarray(mean, dtype=np.float64)
+        self.pca = np.asarray(pca, dtype=np.float64)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.codebooks = np.asarray(codebooks, dtype=np.float32)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    def project(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, dtype=np.float64) - self.mean) @ self.pca
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(
+            path,
+            mean=self.mean,
+            pca=self.pca,
+            centroids=self.centroids,
+            codebooks=self.codebooks,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IndexArtifacts":
+        z = np.load(path)
+        return cls(z["mean"], z["pca"], z["centroids"], z["codebooks"])
+
+
+def _to_matrix(rows: list, col: str) -> np.ndarray:
+    return np.array([r[col] for r in rows], dtype=np.float64)
+
+
+def fit_pca(
+    df: DataFrame, vector_col: str, pca_dim: int, seed: int = 42,
+    sample_rows: int = 200_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit a centered PCA. Returns (mean (d,), components (d, pca_dim)).
+
+    Mean via distributed MLlib Summarizer over ALL rows (one pass, no
+    collect); components via MLlib PCA on a bounded sample — mirroring the
+    reference, which trains transforms on a sample
+    (two_level_clustering.py:119-141). MLlib's PCA does not mean-center, so
+    we center explicitly (Faiss's PCAMatrix does center; skipping this loses
+    recall).
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    vec = array_to_vector(F.col(vector_col).cast("array<double>"))
+    mean = np.asarray(
+        df.select(Summarizer.mean(vec).alias("m")).first()["m"].toArray(),
+        dtype=np.float64,
+    )
+    d = mean.shape[0]
+
+    n = df.count()
+    fraction = min(1.0, sample_rows / max(n, 1))
+    sample = df.sample(fraction=fraction, seed=seed) if fraction < 1.0 else df
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered = sample.select(
+        array_to_vector(
+            F.zip_with(F.col(vector_col).cast("array<double>"), mean_lit, lambda x, y: x - y)
+        ).alias("_features")
+    )
+    model = MLPCA(k=min(pca_dim, d), inputCol="_features", outputCol="_pca").fit(centered)
+    components = np.asarray(model.pc.toArray(), dtype=np.float64)  # (d, k)
+    return mean, components
+
+
+def _project_df(
+    df: DataFrame, vector_col: str, mean: np.ndarray, pca: np.ndarray, out_col: str = "_proj"
+) -> DataFrame:
+    """Add a PCA-projected copy of the vector column (Arrow-batched numpy)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mindb_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    b_mean = df.sparkSession.sparkContext.broadcast(mean)
+    b_pca = df.sparkSession.sparkContext.broadcast(pca)
+
+    @pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        out = (mat - b_mean.value) @ b_pca.value
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, proj(F.col(vector_col)))
+
+
+def train_centroids_subsampling(
+    projected: DataFrame, k: int, proj_col: str = "_proj", seed: int = 42,
+    total_rows: int | None = None,
+) -> np.ndarray:
+    """Subsampling strategy (ref train.py:45-96): one distributed KMeans
+    over a sample with >= 39 rows per centroid."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = total_rows if total_rows is not None else projected.count()
+    target = max(k * MIN_VECTORS_PER_CLUSTER, min(n, 10_000))
+    fraction = min(1.0, target / max(n, 1))
+    sample = projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
+    feats = sample.select(array_to_vector(F.col(proj_col)).alias("_features"))
+    model = KMeans(k=k, seed=seed, maxIter=25, featuresCol="_features").fit(feats)
+    return np.array(model.clusterCenters(), dtype=np.float64)
+
+
+def train_centroids_two_level(
+    projected: DataFrame, k: int, proj_col: str = "_proj", seed: int = 42,
+    total_rows: int | None = None,
+) -> np.ndarray:
+    """Two-level strategy (ref two_level_clustering.py:64-116).
+
+    Coarse KMeans with k1 = sqrt(k) centroids on a 256*k1 sample; assign ALL
+    rows to coarse cells (one distributed pass — the reference's batched
+    assignment loop, :11-21, is this single DataFrame op); allocate
+    sub-centroid counts proportional to coarse bin sizes (:103-107); run
+    per-cell local k-means on 64*k2_i samples via applyInPandas; the final
+    quantizer is the union of all sub-centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = projected.sparkSession
+    from mindb_spark.session import ship_package
+
+    ship_package(spark)
+    n = total_rows if total_rows is not None else projected.count()
+    k1 = max(1, int(math.sqrt(k)))
+
+    coarse_target = COARSE_SAMPLE_PER_CENTROID * k1
+    fraction = min(1.0, coarse_target / max(n, 1))
+    sample = projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
+    feats = sample.select(array_to_vector(F.col(proj_col)).alias("_features"))
+    coarse_model = KMeans(k=k1, seed=seed, maxIter=25, featuresCol="_features").fit(feats)
+    coarse = np.array(coarse_model.clusterCenters(), dtype=np.float64)  # (k1, p)
+
+    b_coarse = spark.sparkContext.broadcast(coarse)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_coarse.value
+        c2 = (C**2).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[proj_col].tolist(), dtype=np.float64)
+            cid = np.argmin(c2[None, :] - 2.0 * (mat @ C.T), axis=1)
+            yield pd.DataFrame({"_coarse": cid, proj_col: pdf[proj_col]})
+
+    assigned = projected.select(proj_col).mapInPandas(assign, schema=f"_coarse int, {proj_col} array<double>")
+    assigned = assigned.persist()
+    try:
+        bins = {r["_coarse"]: r["cnt"] for r in assigned.groupBy("_coarse").agg(F.count("*").alias("cnt")).collect()}
+        total = sum(bins.values())
+        # proportional allocation with a 1-centroid floor per non-empty cell
+        alloc: dict[int, int] = {}
+        for cid, cnt in sorted(bins.items()):
+            alloc[cid] = max(1, int(round(k * cnt / total)))
+        # trim/grow to exactly k, adjusting the largest cells first
+        def drift() -> int:
+            return sum(alloc.values()) - k
+        order = sorted(alloc, key=lambda c: -bins[c])
+        i = 0
+        while drift() != 0 and order:
+            c = order[i % len(order)]
+            if drift() > 0 and alloc[c] > 1:
+                alloc[c] -= 1
+            elif drift() < 0:
+                alloc[c] += 1
+            i += 1
+
+        alloc_rows = [(int(c), int(q)) for c, q in alloc.items()]
+        alloc_df = F.broadcast(spark.createDataFrame(alloc_rows, "_coarse int, _k2 int"))
+
+        # per-cell sample cap 64*k2, then local k-means per cell
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_coarse").orderBy(F.rand(seed))
+        capped = (
+            assigned.join(alloc_df, "_coarse")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("_k2") * SUB_SAMPLE_PER_CENTROID)
+            .drop("_rn")
+        )
+
+        def sub_kmeans(pdf: pd.DataFrame) -> pd.DataFrame:
+            k2 = int(pdf["_k2"].iloc[0])
+            data = np.array(pdf[proj_col].tolist(), dtype=np.float64)
+            cents = PQ._kmeans(data, k2, seed=seed)
+            return pd.DataFrame({"centroid": list(np.asarray(cents, dtype=np.float64))})
+
+        cents = (
+            capped.groupBy("_coarse")
+            .applyInPandas(sub_kmeans, schema="centroid array<double>")
+            .collect()
+        )
+        return np.array([r["centroid"] for r in cents], dtype=np.float64)
+    finally:
+        assigned.unpersist()
+
+
+def train_pq_on_residuals(
+    projected: DataFrame, centroids: np.ndarray, m: int,
+    proj_col: str = "_proj", seed: int = 42, total_rows: int | None = None,
+) -> np.ndarray:
+    """Train PQ codebooks on a PQ_TRAIN_ROWS sample of cell residuals."""
+    spark = projected.sparkSession
+    n = total_rows if total_rows is not None else projected.count()
+    fraction = min(1.0, PQ_TRAIN_ROWS / max(n, 1))
+    sample_rows = (
+        projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
+    ).select(proj_col).collect()
+    mat = _to_matrix(sample_rows, proj_col)
+    c2 = (centroids**2).sum(axis=1)
+    cid = np.argmin(c2[None, :] - 2.0 * (mat @ centroids.T), axis=1)
+    residuals = mat - centroids[cid]
+    return PQ.train_codebooks(residuals.astype(np.float32), m, seed=seed)
+
+
+def encode_all(
+    df: DataFrame,
+    artifacts: IndexArtifacts,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The full index-population pass: every row -> (id, cluster_id, code).
+
+    One shuffle-free mapInPandas; replaces the reference's batched
+    add_vectors_to_faiss loop (train.py:112-133).
+    """
+    spark = df.sparkSession
+    from mindb_spark.session import ship_package
+
+    ship_package(spark)
+    b_art = spark.sparkContext.broadcast(
+        (artifacts.mean, artifacts.pca, artifacts.centroids, artifacts.codebooks)
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mean, pca, centroids, codebooks = b_art.value
+        c2 = (centroids**2).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            proj = (mat - mean) @ pca
+            cid = np.argmin(c2[None, :] - 2.0 * (proj @ centroids.T), axis=1)
+            residuals = (proj - centroids[cid]).astype(np.float32)
+            codes = PQ.encode(residuals, codebooks)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cluster_id": cid.astype(np.int32),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    out = df.select(id_col, vector_col).mapInPandas(
+        enc, schema=f"{id_col} long, cluster_id int, code binary"
+    )
+    return out.withColumn("cluster_bucket", F.pmod(F.col("cluster_id"), F.lit(n_buckets)).cast("int"))
+
+
+def build_index(
+    vectors: DataFrame,
+    params: IndexParams,
+    index_dir: str,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    use_two_level: bool = False,
+    seed: int = 42,
+    n_buckets: int | None = None,
+) -> tuple[IndexArtifacts, int]:
+    """Train + populate an IVF-PQ index from a (snapshot of a) vectors table.
+
+    Writes ``{index_dir}/artifacts.npz``, ``{index_dir}/centroids.parquet``
+    and ``{index_dir}/codes`` (parquet partitioned by cluster_bucket).
+    Returns (artifacts, num_rows_indexed).
+    """
+    n = vectors.count()
+    d = len(vectors.select(vector_col).first()[0])
+    pca_dim = min(params.pca_dimension or d, d)
+    m = params.compressed_vector_bytes
+    # PQ needs pca_dim % m == 0 — shrink m to the largest divisor <= requested
+    while pca_dim % m != 0:
+        m -= 1
+
+    mean, pca_mat = fit_pca(vectors, vector_col, pca_dim, seed=seed)
+    projected = _project_df(vectors, vector_col, mean, pca_mat).persist()
+    try:
+        k = min(params.num_clusters, max(1, n))
+        if use_two_level:
+            centroids = train_centroids_two_level(projected, k, seed=seed, total_rows=n)
+        else:
+            centroids = train_centroids_subsampling(projected, k, seed=seed, total_rows=n)
+        codebooks = train_pq_on_residuals(projected, centroids, m, seed=seed, total_rows=n)
+    finally:
+        projected.unpersist()
+
+    artifacts = IndexArtifacts(mean, pca_mat, centroids, codebooks)
+    artifacts.save(os.path.join(index_dir, "artifacts.npz"))
+
+    buckets = n_buckets or max(1, min(64, centroids.shape[0]))
+    codes = encode_all(vectors, artifacts, id_col=id_col, vector_col=vector_col, n_buckets=buckets)
+    codes.write.mode("overwrite").partitionBy("cluster_bucket").parquet(
+        os.path.join(index_dir, "codes")
+    )
+
+    spark = vectors.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(artifacts.centroids)]
+    spark.createDataFrame(cent_rows, "cluster_id int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "centroids.parquet"))
+    return artifacts, n

@@ -1,0 +1,122 @@
+"""Product-quantization kernels (numpy; used inside Arrow-batched UDFs).
+
+The reference gets PQ from Faiss (factory string ``...IVF{k},PQ{m}`` built at
+``mindb/utils/training_utils.py:34-56``). We implement the same math
+directly: split the (PCA-projected, residual) vector into ``m`` subspaces,
+learn a 256-centroid codebook per subspace, store one uint8 per subspace,
+and score queries against codes with asymmetric distance computation (ADC)
+lookup tables.
+
+Everything here is driver-or-executor-local numpy — the distributed parts
+(sampling, the full encode pass, ADC scans) live in ``build.py`` / ``ivf.py``
+and call into these kernels from ``mapInPandas``.
+
+Like the reference (PQ trained on a 64*256-row sample,
+``two_level_clustering.py:143-185``), codebooks are trained on a bounded
+sample, so this never needs to scale beyond a few MB of driver memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_CENTROIDS = 256  # 8-bit codes, same as Faiss PQ{m} default
+
+
+def _kmeans(data: np.ndarray, k: int, n_iter: int = 25, seed: int = 42) -> np.ndarray:
+    """Plain seeded Lloyd's k-means; returns (k, d) centroids.
+
+    Small-scale only (PQ codebooks / sub-cluster refinement); the IVF coarse
+    quantizer at scale is trained by MLlib KMeans instead.
+    """
+    rng = np.random.default_rng(seed)
+    n = data.shape[0]
+    if n <= k:
+        # degenerate: every point its own centroid, pad by resampling
+        pad = data[rng.integers(0, n, size=k - n)] if n < k else np.empty((0, data.shape[1]))
+        return np.vstack([data, pad]).astype(np.float32)
+    centroids = data[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    for _ in range(n_iter):
+        # chunk to bound memory: (n, k) distance matrix in slabs
+        assign = np.empty(n, dtype=np.int64)
+        for start in range(0, n, 65536):
+            chunk = data[start : start + 65536]
+            d2 = ((chunk[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign[start : start + 65536] = np.argmin(d2, axis=1)
+        new = np.empty_like(centroids)
+        for j in range(k):
+            members = data[assign == j]
+            if len(members) == 0:
+                # re-seed empty cluster from a random point
+                new[j] = data[rng.integers(0, n)]
+            else:
+                new[j] = members.mean(axis=0)
+        if np.allclose(new, centroids, atol=1e-7):
+            centroids = new
+            break
+        centroids = new
+    return centroids.astype(np.float32)
+
+
+def train_codebooks(
+    training_vectors: np.ndarray, m: int, seed: int = 42
+) -> np.ndarray:
+    """Learn PQ codebooks. Returns (m, 256, dsub) float32.
+
+    ``training_vectors``: (n, d) residual sample, ``d % m == 0`` (the
+    reference enforces the same divisibility: ``input_validation.py:47-49``).
+    """
+    n, d = training_vectors.shape
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by num_subquantizers {m}")
+    dsub = d // m
+    books = np.empty((m, N_CENTROIDS, dsub), dtype=np.float32)
+    for i in range(m):
+        sub = training_vectors[:, i * dsub : (i + 1) * dsub]
+        books[i] = _kmeans(sub, N_CENTROIDS, seed=seed + i)
+    return books
+
+
+def encode(vectors: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode (n, d) vectors -> (n, m) uint8 codes."""
+    n, d = vectors.shape
+    m, _, dsub = codebooks.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for i in range(m):
+        sub = vectors[:, i * dsub : (i + 1) * dsub]  # (n, dsub)
+        book = codebooks[i]  # (256, dsub)
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
+        dots = sub @ book.T  # (n, 256)
+        c2 = (book**2).sum(axis=1)  # (256,)
+        codes[:, i] = np.argmin(c2[None, :] - 2.0 * dots, axis=1)
+    return codes
+
+
+def adc_table(query: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """ADC lookup table for one query (residual, same space as codes).
+
+    Returns (m, 256) float32 of squared L2 distances from the query's i-th
+    subvector to every codeword of subspace i. The L2 metric matches the
+    reference index (``two_level_clustering.py:156`` asserts METRIC_L2);
+    over unit-normalized vectors L2 ordering == cosine ordering.
+    """
+    m, _, dsub = codebooks.shape
+    q = query.reshape(m, dsub)
+    # (m, 256): ||q_i - c_ij||^2
+    return ((codebooks - q[:, None, :]) ** 2).sum(axis=2).astype(np.float32)
+
+
+def adc_scan(codes: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Approximate squared distances for (n, m) uint8 codes via one LUT."""
+    m = codes.shape[1]
+    return table[np.arange(m)[None, :], codes].sum(axis=1)
+
+
+def decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, d) approximate vectors from codes (for testing)."""
+    n, m = codes.shape
+    dsub = codebooks.shape[2]
+    out = np.empty((n, m * dsub), dtype=np.float32)
+    for i in range(m):
+        out[:, i * dsub : (i + 1) * dsub] = codebooks[i][codes[:, i]]
+    return out

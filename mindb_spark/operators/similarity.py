@@ -99,6 +99,9 @@ def cosine_pairs_lsh(
     shuffle-on-(band, signature) self-join (equi-join, so a hash join over
     bucket keys, NOT a cross join) → exact verify → dedup pairs.
     """
+    from mindb_spark.session import ship_package
+
+    ship_package(df.sparkSession)
     rng = np.random.default_rng(seed)
     norm = _normalized(df, id_col, vector_col, assume_normalized)
 

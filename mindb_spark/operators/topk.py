@@ -100,6 +100,9 @@ def knn_batch(
     qmat = _normalize(np.array([list(q[1]) for q in queries], dtype=np.float64))
 
     spark = corpus.sparkSession
+    from mindb_spark.session import ship_package
+
+    ship_package(spark)
     sc = spark.sparkContext
     b_qids = sc.broadcast(qids)
     b_qmat = sc.broadcast(qmat)

@@ -1,0 +1,66 @@
+"""SparkSession helpers: tuned builder + executor-side package shipping."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``mindb_spark`` importable on executor Python workers.
+
+    UDF closures reference this package by module path; unless the package
+    is pip-installed (or the driver's cwd is the repo root), executors can't
+    import it. Zipping the package once per session and ``addPyFile``-ing it
+    covers every deployment, including ``spark-submit`` from anywhere.
+    Idempotent and cheap (the package is a few hundred KB).
+    """
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="mindb_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join("mindb_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def get_spark(
+    app_name: str = "mindb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Opinionated session builder: AQE + Arrow on, sane shuffle width.
+
+    ``master``/partitions default from ``SPARK_GRAFT_CPUS`` (test harness
+    convention) or fall back to all local cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = master or (f"local[{cpus}]" if cpus else "local[*]")
+    parts = shuffle_partitions or int(cpus or os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -1,0 +1,191 @@
+"""VectorDB lifecycle tests: ingest -> query -> delete -> train -> counters.
+
+Mirrors the reference's integration strategy (SURVEY §5): flat path must be
+exact vs brute force; trained path must clear a recall bar; lifecycle
+counters must follow the documented update rules.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindb_spark.core.database import VectorDB
+from mindb_spark.core.validation import ValidationError
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = VectorDB(spark, "testdb", base_path=str(tmp_path))
+    yield d
+    d.delete()
+
+
+def _mk(rng, n, d):
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def test_add_assigns_sequential_ids_and_normalizes(db):
+    rng = np.random.default_rng(0)
+    ids = db.add([(v, {"i": i}) for i, v in enumerate(_mk(rng, 5, 8))])
+    assert ids == [0, 1, 2, 3, 4]
+    ids2 = db.add([(v, {}) for v in _mk(rng, 3, 8)])
+    assert ids2 == [5, 6, 7]
+    rows = db.vectors().orderBy("id").collect()
+    assert [r.id for r in rows] == list(range(8))
+    norms = [float(np.linalg.norm(r.vector)) for r in rows]
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    assert json.loads(rows[2].metadata) == {"i": 2}
+    assert db.vector_dimension == 8
+
+
+def test_dimension_pinned_by_first_add(db):
+    rng = np.random.default_rng(1)
+    db.add([(v, {}) for v in _mk(rng, 2, 8)])
+    with pytest.raises(ValidationError, match="not the correct size"):
+        db.add([(np.ones(9, dtype=np.float32), {})])
+
+
+def test_flat_query_matches_brute_force(db):
+    rng = np.random.default_rng(2)
+    mat = _mk(rng, 300, 16)
+    db.add([(v, {"row": i}) for i, v in enumerate(mat)])
+    q = mat[17]
+    res = db.query(q, final_top_k=10)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = norm.astype(np.float64) @ qn.astype(np.float64)
+    expected = np.lexsort((np.arange(300), -scores))[:10]
+    assert res["ids"] == list(expected)
+    assert res["ids"][0] == 17
+    np.testing.assert_allclose(res["cosine_similarity"], scores[expected], rtol=1e-5)
+    assert res["metadata"][0] == {"row": 17}
+    # invariants: unique ids, clamp, sims within [-1, 1]
+    assert len(set(res["ids"])) == 10
+    # float32-stored unit vectors scored in float64 can overshoot by ~1e-7
+    assert all(-1.0 - 1e-6 <= s <= 1.0 + 1e-6 for s in res["cosine_similarity"])
+    big = db.query(q, final_top_k=10_000)
+    assert len(big["ids"]) == 300
+
+
+def test_remove_updates_counters_and_results(db):
+    rng = np.random.default_rng(3)
+    mat = _mk(rng, 50, 8)
+    db.add([(v, {}) for v in mat])
+    assert db.info()["num_new_vectors"] == 50
+    existed = db.remove([5, 6, 9999])
+    assert sorted(existed) == [5, 6]
+    assert db.num_vectors == 48
+    assert db.info()["num_new_vectors"] == 48  # new-id removals decrement
+    res = db.query(mat[5], final_top_k=48)
+    assert 5 not in res["ids"] and 6 not in res["ids"]
+    # removing again is a no-op
+    assert db.remove([5]) == []
+
+
+def test_coverage_ratio_lifecycle(db, spark):
+    rng = np.random.default_rng(4)
+    mat = _mk(rng, 100, 8)
+    db.add([(v, {}) for v in mat])
+    assert db.coverage_ratio() == 0.0  # never trained
+    db.train()  # n < 5000 -> flat, but watermark/counters set
+    assert db.coverage_ratio() == 1.0
+    db.add([(v, {}) for v in _mk(rng, 100, 8)])
+    assert db.coverage_ratio() == pytest.approx(0.5)  # (100-0)/(100+100)
+    removed = db.remove(list(range(50)))  # ids <= watermark
+    assert len(removed) == 50
+    assert db.info()["num_trained_vectors_removed"] == 50
+    assert db.coverage_ratio() == pytest.approx(0.25)  # (100-50)/(100+100)
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    d1 = VectorDB(spark, "persist", base_path=str(tmp_path))
+    d1.add([(v, {"k": "v"}) for v in _mk(rng, 10, 4)])
+    d2 = VectorDB(spark, "persist", base_path=str(tmp_path))
+    assert d2.max_id == 9
+    assert d2.vector_dimension == 4
+    assert d2.num_vectors == 10
+    res = d2.query(_mk(rng, 1, 4)[0], final_top_k=3)
+    assert len(res["ids"]) == 3
+    d2.delete()
+    assert not VectorDB.exists("persist", base_path=str(tmp_path))
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus():
+    """6k vectors in 40 Gaussian clusters — ANN recall is non-trivial."""
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(40, 32)) * 3.0
+    assign = rng.integers(0, 40, size=6000)
+    mat = centers[assign] + rng.normal(size=(6000, 32))
+    return mat.astype(np.float32)
+
+
+@pytest.mark.slow
+def test_trained_index_recall(spark, tmp_path, clustered_corpus):
+    mat = clustered_corpus
+    db = VectorDB(spark, "trained", base_path=str(tmp_path))
+    db.add_dataframe(
+        spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(mat)], "rid long, vector array<float>"
+        ),
+        vector_col="vector",
+    )
+    assert db.num_vectors == 6000
+    db.train(use_two_level_clustering=False)
+    assert db.is_trained
+    info = db.info()
+    assert info["trained_index_coverage_ratio"] == 1.0
+
+    # ground truth by exact brute force over normalized corpus
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = norm[:20]
+    gt = np.argsort(-(norm.astype(np.float64) @ queries.T.astype(np.float64)), axis=0)[:10].T
+
+    out = db.query_df(queries, preliminary_top_k=200, final_top_k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(by_q[i] & set(gt[i].tolist())) / 10 for i in range(20)]
+    assert np.mean(recalls) > 0.9, f"recall too low: {np.mean(recalls)} {recalls}"
+
+    # rows added after training are searched exactly (unindexed tail)
+    probe = np.ones(32, dtype=np.float32)
+    new_ids = db.add([(probe, {"tail": True})])
+    res = db.query(probe, final_top_k=5)
+    assert res["ids"][0] == new_ids[0]
+    assert res["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
+
+    # deletes take effect immediately even though codes still hold the id
+    victim = int(gt[0][0])
+    db.remove([victim])
+    res2 = db.query_df(queries[:1], preliminary_top_k=200, final_top_k=10).collect()
+    assert victim not in {r.id for r in res2}
+    db.delete()
+
+
+@pytest.mark.slow
+def test_two_level_training_recall(spark, tmp_path, clustered_corpus):
+    mat = clustered_corpus
+    db = VectorDB(spark, "twolevel", base_path=str(tmp_path))
+    db.add_dataframe(
+        spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(mat)], "rid long, vector array<float>"
+        ),
+        vector_col="vector",
+    )
+    db.train(use_two_level_clustering=True)
+    assert db.is_trained
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = norm[:10]
+    gt = np.argsort(-(norm.astype(np.float64) @ queries.T.astype(np.float64)), axis=0)[:10].T
+    out = db.query_df(queries, preliminary_top_k=200, final_top_k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(by_q[i] & set(gt[i].tolist())) / 10 for i in range(10)]
+    assert np.mean(recalls) > 0.9, f"recall too low: {np.mean(recalls)} {recalls}"
+    db.delete()

@@ -1,0 +1,58 @@
+"""PQ kernel unit tests against exhaustive numpy checks."""
+
+import numpy as np
+
+from mindb_spark.index import pq as PQ
+
+
+def test_kmeans_basic_separation():
+    rng = np.random.default_rng(0)
+    a = rng.normal(loc=0.0, scale=0.1, size=(200, 4))
+    b = rng.normal(loc=5.0, scale=0.1, size=(200, 4))
+    cents = PQ._kmeans(np.vstack([a, b]), 2, seed=1)
+    assert cents.shape == (2, 4)
+    means = sorted(c.mean() for c in cents)
+    assert abs(means[0] - 0.0) < 0.5 and abs(means[1] - 5.0) < 0.5
+
+
+def test_encode_picks_nearest_codeword():
+    rng = np.random.default_rng(1)
+    books = rng.normal(size=(4, 256, 2)).astype(np.float32)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    codes = PQ.encode(vecs, books)
+    assert codes.shape == (50, 4) and codes.dtype == np.uint8
+    for i in range(4):
+        sub = vecs[:, i * 2 : (i + 1) * 2]
+        d2 = ((sub[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+        np.testing.assert_array_equal(codes[:, i], np.argmin(d2, axis=1))
+
+
+def test_adc_scan_equals_decoded_distance():
+    rng = np.random.default_rng(2)
+    books = rng.normal(size=(4, 256, 2)).astype(np.float32)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    codes = PQ.encode(vecs, books)
+    q = rng.normal(size=8).astype(np.float32)
+    table = PQ.adc_table(q, books)
+    got = PQ.adc_scan(codes, table)
+    recon = PQ.decode(codes, books)
+    expected = ((recon - q) ** 2).sum(axis=1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_roundtrip_compression_quality():
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(3000, 16)).astype(np.float32)
+    books = PQ.train_codebooks(data, m=8, seed=0)
+    codes = PQ.encode(data, books)
+    recon = PQ.decode(codes, books)
+    rel_err = np.linalg.norm(recon - data, axis=1) / np.linalg.norm(data, axis=1)
+    # 8 subspaces x 8 bits over 16 dims: reconstruction should be decent
+    assert np.median(rel_err) < 0.35
+
+
+def test_train_rejects_indivisible_m():
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.train_codebooks(np.zeros((10, 10), dtype=np.float32), m=3)
