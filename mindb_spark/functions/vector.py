@@ -50,17 +50,19 @@ def l2_norm(col: Column | str) -> Column:
     )
 
 
-def l2_normalize(col: Column | str) -> Column:
+def l2_normalize(col: Column | str, element_type: str = "float") -> Column:
     """Unit-normalize an array column; zero vectors pass through unchanged.
 
     Mirrors ingest normalization (reference input_validation.py:96-99) —
     stored vectors are unit length so inner product equals cosine similarity.
-    Returns ARRAY<FLOAT> to match the storage type.
+    ``element_type="float"`` matches the engine's ARRAY<FLOAT> storage;
+    operators that compare against a double-precision oracle should pass
+    ``"double"`` to avoid float32 quantization noise.
     """
     col = F.col(col) if isinstance(col, str) else col
     norm = l2_norm(col)
     safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-    return F.transform(col, lambda x: (x.cast("double") / safe).cast("float"))
+    return F.transform(col, lambda x: (x.cast("double") / safe).cast(element_type))
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

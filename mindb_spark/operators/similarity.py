@@ -27,7 +27,9 @@ from mindb_spark.functions.vector import dot, l2_normalize
 
 
 def _normalized(df: DataFrame, id_col: str, vector_col: str, assume_normalized: bool) -> DataFrame:
-    v = F.col(vector_col) if assume_normalized else l2_normalize(vector_col)
+    # double precision so scores are oracle-reproducible (float32 rounding
+    # after normalization would inject ~1e-8 noise into every score)
+    v = F.col(vector_col) if assume_normalized else l2_normalize(vector_col, "double")
     return df.select(F.col(id_col), v.alias(vector_col))
 
 

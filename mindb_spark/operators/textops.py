@@ -1,0 +1,111 @@
+"""Text-analysis operators for corpus curation.
+
+Language ID (stopword-marker heuristic), quality scoring (length / punct /
+stopword ratios), token counting, and content fingerprinting — the standard
+pre-training corpus passes. All pure Catalyst expressions (regexp + array
+lambdas), deliberately defined by portable primitives so a SQL oracle can
+replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mindb_spark.functions.text import fingerprint, token_count, tokens
+
+# Small marker-word inventories per language. Membership counting over these
+# is the whole language-ID heuristic — crude but deterministic, cheap at any
+# scale, and exactly reproducible in SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+    "fr": ("le", "la", "les", "de", "et", "des", "est", "une", "dans", "que"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ("a", "an", "on", "at", "by", "be", "as", "are", "was")
+
+PUNCT_CLASS = r"[^.,;:!?]"  # deleting non-punctuation leaves the punctuation
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def language_scores(text_col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts for a text column."""
+    toks = tokens(text_col)
+    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, detected_lang, marker_hits): argmax language by marker count.
+
+    Tie-break is alphabetical-by-language (deterministic); zero hits in
+    every language yields 'und' (undetermined).
+    """
+    scores = language_scores(text_col)
+    # build greatest-by-count with deterministic tie-break via ordered CASE
+    langs = sorted(scores)  # alphabetical
+    best_count = F.greatest(*[scores[l] for l in langs])
+    pick = F.lit("und")
+    for lang in reversed(langs):
+        pick = F.when(scores[lang] == best_count, F.lit(lang)).otherwise(pick)
+    pick = F.when(best_count == 0, F.lit("und")).otherwise(pick)
+    return df.select(
+        F.col(id_col),
+        pick.alias("detected_lang"),
+        best_count.cast("long").alias("marker_hits"),
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features: lengths, ratios, a composite score.
+
+    Columns (all deterministic arithmetic, rounded where fractional):
+    - n_chars, n_tokens
+    - avg_token_len   = n_chars_in_tokens / n_tokens
+    - punct_ratio     = punctuation chars / chars
+    - stopword_ratio  = EN-stopword tokens / tokens
+    - quality_score   = heuristic blend in [0, 1]: length signal x
+                        (has sane avg token len) x (has some stopwords)
+    """
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    stop_hits = _marker_hits(toks, STOPWORDS_EN)
+
+    avg_tok = tok_chars / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+
+    length_signal = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    tok_signal = F.when((avg_tok >= 2.0) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_signal = F.when(stop_ratio > 0.0, F.lit(1.0)).otherwise(F.lit(0.7))
+    score = length_signal * tok_signal * stop_signal
+
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens) — whitespace tokenization (regex '\\S+')."""
+    return df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint) — md5 of canonical (lower, ws-collapsed) text."""
+    return df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))

@@ -65,7 +65,7 @@ def knn(
     if not assume_normalized:
         from mindb_spark.functions.vector import l2_normalize
 
-        vec = l2_normalize(vec)
+        vec = l2_normalize(vec, "double")
     score = dot_literal(vec, qn.tolist()).alias(score_col)
     cols = [F.col(id_col), *[F.col(c) for c in extra_cols], score]
     return (

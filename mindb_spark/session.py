@@ -51,9 +51,15 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = master or (f"local[{cpus}]" if cpus else "local[*]")
     parts = shuffle_partitions or int(cpus or os.cpu_count() or 8)
+    # local-mode driver == executor: the default 1g heap OOMs with 32 task
+    # threads; only effective for the first session in the process (the JVM
+    # is sized at launch), which is every real entry point here.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,149 @@
+"""Dedup operators vs a DuckDB oracle on real testdata documents."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindb_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from '{SF}/documents.parquet'"
+    )
+    return con
+
+
+def test_dedup_exact_matches_duckdb(docs, duck):
+    got = {
+        (r.fingerprint, r.doc_id, r.dup_count)
+        for r in D.dedup_exact(docs).collect()
+    }
+    exp = set(
+        duck.sql(
+            """
+            select md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) fp,
+                   min(doc_id), count(*)
+            from documents group by fp
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_dedup_exact_survivors_planted(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "something else"), (4, "Hello World ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    survivors = D.dedup_exact_survivors(df).select("doc_id").collect()
+    # 1, 2, 4 are canonical-equal; min id 1 survives
+    assert sorted(r.doc_id for r in survivors) == [1, 3]
+
+
+def test_ngram_jaccard_matches_duckdb(docs, duck):
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in D.ngram_jaccard_pairs(docs, 0.5, k=3).collect()
+    }
+    exp_rows = duck.sql(
+        r"""
+        with toks as (
+          select doc_id, regexp_extract_all(text, '\S+') t from documents
+        ), sh as (
+          select doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) shingles
+          from toks where len(t) >= 3
+        ), ex as (
+          select doc_id, unnest(shingles) shingle, len(shingles) n from sh
+        ), inter as (
+          select a.doc_id id_a, b.doc_id id_b, count(*) i, any_value(a.n) na, any_value(b.n) nb
+          from ex a join ex b using (shingle)
+          where a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select id_a, id_b, round(i * 1.0 / (na + nb - i), 6) j
+        from inter where i * 1.0 / (na + nb - i) >= 0.5
+        """
+    ).fetchall()
+    exp = {(a, b, float(j)) for a, b, j in exp_rows}
+    assert got == exp
+    assert len(got) > 0, "no jaccard pairs at 0.5 — testdata assumption broken"
+
+
+def test_minhash_signatures_are_min_of_family(spark):
+    import hashlib
+
+    rows = [(1, "a b c d"), (2, "x y z w v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.signature for r in D.minhash_signatures(df, k=3, num_hashes=4).collect()}
+
+    def shingles(text, k=3):
+        t = text.split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    for doc_id, text in rows:
+        for i in range(4):
+            exp = min(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles(text)
+            )
+            assert sigs[doc_id][i] == exp
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # high jaccard
+        (3, "completely different words entirely unrelated to anything else here now"),
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(df, 0.5, k=3, num_hashes=32, n_bands=16).collect()
+    }
+    assert (1, 4) in pairs  # identical
+    assert (1, 2) in pairs and (2, 4) in pairs  # near-dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, 0.5, k=3).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, 0.5, k=3, num_hashes=32, n_bands=16).collect()
+    }
+    assert got <= exact  # verification removes false positives
+    recall = len(got & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"minhash recall {recall} ({len(got)}/{len(exact)})"
+
+
+def test_simhash_hamming_semantics(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0
+        (3, base.replace("gamma", "zilch")),  # one token changed -> small hamming
+        (4, "totally unrelated text about spark query engines and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    assert sigs[1] == sigs[2]
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham13 < ham14
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs
