@@ -54,6 +54,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        # isolate queries: drop persisted blocks from prior operators and
+        # collect garbage so GC pauses don't bleed into the next timing
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()

