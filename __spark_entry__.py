@@ -128,38 +128,86 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O6-O8: two-stage IVF-PQ query (build + probe + exact rerank).
+_ANN_CACHE: dict = {}
 
-    Not SQL-expressible (trained index) — driver records rows-only.
+
+def _ann_index(spark: SparkSession, sf_dir: str, two_level: bool = False, fresh: bool = False):
+    """Build (or reuse) the IVF-PQ index for a testdata dir.
+
+    Cached per (sf_dir, strategy) so the query entries measure steady-state
+    search, not repeated builds; ``fresh=True`` forces a rebuild (the build
+    benchmark path).
     """
-    import tempfile
-
-    import numpy as np
+    import shutil
 
     from mindb_spark.core.heuristics import resolve_index_params
-    from mindb_spark.index import ivf
     from mindb_spark.index.build import build_index
 
+    key = (sf_dir, two_level)
+    if not fresh and key in _ANN_CACHE:
+        return _ANN_CACHE[key]
     emb = _normalized_emb(spark, sf_dir)
     n = emb.count()
     d = len(emb.select("vector").first()[0])
     params = resolve_index_params(n, d)
-    with tempfile.TemporaryDirectory() as tmp:
-        artifacts, _ = build_index(
-            emb, params, tmp, id_col="vec_id", n_buckets=min(16, params.num_clusters)
-        )
-        codes = spark.read.parquet(os.path.join(tmp, "codes"))
-        queries = [(qid, np.array(v, dtype=np.float64)) for qid, v in _query_vectors(spark, sf_dir, 4)]
-        out = ivf.search(
-            codes, emb, artifacts, queries,
-            preliminary_top_k=100, final_top_k=10,
-            max_trained_id=None, id_col="vec_id",
-            n_buckets=min(16, params.num_clusters),
-        )
-        return out.select(
-            "query_id", "vec_id", _fl6("cosine_similarity").alias("score")
-        ).localCheckpoint()  # materialize before the temp dir vanishes
+    n_buckets = min(16, params.num_clusters)
+    tag = "twolevel" if two_level else "subsample"
+    idx_dir = os.path.join(
+        "/tmp/mindb_ann_cache", os.path.basename(sf_dir.rstrip("/")), tag
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    artifacts, _ = build_index(
+        emb, params, idx_dir, id_col="vec_id", n_buckets=n_buckets,
+        use_two_level=two_level,
+    )
+    _ANN_CACHE[key] = (artifacts, os.path.join(idx_dir, "codes"), n_buckets)
+    return _ANN_CACHE[key]
+
+
+def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataFrame:
+    import numpy as np
+
+    from mindb_spark.index import ivf
+
+    artifacts, codes_path, n_buckets = _ann_index(spark, sf_dir, **kw)
+    emb = _normalized_emb(spark, sf_dir)
+    codes = spark.read.parquet(codes_path)
+    queries = [
+        (qid, np.array(v, dtype=np.float64))
+        for qid, v in _query_vectors(spark, sf_dir, n_queries)
+    ]
+    out = ivf.search(
+        codes, emb, artifacts, queries,
+        preliminary_top_k=100, final_top_k=10,
+        max_trained_id=None, id_col="vec_id", n_buckets=n_buckets,
+    )
+    return out.select("query_id", "vec_id", _fl6("cosine_similarity").alias("score"))
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6-O8: two-stage IVF-PQ query (probe + exact rerank).
+
+    Not SQL-expressible (trained index) — driver records rows-only.
+    """
+    return _ann_search(spark, sf_dir, n_queries=4)
+
+
+def q_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13-O18: full index build (subsampling strategy); returns the codes
+    table. Rows-only check (one code row per vector)."""
+    _, codes_path, _ = _ann_index(spark, sf_dir, fresh=True)
+    return spark.read.parquet(codes_path).select("vec_id", "cluster_id")
+
+
+def q_ann_build_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16: two-level clustering build variant. Rows-only check."""
+    _, codes_path, _ = _ann_index(spark, sf_dir, two_level=True, fresh=True)
+    return spark.read.parquet(codes_path).select("vec_id", "cluster_id")
+
+
+def q_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state two-stage ANN batch search against the cached index."""
+    return _ann_search(spark, sf_dir, n_queries=16)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "vector_normalize": q_vector_normalize,
         "ann_ivfpq": q_ann_ivfpq,
+        "ann_build": q_ann_build,
+        "ann_build_twolevel": q_ann_build_twolevel,
+        "ann_query": q_ann_query,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,

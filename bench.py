@@ -25,7 +25,8 @@ BENCH_QUERIES = [
     "knn_topk",
     "knn_batch",
     "similarity_join",
-    "ann_ivfpq",
+    "ann_build",
+    "ann_query",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",

@@ -103,35 +103,28 @@ def fit_pca(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit a centered PCA. Returns (mean (d,), components (d, pca_dim)).
 
-    Mean via distributed MLlib Summarizer over ALL rows (one pass, no
-    collect); components via MLlib PCA on a bounded sample — mirroring the
-    reference, which trains transforms on a sample
-    (two_level_clustering.py:119-141). MLlib's PCA does not mean-center, so
-    we center explicitly (Faiss's PCAMatrix does center; skipping this loses
-    recall).
+    One Spark job: collect a bounded sample (the reference trains its
+    transforms on a sample too, two_level_clustering.py:119-141), then
+    mean-center and eigendecompose the d x d covariance on the driver —
+    the covariance is tiny for any embedding dimension, and this replaces
+    the ~10 jobs MLlib PCA schedules (RowMatrix Gram + Summarizer passes),
+    which dominate build time for moderate corpora. Faiss's PCAMatrix also
+    centers; skipping centering loses recall.
     """
-    from pyspark.ml.feature import PCA as MLPCA
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.ml.stat import Summarizer
-
-    vec = array_to_vector(F.col(vector_col).cast("array<double>"))
-    mean = np.asarray(
-        df.select(Summarizer.mean(vec).alias("m")).first()["m"].toArray(),
-        dtype=np.float64,
-    )
-    d = mean.shape[0]
-
     n = df.count()
-    fraction = min(1.0, sample_rows / max(n, 1))
+    d0 = len(df.select(vector_col).first()[0])
+    # bound driver memory: ~128 MB of float64 sample regardless of width
+    cap = min(sample_rows, max(10_000, 16_000_000 // max(1, d0)))
+    fraction = min(1.0, cap / max(n, 1))
     sample = df.sample(fraction=fraction, seed=seed) if fraction < 1.0 else df
-    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
-    centered = sample.select(
-        array_to_vector(
-            F.zip_with(F.col(vector_col).cast("array<double>"), mean_lit, lambda x, y: x - y)
-        ).alias("_features")
-    )
-    model = MLPCA(k=min(pca_dim, d), inputCol="_features", outputCol="_pca").fit(centered)
-    components = np.asarray(model.pc.toArray(), dtype=np.float64)  # (d, k)
+    mat = _to_matrix(sample.select(vector_col).collect(), vector_col)
+    mean = mat.mean(axis=0)
+    centered = mat - mean
+    d = mat.shape[1]
+    cov = (centered.T @ centered) / max(1, centered.shape[0] - 1)  # (d, d)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][: min(pca_dim, d)]
+    components = eigvecs[:, order]  # (d, pca_dim)
     return mean, components
 
 

@@ -35,22 +35,26 @@ def _kmeans(data: np.ndarray, k: int, n_iter: int = 25, seed: int = 42) -> np.nd
         # degenerate: every point its own centroid, pad by resampling
         pad = data[rng.integers(0, n, size=k - n)] if n < k else np.empty((0, data.shape[1]))
         return np.vstack([data, pad]).astype(np.float32)
-    centroids = data[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    data = np.asarray(data, dtype=np.float64)
+    d = data.shape[1]
+    centroids = data[rng.choice(n, size=k, replace=False)].copy()
     for _ in range(n_iter):
-        # chunk to bound memory: (n, k) distance matrix in slabs
+        # assignment via the GEMM identity argmin ||x-c||^2 = argmin c2 - 2x.c
+        # (BLAS inner loop; never materializes an (n, k, d) tensor)
+        c2 = (centroids**2).sum(axis=1)
         assign = np.empty(n, dtype=np.int64)
         for start in range(0, n, 65536):
             chunk = data[start : start + 65536]
-            d2 = ((chunk[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            assign[start : start + 65536] = np.argmin(d2, axis=1)
-        new = np.empty_like(centroids)
-        for j in range(k):
-            members = data[assign == j]
-            if len(members) == 0:
-                # re-seed empty cluster from a random point
-                new[j] = data[rng.integers(0, n)]
-            else:
-                new[j] = members.mean(axis=0)
+            assign[start : start + 65536] = np.argmin(c2[None, :] - 2.0 * (chunk @ centroids.T), axis=1)
+        # means via bincount scatter (one pass per dim, not one mask per cluster)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, d), dtype=np.float64)
+        for j in range(d):
+            sums[:, j] = np.bincount(assign, weights=data[:, j], minlength=k)
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], 0.0)
+        empty = np.nonzero(counts == 0)[0]
+        if empty.size:
+            new[empty] = data[rng.integers(0, n, size=empty.size)]
         if np.allclose(new, centroids, atol=1e-7):
             centroids = new
             break
