@@ -318,6 +318,66 @@ def q_window_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (size/digest/mime sniff), all JVM expressions.
+
+    documents.text cast to binary stands in for an image/audio payload —
+    the operators only see opaque bytes either way.
+    """
+    from mindb_spark.multimodal import binary_metadata
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return binary_metadata(payloads)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode pipeline over binary payloads (stub kernel).
+
+    Rows-only check: the fake decode is numpy-deterministic but not
+    SQL-expressible.
+    """
+    from mindb_spark.multimodal import decode_images
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = decode_images(payloads)
+    return out.select(
+        "doc_id", "height", "width", "channels",
+        _fl6(F.element_at("features", 1)).alias("f0"),
+    )
+
+
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermarked tumbling-window agg over events,
+    drained with availableNow. Unified batch/stream semantics make this
+    oracle-checkable: the SQL equivalent is a plain GROUP BY date_trunc."""
+    import tempfile
+
+    from mindb_spark.streaming import run_stream_to_memory, windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = windowed_event_counts(raw, window="1 hour", watermark="1 hour")
+    name = "win_counts_entry"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(agg, name, ckpt)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        _fl6(F.col("sum_value")).alias("sum_value"),
+    ).localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk": q_knn_topk,
@@ -340,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
+        "stream_window_agg": q_stream_window_agg,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -555,6 +618,25 @@ select c.c_custkey, c.c_name, floor(rev.r * 100 + 0.5) / 100 as revenue
 from rev join customer c on rev.o_custkey = c.c_custkey
 order by rev.r desc, c.c_custkey
 limit 10
+""",
+        "multimodal_meta": """
+select doc_id,
+       length(text)::BIGINT as size_bytes,
+       md5(text) as content_md5,
+       case when substring(text, 1, 4) = 'GIF8' then 'image/gif'
+            when substring(text, 1, 4) = '%PDF' then 'application/pdf'
+            when substring(text, 1, 4) = 'RIFF' then 'audio/wav'
+            when substring(text, 1, 3) = 'ID3' then 'audio/mpeg'
+            else 'application/octet-stream' end as mime
+from documents
+""",
+        "stream_window_agg": """
+select epoch(date_trunc('hour', ts))::BIGINT as window_epoch,
+       event_type,
+       count(*) as n_events,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 as sum_value
+from events
+group by 1, 2
 """,
         "window_top_events": """
 with ranked as (

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "join_top_customers",
     "window_top_events",
+    "stream_window_agg",
 ]
 
 

@@ -1,0 +1,198 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Beyond-reference capability (the reference stores only vectors+JSON): a
+100 TB training-data pipeline carries images/audio/video as opaque
+``binary`` columns with typed metadata alongside. The Spark-side design:
+
+- payload: one ``binary`` column; never interpreted by the engine.
+- metadata: flat typed columns (size, digest, sniffed mime) derived by
+  JVM expressions — pushdown-friendly, no Python in the loop.
+- decode / feature-extract / resize / frame-sample: Arrow-batched
+  ``mapInPandas`` over the binary column. The actual codec step requires
+  image/audio libraries that are NOT in this container, so the kernel is
+  STUBBED: with ``fake=True`` (default) a clearly-marked deterministic
+  fake derived from the payload bytes stands in (schema, batching and
+  partitioning are real and tested); with ``fake=False`` the functions
+  raise ``NotImplementedError`` unless PIL/soundfile are importable.
+
+Scale notes: binary payloads dominate row size — decode pipelines should
+``select`` only (id, payload) before the UDF (column pruning keeps the
+scan narrow), and set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+low enough that a batch of payloads fits executor memory (e.g. 256 rows
+of 4 MB images ≈ 1 GB; default 10k rows would OOM).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# magic-byte prefixes -> mime (hex-encoded prefix match, JVM-side)
+_MAGIC = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("52494646", "audio/wav"),  # RIFF container (wav/avi)
+    ("494433", "audio/mpeg"),
+    ("1A45DFA3", "video/webm"),
+]
+
+
+def sniff_mime(binary_col) -> F.Column:
+    """Magic-byte mime sniffing as a pure JVM expression (no UDF)."""
+    c = F.col(binary_col) if isinstance(binary_col, str) else binary_col
+    expr = F.lit("application/octet-stream")
+    for prefix, mime in reversed(_MAGIC):
+        nbytes = len(prefix) // 2
+        expr = F.when(
+            F.hex(F.substring(c, 1, nbytes)) == F.lit(prefix), F.lit(mime)
+        ).otherwise(expr)
+    return expr
+
+
+def binary_metadata(
+    df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, size_bytes, content_md5, mime): typed metadata, all JVM-side."""
+    c = F.col(binary_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("size_bytes"),
+        F.md5(c).alias("content_md5"),
+        sniff_mime(c).alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """DETERMINISTIC FAKE decoder (real codecs absent in this container).
+
+    Derives (height, width, channels) and an 8-bin byte-histogram feature
+    vector purely from the payload bytes — stable across runs/engines, so
+    tests can assert exact values. Replace with PIL/libvips in production.
+    """
+    digest = hashlib.md5(payload).digest()
+    h = 16 + digest[0] % 64
+    w = 16 + digest[1] % 64
+    ch = 3
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        hist = np.zeros(8, dtype=np.float64)
+    else:
+        hist = np.bincount(arr >> 5, minlength=8).astype(np.float64) / arr.size
+    return h, w, ch, hist
+
+
+def decode_images(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode image payloads -> (id, height, width, channels, features).
+
+    Arrow-batched ``mapInPandas``; the decode kernel is the stub above
+    unless ``fake=False`` and PIL is installed.
+    """
+    if not fake:
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lib absent by design
+            raise NotImplementedError(
+                "real image decode requires PIL, which is not installed; "
+                "use fake=True for the deterministic stub"
+            ) from e
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_fake_decode(bytes(b)) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "height": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "channels": [r[2] for r in rows],
+                    "features": [r[3] for r in rows],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, height int, width int, channels int, features array<double>",
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int],
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize payloads to ``target`` (h, w); returns (id, content, height, width).
+
+    Stub: re-emits the payload with the target dims recorded (the real
+    kernel would decode-resize-reencode). Plumbing — schema, batch shape,
+    pruned projection — is the production shape.
+    """
+    if not fake:
+        raise NotImplementedError("real resize requires an image library")
+    th, tw = int(target[0]), int(target[1])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    binary_col: pdf[binary_col],
+                    "height": np.full(len(pdf), th, dtype=np.int32),
+                    "width": np.full(len(pdf), tw, dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {binary_col} binary, height int, width int"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Explode a video payload into sampled frame rows (id, frame_no, frame).
+
+    Stub: fakes ``ceil(size/4096)`` frames per payload and emits every
+    ``every_n``-th — a one-to-many mapInPandas, the real shape of frame
+    extraction (output rows >> input rows; Arrow streams them batch-wise).
+    """
+    if not fake:
+        raise NotImplementedError("real frame sampling requires a video library")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_no, out_frame = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload)
+                n_frames = max(1, -(-len(raw) // 4096))
+                for fno in range(0, n_frames, every_n):
+                    out_id.append(i)
+                    out_no.append(fno)
+                    out_frame.append(raw[fno * 4096 : (fno + 1) * 4096])
+            if out_id:
+                yield pd.DataFrame({id_col: out_id, "frame_no": out_no, "frame": out_frame})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, schema=f"{id_col} long, frame_no int, frame binary"
+    )

@@ -1,0 +1,112 @@
+"""Structured Streaming surface: continuous vector ingest + event analytics.
+
+The reference has no streaming engine — its closest analogs are the
+background training thread and the add-while-training replay machinery
+(``mindb/api/fastapi.py:161-171, 245-311``). In Spark those collapse into
+Structured Streaming primitives:
+
+- ``stream_ingest_vectors``: a ``foreachBatch`` sink that runs each
+  micro-batch through the SAME batch ingest path (validation,
+  normalization, sequential id assignment, manifest counters) and then
+  evaluates the reference's auto-train policy (``training_utils.py:148-188``)
+  — the policy check after every batch is exactly the reference's
+  post-add trigger (``fastapi.py:173-186``), minus the hand-rolled thread
+  coordination: a training run always reads a pinned snapshot, and rows
+  ingested after the snapshot are the unindexed tail searched exactly.
+
+- ``windowed_event_counts``: the standard watermark + tumbling-window
+  aggregation shape for late-arriving event data. Works identically on a
+  batch DataFrame (Spark's unified semantics), which is how the
+  correctness oracle checks it.
+
+Scale notes: ``foreachBatch`` appends are per-micro-batch parquet writes —
+at cluster scale the sink table should be compacted periodically
+(small-file problem); ids stay gapless because assignment happens inside
+the single-threaded driver commit of each micro-batch, serialized by the
+streaming engine's exactly-once sink contract.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_ingest_vectors(
+    db: Any,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    vector_col: str = "vector",
+    metadata_col: str | None = None,
+    auto_train: bool = False,
+    available_now: bool = True,
+):
+    """Continuously ingest a streaming DataFrame of vectors into ``db``.
+
+    ``stream_df`` must be a streaming DataFrame with ``vector_col``
+    (array<float/double>) and an optional metadata column. Returns the
+    started ``StreamingQuery``; with ``available_now`` the query drains
+    what exists and stops (deterministic for tests/backfills).
+    """
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        db.add_dataframe(batch_df, vector_col=vector_col, metadata_col=metadata_col)
+        if auto_train:
+            db.maybe_auto_train()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark for late data.
+
+    On a streaming input, rows later than ``watermark`` behind the max
+    observed ``ts_col`` are dropped and window state is evicted; on a batch
+    input the same expression is a plain windowed aggregation (the oracle
+    path). Output: (window_start, *group_cols, n_events, sum_value).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("_w"), *[F.col(c) for c in group_cols])
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("_w.start").alias("window_start"), *group_cols, "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
+    """Drain a streaming aggregation into an in-memory table (availableNow).
+
+    Blocks until every available input file is processed; results are then
+    in ``spark.table(query_name)``. Test/demo helper — production sinks
+    should write parquet/Delta instead.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

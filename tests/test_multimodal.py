@@ -1,0 +1,75 @@
+"""Multimodal binary-column plumbing (decode kernels are deterministic stubs)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindb_spark.multimodal import (
+    binary_metadata,
+    decode_images,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 100),
+        (2, b"\xff\xd8\xff\xe0" + b"jpegdata" * 50),
+        (3, b"GIF89a" + b"y" * 10),
+        (4, b"%PDF-1.7 stuff"),
+        (5, b"plain text payload"),
+        (6, b""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content binary")
+
+
+def test_binary_metadata(payloads):
+    got = {r.doc_id: r for r in binary_metadata(payloads).collect()}
+    assert got[1].mime == "image/png"
+    assert got[2].mime == "image/jpeg"
+    assert got[3].mime == "image/gif"
+    assert got[4].mime == "application/pdf"
+    assert got[5].mime == "application/octet-stream"
+    assert got[1].size_bytes == 108
+    assert got[5].content_md5 == hashlib.md5(b"plain text payload").hexdigest()
+    assert got[6].size_bytes == 0
+
+
+def test_decode_images_deterministic(payloads):
+    a = {r.doc_id: (r.height, r.width, r.channels, tuple(r.features)) for r in decode_images(payloads).collect()}
+    b = {r.doc_id: (r.height, r.width, r.channels, tuple(r.features)) for r in decode_images(payloads).collect()}
+    assert a == b
+    h, w, c, feats = a[5]
+    assert 16 <= h < 80 and 16 <= w < 80 and c == 3
+    assert abs(sum(feats) - 1.0) < 1e-9  # histogram normalized
+    assert a[6][3] == (0.0,) * 8  # empty payload -> zero features
+
+
+def test_decode_images_real_requires_lib(payloads):
+    with pytest.raises(NotImplementedError):
+        decode_images(payloads, fake=False).collect()
+
+
+def test_resize_passthrough(payloads):
+    out = {r.doc_id: r for r in resize_images(payloads, (32, 48)).collect()}
+    assert all(r.height == 32 and r.width == 48 for r in out.values())
+    assert bytes(out[5].content) == b"plain text payload"
+
+
+def test_sample_frames_one_to_many(spark):
+    df = spark.createDataFrame(
+        [(1, b"v" * (4096 * 25)), (2, b"w" * 100)], "doc_id long, content binary"
+    )
+    out = sample_frames(df, every_n=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r.frame_no)
+    assert sorted(by_id[1]) == [0, 10, 20]
+    assert by_id[2] == [0]
+    frames = {(r.doc_id, r.frame_no): bytes(r.frame) for r in out}
+    assert frames[(1, 20)] == b"v" * 4096
+    assert frames[(2, 0)] == b"w" * 100
