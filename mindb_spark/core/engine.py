@@ -1,0 +1,150 @@
+"""Engine facade: the reference's serving-layer semantics over Spark.
+
+Mirrors the REST surface of ``mindb/api/fastapi.py:67-470`` route-for-route
+as plain Python (a REST wrapper would be a thin layer over this; it is
+deliberately out of the analytics-engine core):
+
+| reference route                    | here                              |
+|------------------------------------|-----------------------------------|
+| POST /db/create                    | ``create_db``                     |
+| GET  /db/{name}/info               | ``info``                          |
+| POST /db/{name}/add                | ``add``                           |
+| POST /db/{name}/remove             | ``remove``                        |
+| POST /db/{name}/train + GET status | ``train`` / ``train_status``      |
+| POST /db/{name}/query              | ``query``                         |
+| POST /db/{name}/save               | no-op (writes are write-through)  |
+| POST /db/{name}/reload             | ``reload``                        |
+| POST /db/{name}/delete             | ``delete_db``                     |
+| GET  /db/find_indexes_to_train     | ``find_indexes_to_train``         |
+| GET  /db/get_initial_training_queue| ``initial_training_queue``        |
+| GET  /db/view_cache                | ``open_databases``                |
+| POST /db/{name}/remove_from_cache  | ``close``                         |
+| POST /db/update_max_memory_usage   | dropped (Spark block manager owns |
+|                                    | memory; ref cache.py:105-138 est. |
+|                                    | formulas kept as docs only)       |
+
+The reference's LRU cache with memory-estimate eviction
+(``mindb/cache/cache.py``) exists because each open DB pins a Faiss index
+in RAM. Here an "open database" is a manifest dict plus lazily-read
+DataFrames — executors cache/evict blocks on their own — so the registry
+is a plain dict of handles; ``close`` exists for API parity and to drop
+references to index artifacts held on the driver.
+
+Training runs synchronously inside ``train`` (a Spark batch job). The
+reference's background-thread machinery — state strings, the
+unassigned-vector replay, deferred deletes (``fastapi.py:161-311``) —
+is subsumed by snapshot semantics: the build pins a data version, and
+rows added after it are the exactly-searched tail (``id >
+max_trained_id``), so adds/removes during or after training need no
+reconciliation. ``train_status`` reports the same state strings the
+reference exposes ("untrained" / "trained" / "complete") for parity.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from mindb_spark.core import validation as V
+from mindb_spark.core.database import DEFAULT_BASE, VectorDB
+from mindb_spark.core.heuristics import needs_initial_training, needs_retraining
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, base_path: str = DEFAULT_BASE):
+        self.spark = spark
+        self.base_path = base_path
+        self._open: dict[str, VectorDB] = {}
+
+    # ------------------------------------------------------------ registry
+    def create_db(self, name: str) -> VectorDB:
+        if VectorDB.exists(name, self.base_path):
+            raise V.ValidationError(f"database {name!r} already exists")
+        return self.get_db(name)
+
+    def get_db(self, name: str) -> VectorDB:
+        if name not in self._open:
+            self._open[name] = VectorDB(self.spark, name, base_path=self.base_path)
+        return self._open[name]
+
+    def list_dbs(self) -> list[str]:
+        if not os.path.isdir(self.base_path):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.base_path)
+            if os.path.exists(os.path.join(self.base_path, d, "manifest.json"))
+        )
+
+    def open_databases(self) -> list[str]:
+        """Parity with GET /db/view_cache."""
+        return sorted(self._open)
+
+    def close(self, name: str) -> bool:
+        """Parity with remove_from_cache: drop the driver-side handle."""
+        return self._open.pop(name, None) is not None
+
+    def reload(self, name: str) -> VectorDB:
+        self.close(name)
+        return self.get_db(name)
+
+    def delete_db(self, name: str) -> None:
+        self.close(name)
+        path = os.path.join(self.base_path, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    # ---------------------------------------------------------- operations
+    def info(self, name: str) -> dict[str, Any]:
+        return self.get_db(name).info()
+
+    def add(self, name: str, data: list) -> list[int]:
+        ids = self.get_db(name).add(data)
+        return ids
+
+    def remove(self, name: str, ids) -> list[int]:
+        return self.get_db(name).remove(ids)
+
+    def query(self, name: str, query_vector, preliminary_top_k: int = 500, final_top_k: int = 100):
+        return self.get_db(name).query(
+            query_vector, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
+        )
+
+    def train(self, name: str, **kwargs) -> None:
+        self.get_db(name).train(**kwargs)
+
+    def train_status(self, name: str) -> str:
+        """Reference state strings (fastapi.py operations dict)."""
+        db = self.get_db(name)
+        return "complete" if db.is_trained else "untrained"
+
+    # -------------------------------------------------------- auto-train
+    def initial_training_queue(self) -> list[str]:
+        """Databases big enough for a first index (ref training_utils.py:148-167)."""
+        out = []
+        for name in self.list_dbs():
+            db = self.get_db(name)
+            if needs_initial_training(db.num_vectors, db.is_trained, False):
+                out.append(name)
+        return out
+
+    def find_indexes_to_train(self) -> list[str]:
+        """Initial + stale (coverage < 0.5) databases (ref :169-188)."""
+        out = []
+        for name in self.list_dbs():
+            db = self.get_db(name)
+            if needs_initial_training(db.num_vectors, db.is_trained, False) or (
+                db.is_trained and needs_retraining(db.num_vectors, db.coverage_ratio(), False)
+            ):
+                out.append(name)
+        return out
+
+    def auto_train_sweep(self, **train_kwargs) -> list[str]:
+        """Train everything the policy flags; returns the trained names."""
+        names = self.find_indexes_to_train()
+        for name in names:
+            self.get_db(name).train(**train_kwargs)
+        return names

@@ -1,0 +1,118 @@
+"""Vector-data source readers: parquet / CSV / JSON -> canonical schema.
+
+The reference ingests only via its Python API (clients load pickles/Arrow
+themselves — e.g. its wikipedia example notebook loads client-side and
+POSTs batches). A Spark engine ingests files directly; these readers map
+common on-disk layouts to the canonical ``(vector array<double>,
+metadata string)`` shape that ``VectorDB.add_dataframe`` consumes, keeping
+the scan declarative so Catalyst prunes and pushes down.
+
+- parquet: vector already an array column — a projection, nothing more.
+- CSV: vectors as delimited strings ("0.1|0.2|...") — split + cast, all
+  JVM expressions.
+- JSON (jsonl): vector as a JSON array — native array read.
+
+Each reader validates dimensional consistency the same batch-atomic way
+the engine's add() does: one aggregate pass; any ragged row fails the
+whole read (reference semantic: ``mindb.py:175-178``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mindb_spark.core import validation as V
+
+
+def _canonical(
+    df: DataFrame, vector_expr, metadata_cols: list[str], validate: bool
+) -> DataFrame:
+    meta = (
+        F.to_json(F.struct(*[F.col(c) for c in metadata_cols]))
+        if metadata_cols
+        else F.lit("{}")
+    )
+    out = df.select(vector_expr.alias("vector"), meta.alias("metadata"))
+    if validate:
+        dims = out.select(F.size("vector").alias("d")).agg(
+            F.min("d").alias("lo"), F.max("d").alias("hi")
+        ).first()
+        if dims.lo is None:
+            return out
+        if dims.lo != dims.hi:
+            raise V.ValidationError(
+                f"inconsistent vector dimensions in source: {dims.lo} != {dims.hi}"
+            )
+        if dims.lo == 0:
+            raise V.ValidationError("source contains empty vectors")
+    return out
+
+
+def read_vectors_parquet(
+    spark: SparkSession,
+    path: str,
+    vector_col: str = "vector",
+    metadata_cols: list[str] | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Parquet with a native array vector column (the fast path: columnar
+    scan, column pruning — only the projected columns are read)."""
+    df = spark.read.parquet(path)
+    return _canonical(
+        df, F.col(vector_col).cast("array<double>"), metadata_cols or [], validate
+    )
+
+
+def read_vectors_csv(
+    spark: SparkSession,
+    path: str,
+    vector_col: str = "vector",
+    delimiter: str = "|",
+    metadata_cols: list[str] | None = None,
+    header: bool = True,
+    validate: bool = True,
+) -> DataFrame:
+    """CSV with the vector packed as a delimited string per row."""
+    df = spark.read.option("header", str(header).lower()).csv(path)
+    vec = F.transform(
+        F.split(F.col(vector_col), F.lit("\\" + delimiter) if delimiter in ".|^$*+?" else F.lit(delimiter)),
+        lambda x: x.cast("double"),
+    )
+    return _canonical(df, vec, metadata_cols or [], validate)
+
+
+def read_vectors_json(
+    spark: SparkSession,
+    path: str,
+    vector_col: str = "vector",
+    metadata_cols: list[str] | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """JSON-lines with the vector as a native JSON array."""
+    df = spark.read.json(path)
+    return _canonical(
+        df, F.col(vector_col).cast("array<double>"), metadata_cols or [], validate
+    )
+
+
+def ingest_file(
+    db,
+    path: str,
+    fmt: str = "parquet",
+    vector_col: str = "vector",
+    metadata_cols: list[str] | None = None,
+    **reader_kwargs,
+) -> int:
+    """One-call file -> VectorDB ingest. Returns rows added."""
+    readers = {
+        "parquet": read_vectors_parquet,
+        "csv": read_vectors_csv,
+        "json": read_vectors_json,
+    }
+    if fmt not in readers:
+        raise V.ValidationError(f"unsupported source format: {fmt!r}")
+    df = readers[fmt](
+        db.spark, path, vector_col=vector_col, metadata_cols=metadata_cols, **reader_kwargs
+    )
+    return db.add_dataframe(df, vector_col="vector", metadata_col="metadata")
