@@ -318,6 +318,89 @@ def q_window_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered exact kNN (the reference's declared next feature):
+    attribute filter pushed into the scan, then top-k over survivors."""
+    from mindb_spark.operators.topk import knn
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    filtered = emb.where(F.col("label") == 3)
+    out = knn(filtered, q, 10, id_col="vec_id", vector_col="embedding",
+              assume_normalized=False, extra_cols=("label",))
+    return out.select("vec_id", "label", _fl6("cosine_similarity").alias("score"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event per customer at each order's date.
+
+    Union + carry-forward window plan — one shuffle, |left| output rows,
+    no inequality-join fan-out.
+    """
+    from mindb_spark.operators.temporal import asof_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ts")
+    )
+    events = _events(spark, sf_dir).select("user_id", "ts", "event_id").withColumnRenamed(
+        "user_id", "o_custkey"
+    )
+    out = asof_join(
+        orders, events, on="o_custkey", right_cols=("event_id",), right_tiebreak="event_id"
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_id_asof").alias("last_event_id"),
+        F.unix_timestamp("ts_asof").alias("last_event_epoch"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: ROLLUP over (returnflag, linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_fl2(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (urgent ∩ high-value) ∪ (low-value ∖ urgent) customers."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    low = orders.where(F.col("o_totalprice") < 10000).select("o_custkey")
+    return (
+        urgent.intersect(high)
+        .unionAll(low.subtract(urgent))
+        .distinct()
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+
+
+def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine self-join via random-hyperplane LSH (the linear
+    scale path). 6-bit x 16-band config: ~70% recall at the 0.45 near-dup
+    threshold, >99% at 0.6+. Seeded → deterministic; rows-only check (the
+    banding is not SQL-expressible)."""
+    from mindb_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = _emb(spark, sf_dir)
+    d = len(emb.select("embedding").first()[0])
+    out = cosine_pairs_lsh(
+        emb, 0.45, dim=d, id_col="vec_id", vector_col="embedding",
+        n_bits=6, n_bands=16, seed=42,
+    )
+    return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (size/digest/mime sniff), all JVM expressions.
 
@@ -403,6 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_agg": q_stream_window_agg,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "filtered_knn": q_filtered_knn,
+        "asof_join": q_asof_join,
+        "agg_rollup": q_agg_rollup,
+        "set_ops": q_set_ops,
+        "similarity_join_lsh": q_similarity_join_lsh,
     }
 
 
@@ -618,6 +706,48 @@ select c.c_custkey, c.c_name, floor(rev.r * 100 + 0.5) / 100 as revenue
 from rev join customer c on rev.o_custkey = c.c_custkey
 order by rev.r desc, c.c_custkey
 limit 10
+""",
+        "filtered_knn": f"""
+with {_NORM_EMB_CTE.strip()},
+q as (select v qv from emb where vec_id = 0),
+f as (select e.vec_id, e.v, b.label from emb e join embeddings b using (vec_id) where b.label = 3)
+select f.vec_id, f.label,
+       floor(list_dot_product(f.v, q.qv) * 1000000 + 0.5) / 1000000 as score
+from f cross join q
+order by list_dot_product(f.v, q.qv) desc, f.vec_id
+limit 10
+""",
+        "asof_join": """
+select o.o_orderkey, o.o_custkey,
+       q.event_id as last_event_id,
+       epoch(q.ts)::BIGINT as last_event_epoch
+from orders o
+left join lateral (
+  select e.event_id, e.ts
+  from events e
+  where e.user_id = o.o_custkey and e.ts <= o.o_orderdate
+  order by e.ts desc, e.event_id desc
+  limit 1
+) q on true
+""",
+        "agg_rollup": """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 as sum_qty,
+       count(*) as n
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+""",
+        "set_ops": """
+select distinct custkey from (
+  (select o_custkey custkey from orders where o_orderpriority = '1-URGENT'
+   intersect
+   select o_custkey from orders where o_totalprice > 300000)
+  union all
+  (select o_custkey from orders where o_totalprice < 10000
+   except
+   select o_custkey from orders where o_orderpriority = '1-URGENT')
+)
 """,
         "multimodal_meta": """
 select doc_id,

@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "join_top_customers",
     "window_top_events",
     "stream_window_agg",
+    "filtered_knn",
+    "asof_join",
+    "agg_rollup",
+    "set_ops",
+    "similarity_join_lsh",
 ]
 
 

@@ -358,15 +358,28 @@ class VectorDB:
         preliminary_top_k: int = 500,
         final_top_k: int = 100,
         n_probe: int | None = None,
+        metadata_filter: str | None = None,
     ) -> DataFrame:
         """Batch query: (query_id, id, metadata, cosine_similarity) DataFrame.
 
         query_ids are the 0-based positions of the input vectors. Defaults
         mirror the reference (prelim 500 / final 100, ``mindb.py:368``).
+
+        ``metadata_filter`` is a SQL boolean expression over the row; the
+        ``metadata`` column is the JSON string, so filters use
+        ``get_json_object(metadata, '$.key')``. This is the reference's own
+        declared next feature (README "Metadata"). Flat path: the filter is
+        applied BEFORE scoring (exact pre-filtered kNN, filter pushed into
+        the scan). Trained path: applied to the rerank join, so results are
+        exact over the filtered set but a very selective filter can return
+        fewer than k rows — raise ``preliminary_top_k`` to compensate
+        (standard IVF-with-filter behavior).
         """
         qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
         queries = [(i, qmat[i]) for i in range(qmat.shape[0])]
         vectors = self.vectors()
+        if metadata_filter is not None:
+            vectors = vectors.where(F.expr(metadata_filter))
 
         if not self.is_trained:
             from mindb_spark.operators.topk import knn_batch
@@ -398,11 +411,15 @@ class VectorDB:
         query_vector,
         preliminary_top_k: int = 500,
         final_top_k: int = 100,
+        metadata_filter: str | None = None,
     ) -> dict[str, list]:
         """Single-query convenience with the reference's result shape:
         ``{ids, metadata, cosine_similarity}`` (``mindb.py:438-442``)."""
         rows = (
-            self.query_df(query_vector, preliminary_top_k, final_top_k)
+            self.query_df(
+                query_vector, preliminary_top_k, final_top_k,
+                metadata_filter=metadata_filter,
+            )
             .orderBy(F.desc("cosine_similarity"), "id")
             .collect()
         )

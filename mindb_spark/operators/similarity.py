@@ -147,49 +147,65 @@ def cosine_pairs_lsh(
     positives cost time, never correctness; recall is tunable via
     bands/bits.
 
-    Plan shape: narrow signature projection → explode(bands) →
-    shuffle-on-(band, signature) self-join (equi-join, so a hash join over
-    bucket keys, NOT a cross join) → exact verify → dedup pairs.
+    Plan shape: ONE Arrow pass computes every band signature (a single
+    (n_bands*n_bits, dim) GEMM per batch — not one Python pass per band) →
+    posexplode to (band, sig) rows carrying only the id → bucket equi-join
+    (hash join over (band, sig), never a cross join) → dedup pairs → two
+    hash joins rehydrate the normalized vectors → einsum-vectorized exact
+    verify in Arrow batches. The normalized projection is persisted: the
+    signature pass and both verify joins read it.
     """
+    from pyspark.sql.functions import pandas_udf
+
     from mindb_spark.session import ship_package
 
     ship_package(df.sparkSession)
     rng = np.random.default_rng(seed)
-    norm = _normalized(df, id_col, vector_col, assume_normalized)
+    # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands
+    planes = rng.normal(size=(n_bands * n_bits, dim))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    norm = _normalized(df, id_col, vector_col, assume_normalized).persist()
 
-    sig_cols = []
-    with_sigs = norm
-    for band in range(n_bands):
-        planes = rng.normal(size=(n_bits, dim))
-        udf = simhash_signature_udf(planes)
-        col = f"_band{band}"
-        with_sigs = with_sigs.withColumn(col, udf(F.col(vector_col)))
-        sig_cols.append(col)
+    @pandas_udf("array<long>")
+    def all_sigs(vectors: pd.Series) -> pd.Series:
+        mat = np.array(vectors.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0  # (n, n_bands*n_bits)
+        sigs = bits.reshape(len(mat), n_bands, n_bits) @ weights  # (n, n_bands)
+        return pd.Series(list(sigs))
 
-    exploded = with_sigs.select(
-        F.col(id_col),
-        F.col(vector_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("band"), F.col(c).alias("sig")) for i, c in enumerate(sig_cols)])
-        ).alias("b"),
-    ).select(id_col, vector_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-
-    left = exploded.select(
-        F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va")
+    exploded = norm.select(
+        F.col(id_col), F.posexplode(all_sigs(F.col(vector_col))).alias("band", "sig")
     )
-    right = exploded.select(
-        F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb")
-    )
+    left = exploded.select("band", "sig", F.col(id_col).alias("id_a"))
+    right = exploded.select("band", "sig", F.col(id_col).alias("id_b"))
     candidates = (
         left.join(right, ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        candidates.select("id_a", "id_b", dot("_va", "_vb").alias(score_col))
-        .where(F.col(score_col) >= threshold)
-    )
+    va = norm.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+    vb = norm.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    pairs = candidates.join(va, "id_a").join(vb, "id_b")
+    thr = float(threshold)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["_vb"].tolist(), dtype=np.float64)
+            s = np.einsum("ij,ij->i", A, B)
+            keep = s >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    score_col: s[keep],
+                }
+            )
+
+    return pairs.mapInPandas(verify, f"id_a long, id_b long, {score_col} double")
 
 
 def ann_brute_force(
