@@ -244,10 +244,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — no portable SQL oracle)."""
+    """SimHash near-dup pairs (xxhash64-based — no portable SQL oracle).
+
+    hamming <= 3 over 64 bits — the standard near-dup radius; the
+    pigeonhole banding then uses 4 chunks of 16 bits, whose buckets stay
+    sparse (an 8-bit chunking floods the candidate join).
+    """
     from mindb_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

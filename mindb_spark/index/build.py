@@ -153,15 +153,29 @@ def train_centroids_subsampling(
     projected: DataFrame, k: int, proj_col: str = "_proj", seed: int = 42,
     total_rows: int | None = None,
 ) -> np.ndarray:
-    """Subsampling strategy (ref train.py:45-96): one distributed KMeans
-    over a sample with >= 39 rows per centroid."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Subsampling strategy (ref train.py:45-96): KMeans over a sample
+    with >= 39 rows per centroid.
 
+    Hybrid execution: the sample is bounded by construction, so when it
+    comfortably fits the driver (<= ~32M float64s ≈ 256 MB) we collect it
+    and run the vectorized local Lloyd's — 25 MLlib iterations are 25+
+    scheduled jobs, which dominate build time for small/medium corpora.
+    Beyond the bound (e.g. k=200k clusters x 39 rows x 256 dims) the
+    distributed MLlib path takes over. Same seeded math either way.
+    """
     n = total_rows if total_rows is not None else projected.count()
     target = max(k * MIN_VECTORS_PER_CLUSTER, min(n, 10_000))
     fraction = min(1.0, target / max(n, 1))
     sample = projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
+
+    dim = len(sample.select(proj_col).first()[0])
+    if target * dim <= 32_000_000:
+        mat = _to_matrix(sample.select(proj_col).collect(), proj_col)
+        return PQ._kmeans(mat, min(k, mat.shape[0]), seed=seed).astype(np.float64)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     feats = sample.select(array_to_vector(F.col(proj_col)).alias("_features"))
     model = KMeans(k=k, seed=seed, maxIter=25, featuresCol="_features").fit(feats)
     return np.array(model.clusterCenters(), dtype=np.float64)
