@@ -216,6 +216,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir)).select("fingerprint", "doc_id", "dup_count")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated dataset itself: first doc id per exact-dup group,
+    all columns preserved (left-semi join against the keeper set)."""
+    from mindb_spark.operators.dedup import dedup_exact_survivors
+
+    out = dedup_exact_survivors(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mindb_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -477,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_build_twolevel": q_ann_build_twolevel,
         "ann_query": q_ann_query,
         "dedup_exact": q_dedup_exact,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
@@ -624,6 +634,15 @@ select md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) as fingerprint,
 from documents
 group by 1
 """,
+        "dedup_survivors": r"""
+with keep as (
+  select min(doc_id) doc_id
+  from documents
+  group by md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+)
+select d.doc_id, d.lang, d.source, d.n_chars
+from documents d semi join keep using (doc_id)
+""",
         "dedup_jaccard": f"""
 with {_SHINGLE_CTE.strip()}
 select id_a, id_b, floor(j * 1000000 + 0.5) / 1000000 as jaccard from jac where j >= {NEAR_DUP_TAU}
@@ -636,7 +655,11 @@ from emb a join emb b on a.vec_id < b.vec_id
 where list_dot_product(a.v, b.v) >= 0.45
 """,
         "text_tokens": r"""
-select doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT as n_tokens from documents
+select doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT as n_tokens,
+       len(list_filter(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+                       t -> regexp_matches(t, '\S')))::BIGINT as n_subtokens
+from documents
 """,
         "text_quality": rf"""
 with t as (

@@ -29,6 +29,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape, restricted to RE2 syntax (no lookahead)
+# so an independent engine (DuckDB) reproduces it token-for-token:
+# a leading-space word, a leading-space number run, a leading-space
+# punctuation run, or residual whitespace.
+BPE_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """ARRAY<STRING> of BPE-ish subword pre-tokens (word/number/punct runs)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count — the LLM-pipeline cost estimate (a real BPE
+    merge table would refine these pre-tokens; the count is the standard
+    pre-tokenization upper bound)."""
+    return F.size(F.filter(bpe_tokens(col), lambda t: t.rlike(r"\S"))).cast("long")
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """ARRAY<STRING> of word k-shingles (space-joined sliding windows).
 

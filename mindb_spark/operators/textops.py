@@ -102,8 +102,15 @@ def quality_features(
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens) — whitespace tokenization (regex '\\S+')."""
-    return df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    """(id, n_tokens, n_subtokens): whitespace count + BPE-ish pre-token
+    count (word/number/punctuation runs — the LLM cost estimate)."""
+    from mindb_spark.functions.text import bpe_token_count
+
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_subtokens"),
+    )
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
