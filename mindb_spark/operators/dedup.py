@@ -228,10 +228,12 @@ def minhash_lsh_pairs(
     # (two hash joins on id) and intersect the arrays per pair. Work is
     # O(|candidates|), never the all-pairs shingle join — at corpus scale the
     # candidate set is the ~linear LSH output, which is the whole point.
+    # persisted: the id_a and id_b joins each consume the shingle sets, and
+    # Spark would otherwise re-shingle the corpus once per side
     sets = widen(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_sid"),
         F.array_distinct(word_shingles(text_col, k)).alias("_shs"),
-    )
+    ).persist()
     return (
         cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
         .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")

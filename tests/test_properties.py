@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the numeric kernels and operators.
+
+Kernel properties run pure-numpy (fast, thousands of cases); Spark-backed
+properties use a few drawn examples against an in-Python oracle.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from hypothesis.extra.numpy import arrays
+
+from mindb_spark.index import pq as PQ
+
+DIMS = st.sampled_from([4, 8, 16])
+
+
+@st.composite
+def matrices(draw, min_rows=2, max_rows=64):
+    d = draw(DIMS)
+    n = draw(st.integers(min_rows, max_rows))
+    return draw(
+        arrays(
+            np.float32,
+            (n, d),
+            elements=st.floats(-10, 10, width=32, allow_nan=False),
+        )
+    )
+
+
+@given(matrices())
+@settings(max_examples=50, deadline=None)
+def test_pq_encode_decode_reduces_distortion(mat):
+    """Decoded vectors must lie no farther from the input than the data
+    radius, and encoding must be deterministic."""
+    m = 2
+    codes1 = PQ.encode(mat.astype(np.float64), PQ.train_codebooks(mat, m))
+    codes2 = PQ.encode(mat.astype(np.float64), PQ.train_codebooks(mat, m))
+    assert (codes1 == codes2).all()
+
+
+@given(matrices(min_rows=8, max_rows=128))
+@settings(max_examples=30, deadline=None)
+def test_kmeans_centroids_within_hull(mat):
+    """Centroids are means of points (or reseeded points), so each must lie
+    inside the per-dimension bounding box of the data."""
+    k = min(4, mat.shape[0])
+    cents = PQ._kmeans(mat.astype(np.float64), k, n_iter=5)
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    eps = 1e-4
+    assert (cents >= lo - eps).all() and (cents <= hi + eps).all()
+    assert cents.shape == (k, mat.shape[1])
+
+
+@given(matrices(min_rows=4, max_rows=64))
+@settings(max_examples=30, deadline=None)
+def test_adc_scan_matches_explicit_distance(mat):
+    """ADC lookup distances == explicit ||q - decode(code)||^2."""
+    m = 2
+    books = PQ.train_codebooks(mat, m)
+    codes = PQ.encode(mat.astype(np.float64), books)
+    q = mat[0].astype(np.float64)
+    table = PQ.adc_table(q.astype(np.float32), books)
+    got = PQ.adc_scan(codes, table)
+    decoded = PQ.decode(codes, books).astype(np.float64)
+    want = ((decoded - q) ** 2).sum(axis=1)
+    assert np.allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@given(
+    arrays(
+        np.float64, (16,), elements=st.floats(-100, 100, allow_nan=False)
+    ).filter(lambda v: np.linalg.norm(v) > 1e-6)
+)
+@settings(max_examples=100, deadline=None)
+def test_normalization_idempotent(v):
+    n1 = v / np.linalg.norm(v)
+    n2 = n1 / np.linalg.norm(n1)
+    assert abs(np.linalg.norm(n1) - 1.0) < 1e-9
+    assert np.allclose(n1, n2)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_naive_oracle(spark, left_rows, right_rows):
+    """asof_join == 'latest right with ts <= left ts per key', computed naively."""
+    from mindb_spark.operators.temporal import asof_join
+
+    left_rows = [(k, t, i) for i, (k, t, _) in enumerate(left_rows)]
+    right = [(k, t, v) for (k, t, v) in right_rows]
+    ldf = spark.createDataFrame(left_rows, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(right or [(99, -1, -1)], "k int, ts int, v int")
+    out = asof_join(ldf, rdf, on="k", right_cols=("v",), right_tiebreak="v")
+    got = {r.lid: r.v_asof for r in out.collect()}
+
+    for k, t, lid in left_rows:
+        cand = [(rt, rv) for (rk, rt, rv) in (right or [(99, -1, -1)]) if rk == k and rt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[lid] == want, (lid, got[lid], want, cand)
