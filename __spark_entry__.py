@@ -422,6 +422,30 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (applyInPandasWithState): first occurrence
+    per fingerprint survives across micro-batches. Drained with
+    availableNow, the emitted set equals batch exact-dedup — which is the
+    SQL oracle."""
+    import tempfile
+
+    from mindb_spark.streaming import run_stream_to_memory, streaming_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = (
+        spark.readStream.schema(
+            spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir).schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = streaming_dedup(raw)
+    name = "stream_dedup_entry"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(out, name, ckpt, output_mode="append")
+    return spark.table(name).select("doc_id", "fingerprint").localCheckpoint()
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (size/digest/mime sniff), all JVM expressions.
 
@@ -506,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
         "stream_window_agg": q_stream_window_agg,
+        "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "filtered_knn": q_filtered_knn,
@@ -783,6 +808,12 @@ select distinct custkey from (
    except
    select o_custkey from orders where o_orderpriority = '1-URGENT')
 )
+""",
+        "stream_dedup": r"""
+select min(doc_id) as doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) as fingerprint
+from documents
+group by 2
 """,
         "multimodal_meta": """
 select doc_id,

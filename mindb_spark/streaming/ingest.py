@@ -92,6 +92,52 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-batch streaming exact dedup: emit each document the FIRST time
+    its canonical fingerprint is seen, drop every later duplicate.
+
+    Custom stateful operator via ``applyInPandasWithState``: one state cell
+    per fingerprint group (seen yes/no) — constant bytes per distinct doc,
+    the streaming analog of ``dedup_exact_survivors``. State is partitioned
+    by fingerprint, so the operator scales exactly like a shuffle on the
+    dedup key; no timeout — dedup state is permanent by definition (bound
+    it at 100 TB with a TTL timeout if re-emission after expiry is
+    acceptable).
+    """
+    from mindb_spark.functions.text import fingerprint
+
+    keyed = stream_df.select(
+        F.col(id_col), F.col(text_col), fingerprint(text_col).alias("fingerprint")
+    ).groupBy("fingerprint")
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd  # executor-side
+
+        first = None
+        for pdf in pdfs:
+            if not pdf.empty and first is None:
+                first = pdf.sort_values(id_col).iloc[[0]]
+        if state.exists or first is None:
+            # fingerprint already emitted in an earlier batch: drop all
+            if first is not None:
+                state.update((True,))
+            return iter(())
+        state.update((True,))
+        return iter([first[[id_col, text_col, "fingerprint"]]])
+
+    return keyed.applyInPandasWithState(
+        dedup_fn,
+        outputStructType=f"{id_col} long, {text_col} string, fingerprint string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> None:

@@ -111,3 +111,33 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmpdir):
     for k, (n, s) in expected.items():
         gn, gs = got[k]
         assert gn == n and abs(gs - s) < 1e-6
+
+
+def test_streaming_dedup_across_batches(spark, tmpdir):
+    from mindb_spark.streaming import run_stream_to_memory, streaming_dedup
+
+    src = os.path.join(tmpdir, "docs_in")
+    # batch 1: two distinct docs, one internal dup; batch 2: cross-batch dup + new doc
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream)
+    run_stream_to_memory(out, "dedup_stream", os.path.join(tmpdir, "ck3"), output_mode="append")
+    rows = spark.table("dedup_stream").collect()
+    emitted = sorted(r.doc_id for r in rows)
+    # one row per distinct text, first id wins within a batch; cross-batch
+    # duplicate (doc 4 == doc 2) must be suppressed by state
+    texts = {r.text for r in rows}
+    assert texts == {"alpha text", "beta text", "gamma text"}
+    assert 4 not in emitted and 3 not in emitted
+    assert len(emitted) == 3
