@@ -478,6 +478,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
+    from mindb_spark.operators.temporal import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: clicks within the hour after each error by
+    the same user (equi-join on (key, bucket) + precise filter — no
+    nested-loop inequality join)."""
+    from mindb_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("k"),
+        F.unix_timestamp("ts").alias("lo"),
+        (F.unix_timestamp("ts") + 3600).alias("hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("k"),
+        F.unix_timestamp("ts").alias("pt"),
+    )
+    out = range_join(clicks, errors, "pt", "lo", "hi", on="k", bucket_width=3600)
+    return out.select("error_id", "click_id", F.col("k").alias("user_id"))
+
+
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous interpolation) over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        _fl6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        _fl6(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95"),
+        _fl6(F.avg("l_extendedprice")).alias("mean_price"),
+    )
+
+
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: watermarked tumbling-window agg over events,
     drained with availableNow. Unified batch/stream semantics make this
@@ -529,6 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "agg_quantiles": q_agg_quantiles,
         "stream_window_agg": q_stream_window_agg,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
@@ -780,7 +822,7 @@ limit 10
         "asof_join": """
 select o.o_orderkey, o.o_custkey,
        q.event_id as last_event_id,
-       epoch(q.ts)::BIGINT as last_event_epoch
+       floor(epoch(q.ts))::BIGINT as last_event_epoch
 from orders o
 left join lateral (
   select e.event_id, e.ts
@@ -808,6 +850,42 @@ select distinct custkey from (
    except
    select o_custkey from orders where o_orderpriority = '1-URGENT')
 )
+""",
+        "sessionize": """
+with g as (
+  select user_id, ts, floor(epoch(ts))::BIGINT es,
+         case when floor(epoch(ts)) - floor(epoch(lag(ts) over (partition by user_id order by ts))) > 1800
+                or lag(ts) over (partition by user_id order by ts) is null
+              then 1 else 0 end brk
+  from events
+),
+s as (
+  select user_id, es,
+         sum(brk) over (partition by user_id order by ts rows unbounded preceding) - 1 session_id
+  from g
+)
+select user_id, session_id,
+       min(es) as session_start,
+       max(es) as session_end,
+       count(*) as n_events
+from s group by 1, 2
+""",
+        "range_join": """
+select er.event_id as error_id, c.event_id as click_id, er.user_id
+from events er
+join events c
+  on er.user_id = c.user_id
+ and er.event_type = 'error' and c.event_type = 'click'
+ and floor(epoch(c.ts)) >= floor(epoch(er.ts))
+ and floor(epoch(c.ts)) < floor(epoch(er.ts)) + 3600
+""",
+        "agg_quantiles": """
+select l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000 as p50,
+       floor(quantile_cont(l_extendedprice, 0.95) * 1000000 + 0.5) / 1000000 as p95,
+       floor(avg(l_extendedprice) * 1000000 + 0.5) / 1000000 as mean_price
+from lineitem
+group by 1
 """,
         "stream_dedup": r"""
 select min(doc_id) as doc_id,

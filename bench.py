@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "agg_rollup",
     "set_ops",
     "similarity_join_lsh",
+    "sessionize",
+    "range_join",
+    "agg_quantiles",
+    "stream_dedup",
 ]
 
 

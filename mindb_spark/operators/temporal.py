@@ -23,6 +23,86 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: a session breaks when the gap to the previous
+    event of the same key exceeds ``gap_seconds``.
+
+    lag + conditional-cumsum over one (key, ts) window — a single shuffle;
+    the streaming analog is ``session_window``. Output: input columns plus
+    ``session_id`` (0-based per key).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    is_break = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        (F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("long"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session summary: (key, session_id, start/end epoch, n_events)."""
+    s = sessionize(events, key_col, ts_col, gap_seconds)
+    return s.groupBy(key_col, "session_id").agg(
+        F.min(F.unix_timestamp(ts_col)).alias("session_start"),
+        F.max(F.unix_timestamp(ts_col)).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: str | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Join points to containing intervals: ``lo <= point < hi``.
+
+    The naive plan is an inequality join — BroadcastNestedLoopJoin, O(P*I)
+    comparisons. Here each interval is exploded into the integer buckets it
+    spans and each point into its one bucket; the join becomes an EQUI-join
+    on (key?, bucket) followed by the precise containment filter. Work
+    scales with interval span / bucket_width (pick ~ the median interval
+    length); skewed long intervals fan out proportionally, never
+    quadratically. Columns are numeric (cast timestamps with
+    ``unix_timestamp`` first).
+    """
+    if bucket_width is None:
+        bucket_width = 3600
+    bw = int(bucket_width)
+    p_b = points.withColumn("_bkt", F.floor(F.col(point_col) / bw).cast("long"))
+    i_b = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bw).cast("long"),
+                F.floor((F.col(hi_col) - 1) / bw).cast("long"),
+            )
+        ),
+    )
+    keys = ["_bkt"] if on is None else [on, "_bkt"]
+    return (
+        p_b.join(i_b, keys)
+        .where((F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bkt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
