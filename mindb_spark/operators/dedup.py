@@ -142,6 +142,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_shingled(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Signature aggregation over exploded (id, shingle) rows.
+
+    Kept as pure ``min`` columns so the aggregate stays on the codegen'd
+    HashAggregate path — adding a collect_list/collect_set to the same
+    groupBy would demote the whole aggregate to ObjectHashAggregate
+    (interpreted, ~3x slower for the 16 min columns).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -160,15 +179,7 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingled.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    return _signatures_from_shingled(shingled, id_col, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -193,10 +204,18 @@ def minhash_lsh_pairs(
     if num_hashes % n_bands != 0:
         raise ValueError("num_hashes must be divisible by n_bands")
     r = num_hashes // n_bands
+    # The exploded (id, shingle) rows feed BOTH the signature aggregation
+    # and (when verifying) the per-doc shingle-set aggregation, so the
+    # regex shingle pipeline is cached and runs once.
+    shingled = _exploded_shingles(df, id_col, text_col, k)
+    if verify:
+        shingled = shingled.persist()
     # persisted: both sides of the bucket self-join consume the signatures;
-    # without it Spark recomputes the whole shingle+md5 pipeline per side.
+    # without it Spark recomputes the shingle+md5 aggregation per side.
     # Signatures are num_hashes*32 chars/doc — cheap to hold, spills to disk.
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist()
+    sigs = _signatures_from_shingled(
+        shingled.withColumnRenamed("_id", id_col), id_col, num_hashes
+    ).persist()
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -225,15 +244,14 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     # verify ONLY the candidate pairs: join each side's distinct shingle set
-    # (two hash joins on id) and intersect the arrays per pair. Work is
-    # O(|candidates|), never the all-pairs shingle join — at corpus scale the
-    # candidate set is the ~linear LSH output, which is the whole point.
-    # persisted: the id_a and id_b joins each consume the shingle sets, and
-    # Spark would otherwise re-shingle the corpus once per side
-    sets = widen(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(word_shingles(text_col, k)).alias("_shs"),
-    ).persist()
+    # (two hash joins on id, sets re-aggregated from the cached exploded
+    # rows — collect_list of already-distinct shingles) and intersect the
+    # arrays per pair. Work is O(|candidates|), never the all-pairs shingle
+    # join — at corpus scale the candidate set is the ~linear LSH output,
+    # which is the whole point.
+    sets = shingled.groupBy("_id").agg(F.collect_list("shingle").alias("_shs")).select(
+        F.col("_id").alias("_sid"), F.col("_shs")
+    )
     return (
         cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
         .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")

@@ -149,11 +149,21 @@ def cosine_pairs_lsh(
 
     Plan shape: ONE Arrow pass computes every band signature (a single
     (n_bands*n_bits, dim) GEMM per batch — not one Python pass per band) →
-    posexplode to (band, sig) rows carrying only the id → bucket equi-join
-    (hash join over (band, sig), never a cross join) → dedup pairs → two
-    hash joins rehydrate the normalized vectors → einsum-vectorized exact
-    verify in Arrow batches. The normalized projection is persisted: the
-    signature pass and both verify joins read it.
+    posexplode to (band, sig, vector) rows → pack each (band, bucket)
+    group (ONE shuffle, n_bands·n rows) → per-bucket GEMM inside
+    ``mapInPandas`` emits only the pairs that pass the exact threshold →
+    ``dropDuplicates`` merges pairs that collided in several bands.
+
+    Versus candidate-pair materialization (bucket equi-join → dedup →
+    rehydrate vectors by two joins), this never shuffles a per-PAIR row
+    with vectors attached: a dense bucket of c rows costs c vectors on the
+    wire, not O(c²). Survivor pairs (two longs + a double) are the only
+    quadratic-ish traffic, and only true near-dups survive.
+
+    Skew note at corpus scale: a degenerate bucket (e.g. near-duplicate
+    embedding farms) makes one task quadratic; cap it upstream by raising
+    ``n_bits`` (more, smaller buckets) — recall is then recovered with more
+    bands. AQE splits oversized shuffle partitions between buckets.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -164,7 +174,7 @@ def cosine_pairs_lsh(
     # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands
     planes = rng.normal(size=(n_bands * n_bits, dim))
     weights = (1 << np.arange(n_bits)).astype(np.int64)
-    norm = _normalized(df, id_col, vector_col, assume_normalized).persist()
+    norm = _normalized(df, id_col, vector_col, assume_normalized)
 
     @pandas_udf("array<long>")
     def all_sigs(vectors: pd.Series) -> pd.Series:
@@ -174,38 +184,37 @@ def cosine_pairs_lsh(
         return pd.Series(list(sigs))
 
     exploded = norm.select(
-        F.col(id_col), F.posexplode(all_sigs(F.col(vector_col))).alias("band", "sig")
+        F.col(id_col),
+        F.col(vector_col),
+        F.posexplode(all_sigs(F.col(vector_col))).alias("band", "sig"),
     )
-    left = exploded.select("band", "sig", F.col(id_col).alias("id_a"))
-    right = exploded.select("band", "sig", F.col(id_col).alias("id_b"))
-    candidates = (
-        left.join(right, ["band", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    packed = (
+        exploded.groupBy("band", "sig")
+        .agg(
+            F.collect_list(F.col(id_col)).alias("_ids"),
+            F.collect_list(F.col(vector_col)).alias("_vecs"),
+        )
+        .where(F.size("_ids") > 1)
     )
-    va = norm.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
-    vb = norm.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
-    pairs = candidates.join(va, "id_a").join(vb, "id_b")
     thr = float(threshold)
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.array(pdf["_va"].tolist(), dtype=np.float64)
-            B = np.array(pdf["_vb"].tolist(), dtype=np.float64)
-            s = np.einsum("ij,ij->i", A, B)
-            keep = s >= thr
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    score_col: s[keep],
-                }
-            )
+            for ids, vecs in zip(pdf["_ids"], pdf["_vecs"]):
+                ids = np.asarray(ids, dtype=np.int64)
+                mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+                sims = mat @ mat.T
+                ii, jj = np.nonzero(sims >= thr)
+                keep = ids[ii] < ids[jj]  # each unordered pair once, no self
+                ia, ib = ids[ii[keep]], ids[jj[keep]]
+                yield pd.DataFrame(
+                    {"id_a": ia, "id_b": ib, score_col: sims[ii[keep], jj[keep]]}
+                )
 
-    return pairs.mapInPandas(verify, f"id_a long, id_b long, {score_col} double")
+    return (
+        packed.mapInPandas(score_buckets, f"id_a long, id_b long, {score_col} double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def ann_brute_force(
