@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 JACCARD_K = 3
+JACCARD_MAX_DF = 100  # df-cut: drop shingles shared by > N docs (fan-out bound)
 MINHASH_HASHES = 16
 MINHASH_BANDS = 8
 SIM_TAU = 0.35
@@ -54,7 +55,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader rejects; read nanos as long and derive a usable ts."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division: routing int64 nanos through a double drops precision
+    # (53-bit mantissa < 61 bits needed for 2024-epoch nanos)
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _normalized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,9 +236,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the default stop-shingle df-cut wired in —
+    the benched plan is the bounded-fan-out variant (the oracle mirrors the
+    cut, so the candidate set matches)."""
     from mindb_spark.operators.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), NEAR_DUP_TAU, k=JACCARD_K)
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), NEAR_DUP_TAU, k=JACCARD_K,
+        max_shingle_freq=JACCARD_MAX_DF,
+    )
     return out.select("id_a", "id_b", _fl6("jaccard").alias("jaccard"))
 
 
@@ -260,7 +269,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — no portable SQL oracle).
+    """SimHash near-dup pairs (md5-derived bits — engine-portable, so the
+    DuckDB oracle recomputes the exact signatures; the banding is a
+    no-false-negative pigeonhole, so banded output == brute-force output).
 
     hamming <= 3 over 64 bits — the standard near-dup radius; the
     pigeonhole banding then uses 4 chunks of 16 bits, whose buckets stay
@@ -531,7 +542,7 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = windowed_event_counts(raw, window="1 hour", watermark="1 hour")
     name = "win_counts_entry"
@@ -654,6 +665,71 @@ where j.j >= {NEAR_DUP_TAU}
 """
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Brute-force SimHash oracle: recompute the 64 md5-derived majority
+    bits per doc (bit j = bit (j%4) of hex char 16-(j//4) — the big-endian
+    uint64 layout of the Spark side's conv(substring(md5,1,16),16,10)),
+    then all-pairs hamming. The Spark banding has no false negatives
+    (pigeonhole), so banded output == this brute force."""
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    sums = ",\n         ".join(
+        f"sum(({nib.format(p=16 - j // 4)} >> {j % 4}) & 1) b{j}" for j in range(64)
+    )
+    gbits = ",\n         ".join(
+        f"coalesce(case when 2 * b{j} > n then 1 else 0 end, 0) g{j}" for j in range(64)
+    )
+    diff = " + ".join(f"(case when a.g{j} <> b.g{j} then 1 else 0 end)" for j in range(64))
+    return rf"""
+with toks as (
+  select doc_id, md5(t) h
+  from (select doc_id, unnest(regexp_extract_all(text, '\S+')) t from documents)
+),
+agg as (
+  select doc_id, count(*) n,
+         {sums}
+  from toks group by doc_id
+),
+sig as (
+  select d.doc_id,
+         {gbits}
+  from (select doc_id from documents) d left join agg using (doc_id)
+),
+pairs as (
+  select a.doc_id id_a, b.doc_id id_b, ({diff})::INTEGER hamming
+  from sig a join sig b on a.doc_id < b.doc_id
+)
+select id_a, id_b, hamming from pairs where hamming <= {max_hamming}
+"""
+
+
+_DECODE_SQL = r"""
+with h as (
+  select doc_id,
+         md5(text) m,
+         hex(encode(text)) hx,
+         octet_length(encode(text)) n
+  from documents
+),
+nibs as (
+  select doc_id, n, hx,
+         strpos('0123456789abcdef', substr(m, 1, 1)) - 1 d0h,
+         strpos('0123456789abcdef', substr(m, 2, 1)) - 1 d0l,
+         strpos('0123456789abcdef', substr(m, 3, 1)) - 1 d1h,
+         strpos('0123456789abcdef', substr(m, 4, 1)) - 1 d1l
+  from h
+)
+select doc_id,
+       (16 + (d0h * 16 + d0l) % 64)::INTEGER as height,
+       (16 + (d1h * 16 + d1l) % 64)::INTEGER as width,
+       3::INTEGER as channels,
+       case when n = 0 then 0.0
+            else floor((len([i for i in range(n) if substr(hx, 2 * i + 1, 1) in ('0', '1')]) * 1.0 / n)
+                       * 1000000 + 0.5) / 1000000
+       end as f0
+from nibs
+"""
+
+
 _STOPWORDS_SQL = "['the','and','of','to','in','is','that','it','with','for','a','an','on','at','by','be','as','are','was']"
 _LANG_SQL = {
     "en": "['the','and','of','to','in','is','that','it','with','for']",
@@ -718,10 +794,26 @@ select d.doc_id, d.lang, d.source, d.n_chars
 from documents d semi join keep using (doc_id)
 """,
         "dedup_jaccard": f"""
-with {_SHINGLE_CTE.strip()}
-select id_a, id_b, floor(j * 1000000 + 0.5) / 1000000 as jaccard from jac where j >= {NEAR_DUP_TAU}
+with {_SHINGLE_CTE.strip()},
+stop as (
+  select shingle from ex group by shingle having count(*) > {JACCARD_MAX_DF}
+),
+exf as (select * from ex anti join stop using (shingle)),
+interf as (
+  select a.doc_id id_a, b.doc_id id_b, count(*) i,
+         any_value(a.n) na, any_value(b.n) nb
+  from exf a join exf b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+),
+jacf as (
+  select id_a, id_b, i * 1.0 / (na + nb - i) j from interf
+)
+select id_a, id_b, floor(j * 1000000 + 0.5) / 1000000 as jaccard from jacf where j >= {NEAR_DUP_TAU}
 """,
         "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(max_hamming=3),
+        "multimodal_decode": _DECODE_SQL,
         "dedup_embedding": f"""
 with {_NORM_EMB_CTE.strip()}
 select a.vec_id id_a, b.vec_id id_b, floor(list_dot_product(a.v, b.v) * 1000000 + 0.5) / 1000000 as score
@@ -861,7 +953,7 @@ with g as (
 ),
 s as (
   select user_id, es,
-         sum(brk) over (partition by user_id order by ts rows unbounded preceding) - 1 session_id
+         (sum(brk) over (partition by user_id order by ts rows unbounded preceding) - 1)::BIGINT session_id
   from g
 )
 select user_id, session_id,

@@ -104,42 +104,49 @@ def ngram_jaccard_pairs(
     skew/fan-out bound that matters at corpus scale, since a shingle
     shared by c docs contributes c(c-1)/2 join rows.
     """
-    shingled = _exploded_shingles(df, id_col, text_col, k).persist()
-    # per-doc distinct-set sizes, from the SAME cached rows — and before
-    # the df-cut: |A| counts all shingles even when stop-shingles are
-    # excluded from the join.
-    sizes = shingled.groupBy("_id").agg(F.count("*").alias("_n"))
-    if max_shingle_freq is not None:
-        freq_ok = (
-            shingled.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_shingle_freq)
-            .select("shingle")
+    cached = _exploded_shingles(df, id_col, text_col, k).persist()
+    try:
+        # per-doc distinct-set sizes, from the SAME cached rows — and before
+        # the df-cut: |A| counts all shingles even when stop-shingles are
+        # excluded from the join.
+        shingled = cached
+        sizes = shingled.groupBy("_id").agg(F.count("*").alias("_n"))
+        if max_shingle_freq is not None:
+            freq_ok = (
+                shingled.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_shingle_freq)
+                .select("shingle")
+            )
+            shingled = shingled.join(freq_ok, "shingle", "left_semi")
+        a = shingled.select("shingle", F.col("_id").alias("id_a"))
+        b = shingled.select("shingle", F.col("_id").alias("id_b"))
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("intersection"))
         )
-        shingled = shingled.join(freq_ok, "shingle", "left_semi")
-    a = shingled.select("shingle", F.col("_id").alias("id_a"))
-    b = shingled.select("shingle", F.col("_id").alias("id_b"))
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("intersection"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("intersection")
-                / (F.col("_na") + F.col("_nb") - F.col("intersection"))
-            ).alias("jaccard"),
+        sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+        sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("intersection")
+                    / (F.col("_na") + F.col("_nb") - F.col("intersection"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+        # eager materialization so the cache can be released before return:
+        # the survivor pairs are tiny relative to the exploded shingles
+        return out.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
 
 
 def _signatures_from_shingled(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -200,14 +207,28 @@ def minhash_lsh_pairs(
     (bucket-hash equi-join). With r rows/band and b bands, candidate
     probability is 1-(1-j^r)^b. ``verify=True`` computes the true Jaccard
     for candidates only, so output has no false positives.
+
+    ``max_shingle_freq`` df-cuts stop-shingles before signatures are
+    computed (bounding signature skew the same way the exact join bounds
+    fan-out); the verification Jaccard is then over the CUT shingle sets —
+    self-consistent with what the signatures saw.
     """
     if num_hashes % n_bands != 0:
         raise ValueError("num_hashes must be divisible by n_bands")
     r = num_hashes // n_bands
     # The exploded (id, shingle) rows feed BOTH the signature aggregation
     # and (when verifying) the per-doc shingle-set aggregation, so the
-    # regex shingle pipeline is cached and runs once.
+    # regex shingle pipeline is cached and runs once. All caches are
+    # released before return (result eagerly localCheckpoint'ed).
     shingled = _exploded_shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        shingled = shingled.join(freq_ok, "shingle", "left_semi")
     if verify:
         shingled = shingled.persist()
     # persisted: both sides of the bucket self-join consume the signatures;
@@ -241,40 +262,50 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    if not verify:
-        return cand
-    # verify ONLY the candidate pairs: join each side's distinct shingle set
-    # (two hash joins on id, sets re-aggregated from the cached exploded
-    # rows — collect_list of already-distinct shingles) and intersect the
-    # arrays per pair. Work is O(|candidates|), never the all-pairs shingle
-    # join — at corpus scale the candidate set is the ~linear LSH output,
-    # which is the whole point.
-    sets = shingled.groupBy("_id").agg(F.collect_list("shingle").alias("_shs")).select(
-        F.col("_id").alias("_sid"), F.col("_shs")
-    )
-    return (
-        cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
-        .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("_sa", "_sb"))
-                / (
-                    F.size("_sa")
-                    + F.size("_sb")
-                    - F.size(F.array_intersect("_sa", "_sb"))
-                )
-            ).alias("jaccard"),
+    try:
+        if not verify:
+            return cand.localCheckpoint(eager=True)
+        # verify ONLY the candidate pairs: join each side's distinct shingle
+        # set (two hash joins on id, sets re-aggregated from the cached
+        # exploded rows — collect_list of already-distinct shingles) and
+        # intersect the arrays per pair. Work is O(|candidates|), never the
+        # all-pairs shingle join — at corpus scale the candidate set is the
+        # ~linear LSH output, which is the whole point.
+        sets = shingled.groupBy("_id").agg(F.collect_list("shingle").alias("_shs")).select(
+            F.col("_id").alias("_sid"), F.col("_shs")
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+        out = (
+            cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+            .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("_sa", "_sb"))
+                    / (
+                        F.size("_sa")
+                        + F.size("_sb")
+                        - F.size(F.array_intersect("_sa", "_sb"))
+                    )
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+        if verify:
+            shingled.unpersist()
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document over its token multiset.
 
-    bit_j(doc) = sign of sum over tokens of (bit_j(xxhash64(token)) ? +1 : -1).
+    bit_j(doc) = sign of sum over tokens of (bit_j(hash64(token)) ? +1 : -1),
+    where hash64(token) is the first 16 hex chars of md5(token) read as a
+    big-endian uint64 — md5 (not xxhash64) so an independent SQL engine
+    reproduces the signature bit-for-bit (the DuckDB oracle recomputes the
+    same bits from the same hex chars).
 
     Shape: explode tokens → hash once per token → ``groupBy(doc)`` with 64
     conditional sums → assemble one BIGINT. The per-row expressions are flat
@@ -284,10 +315,16 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     64-wide ±1 array per token inside nested transform/zip_with lambdas —
     interpreted, ~40× slower.)
     """
+    # md5 hex chars 1-8 -> high 32 bits, 9-16 -> low 32 bits (conv output
+    # fits a long for 8 hex chars; shiftleft recovers the sign-bit pattern)
+    _md5 = F.md5(F.col("_tok"))
+    _h64 = F.shiftleft(
+        F.conv(F.substring(_md5, 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring(_md5, 9, 8), 16, 10).cast("long"))
     toks = widen(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).alias("_tok"),
-    ).select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
+    ).select(F.col(id_col), _h64.alias("_h"))
     # sum_j = (#tokens with bit j set) - (#tokens with bit j clear)
     #       = 2*count(bit set) - count(*)
     aggs = [
@@ -327,7 +364,8 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    # persisted: the chunk self-join reads signatures twice (8 bytes/doc)
+    # persisted: the chunk self-join reads signatures twice (8 bytes/doc);
+    # released before return (result eagerly localCheckpoint'ed)
     sigs = simhash64(df, id_col, text_col).persist()
     chunks = sigs.select(
         F.col(id_col),
@@ -356,6 +394,11 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
-    )
+    try:
+        return (
+            cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sigs.unpersist()

@@ -76,7 +76,10 @@ def cosine_pairs(
             F.collect_list(F.col(vector_col)).alias("_vecs"),
         )
     )
-    packed = packed.persist()  # both sides of the block self-join read it
+    # both sides of the block self-join read the packed table; the cache is
+    # released before returning (the result is eagerly materialized via
+    # localCheckpoint, so no cached blocks outlive the call)
+    packed = packed.persist()
     a = packed.select(
         F.col("_blk").alias("_ba"), F.col("_ids").alias("_ids_a"), F.col("_vecs").alias("_vecs_a")
     )
@@ -106,7 +109,12 @@ def cosine_pairs(
                 lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
                 yield pd.DataFrame({"id_a": lo, "id_b": hi, score_col: s})
 
-    return pairs.mapInPandas(score_blocks, f"id_a long, id_b long, {score_col} double")
+    try:
+        return pairs.mapInPandas(
+            score_blocks, f"id_a long, id_b long, {score_col} double"
+        ).localCheckpoint(eager=True)
+    finally:
+        packed.unpersist()
 
 
 def simhash_signature_udf(planes: np.ndarray):
