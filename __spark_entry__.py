@@ -173,7 +173,10 @@ def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataF
     from mindb_spark.index import ivf
 
     artifacts, codes_path, n_buckets = _ann_index(spark, sf_dir, **kw)
-    emb = _normalized_emb(spark, sf_dir)
+    # RAW embeddings: corpus normalization happens inside the Arrow rerank
+    # kernel (vectorized numpy), not as an interpreted l2_normalize
+    # projection re-evaluated per candidate row after the join
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("vector"))
     codes = spark.read.parquet(codes_path)
     queries = [
         (qid, np.array(v, dtype=np.float64))
@@ -190,6 +193,7 @@ def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataF
         codes, emb, artifacts, queries,
         preliminary_top_k=500, final_top_k=10, n_probe=n_probe,
         max_trained_id=None, id_col="vec_id", n_buckets=n_buckets,
+        assume_normalized=False,
     )
     return out.select("query_id", "vec_id", _fl6("cosine_similarity").alias("score"))
 

@@ -98,6 +98,19 @@ def main() -> None:
     except Exception as e:  # never let the quality probe kill the bench
         print(f"# recall probe failed: {e}", file=sys.stderr)
 
+    # amortized batch latency: the honest Spark-native ANN metric
+    # (BASELINE.md note) — ms/query over a large query batch against the
+    # cached index, at Q=128 and Q=512
+    ann_ms_per_query: dict[str, float] = {}
+    try:
+        for nq in (128, 512):
+            t0 = time.time()
+            E._ann_search(spark, SF_DIR, n_queries=nq).count()
+            ann_ms_per_query[f"q{nq}"] = round((time.time() - t0) / nq * 1000, 1)
+        print(f"# ann amortized ms/query = {ann_ms_per_query}", file=sys.stderr)
+    except Exception as e:
+        print(f"# ann amortized probe failed: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -113,6 +126,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "ann_recall_at_10": recall,
+                "ann_ms_per_query": ann_ms_per_query,
             }
         )
     )

@@ -94,31 +94,55 @@ def adc_candidates(
          np.asarray(query_ids, dtype=np.int64), cluster_to_q, preliminary_top_k)
     )
 
+    # codes-row chunk bound inside the kernel: a (chunk, Q) float32 distance
+    # block stays ~128 MB even at Q=512; per-chunk partial top-k keeps the
+    # emitted rows bounded and the global window does the exact cut.
+    CHUNK = 65536
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         centroids, codebooks, projq, qids, c2q, prelim = b.value
         m = codebooks.shape[0]
-        lut_cache: dict[tuple[int, int], np.ndarray] = {}
+        # per-cell LUT tensor cache: (Q_probing, m, 256) per cluster —
+        # bounded by cells-per-task, not cells x queries
+        lut_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             out_q, out_id, out_d = [], [], []
             for cid, grp in pdf.groupby("cluster_id"):
                 cid = int(cid)
+                qis = c2q.get(cid)
+                if not qis:
+                    continue
                 ids = grp[id_col].to_numpy(dtype=np.int64)
                 code_mat = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8).reshape(-1, m)
-                for qi in c2q.get(cid, ()):
-                    key = (qi, cid)
-                    lut = lut_cache.get(key)
-                    if lut is None:
-                        residual_q = projq[qi] - centroids[cid]
-                        lut = PQ.adc_table(residual_q.astype(np.float32), codebooks)
-                        lut_cache[key] = lut
-                    dists = PQ.adc_scan(code_mat, lut)
-                    kk = min(prelim, len(dists))
-                    sel = np.argpartition(dists, kth=kk - 1)[:kk] if kk < len(dists) else np.arange(len(dists))
-                    out_q.append(np.full(kk, qids[qi], dtype=np.int64))
-                    out_id.append(ids[sel])
-                    out_d.append(dists[sel].astype(np.float64))
+                cached = lut_cache.get(cid)
+                if cached is None:
+                    # every probing query's residual LUT, stacked once
+                    residuals = projq[qis] - centroids[cid]  # (q, p)
+                    tables = PQ.adc_tables(residuals, codebooks)  # (q, m, 256)
+                    qarr = qids[np.asarray(qis, dtype=np.int64)]
+                    lut_cache[cid] = (tables, qarr)
+                else:
+                    tables, qarr = cached
+                for start in range(0, len(ids), CHUNK):
+                    chunk_ids = ids[start : start + CHUNK]
+                    dists = PQ.adc_scan_multi(code_mat[start : start + CHUNK], tables)  # (n, q)
+                    kk = min(prelim, dists.shape[0])
+                    if kk < dists.shape[0]:
+                        sel = np.argpartition(dists, kth=kk - 1, axis=0)[:kk]  # (kk, q)
+                    else:
+                        sel = np.broadcast_to(
+                            np.arange(dists.shape[0])[:, None], (kk, dists.shape[1])
+                        )
+                    # column-major ravel groups rows by query
+                    out_q.append(np.repeat(qarr, kk))
+                    out_id.append(chunk_ids[sel].ravel(order="F"))
+                    out_d.append(
+                        np.take_along_axis(dists, sel, axis=0)
+                        .astype(np.float64)
+                        .ravel(order="F")
+                    )
             if out_q:
                 yield pd.DataFrame(
                     {"query_id": np.concatenate(out_q),
@@ -147,6 +171,7 @@ def rerank_exact(
     vector_col: str = "vector",
     score_col: str = "cosine_similarity",
     extra_cols: tuple = (),
+    assume_normalized: bool = True,
 ) -> DataFrame:
     """Stage 2: exact rerank of candidate ids against full-precision vectors.
 
@@ -154,23 +179,40 @@ def rerank_exact(
     Q * prelim_k rows) against the vectors table, then scored with the exact
     dot product and cut to final_top_k per query. Inner join against the
     live table drops deleted ids.
+
+    The dot product runs as an Arrow-vectorized kernel against a broadcast
+    (Q, d) query matrix — one einsum per batch. The declarative alternative
+    (zip_with + aggregate array expression) executes interpreted (Spark
+    higher-order functions are outside whole-stage codegen), which at
+    Q x prelim_k = 256k candidate rows costs ~80 s vs <1 s vectorized.
     """
+    from pyspark.sql.functions import pandas_udf
+
     spark = candidates.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(query_ids, query_vectors_normalized)],
-        "query_id long, _qvec array<double>",
-    )
-    from mindb_spark.functions.vector import dot
+    pos = {int(q): i for i, q in enumerate(query_ids)}
+    qmat = np.asarray(query_vectors_normalized, dtype=np.float64)
+    bq = spark.sparkContext.broadcast((pos, qmat))
+
+    normalized = assume_normalized
+
+    @pandas_udf("double")
+    def _score(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        qpos, qm = bq.value
+        idx = qid.map(qpos).to_numpy(dtype=np.int64)
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        if not normalized:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+        return pd.Series(np.einsum("ij,ij->i", mat, qm[idx]))
 
     cand = candidates.select("query_id", id_col).dropDuplicates(["query_id", id_col])
-    joined = vectors.join(F.broadcast(cand), id_col, "inner").join(
-        F.broadcast(qdf), "query_id", "inner"
-    )
+    joined = vectors.join(F.broadcast(cand), id_col, "inner")
     scored = joined.select(
         "query_id",
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        dot(vector_col, "_qvec").alias(score_col),
+        _score(F.col("query_id"), F.col(vector_col)).alias(score_col),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.col(id_col))
     return (
@@ -193,8 +235,16 @@ def search(
     vector_col: str = "vector",
     n_buckets: int = 64,
     extra_cols: tuple = (),
+    assume_normalized: bool = True,
 ) -> DataFrame:
-    """Full two-stage query (+ exact search of the unindexed tail)."""
+    """Full two-stage query (+ exact search of the unindexed tail).
+
+    ``assume_normalized=False`` lets callers pass the RAW vectors table:
+    corpus-side normalization then happens inside the Arrow kernels (numpy,
+    vectorized) instead of as a declarative ``l2_normalize`` projection —
+    Spark higher-order functions execute interpreted and would re-evaluate
+    per candidate row after the rerank join.
+    """
     from mindb_spark.core.heuristics import get_n_probe
 
     qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
@@ -218,10 +268,12 @@ def search(
         tail_cand = knn_batch(
             tail, [(int(q), v) for q, v in zip(qids, qnorm)],
             preliminary_top_k, id_col=id_col, vector_col=vector_col,
+            assume_normalized=assume_normalized,
         ).select("query_id", id_col)
         cand = cand.unionByName(tail_cand)
 
     return rerank_exact(
         cand, vectors, qids, qnorm, final_top_k,
         id_col=id_col, vector_col=vector_col, extra_cols=extra_cols,
+        assume_normalized=assume_normalized,
     )

@@ -116,6 +116,34 @@ def adc_scan(codes: np.ndarray, table: np.ndarray) -> np.ndarray:
     return table[np.arange(m)[None, :], codes].sum(axis=1)
 
 
+def adc_tables(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Batched ADC tables: (Q, d) residual queries -> (Q, m, 256) float32.
+
+    One broadcasted subtraction instead of Q calls to ``adc_table`` — the
+    cross-query vectorization that keeps the IVF scan off the Python-loop
+    floor when many queries probe the same cell.
+    """
+    nq = queries.shape[0]
+    m, _, dsub = codebooks.shape
+    q = np.asarray(queries, dtype=np.float32).reshape(nq, m, 1, dsub)
+    return ((codebooks[None, :, :, :] - q) ** 2).sum(axis=3).astype(np.float32)
+
+
+def adc_scan_multi(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:
+    """Score (n, m) uint8 codes against (Q, m, 256) tables -> (n, Q).
+
+    One fancy-indexed gather + in-place accumulation per subspace (m is
+    8-64): every (code row, query) pair is scored without any per-query
+    Python work. Equivalent to stacking ``adc_scan`` over queries.
+    """
+    t = np.ascontiguousarray(tables.transpose(1, 2, 0))  # (m, 256, Q)
+    n, m = codes.shape
+    out = np.zeros((n, t.shape[2]), dtype=np.float32)
+    for j in range(m):
+        out += t[j, codes[:, j]]
+    return out
+
+
 def decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Reconstruct (n, d) approximate vectors from codes (for testing)."""
     n, m = codes.shape

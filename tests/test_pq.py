@@ -40,6 +40,29 @@ def test_adc_scan_equals_decoded_distance():
     np.testing.assert_allclose(got, expected, rtol=1e-4)
 
 
+def test_adc_multi_equals_stacked_single():
+    """Cross-query-vectorized ADC == per-query adc_table/adc_scan stack."""
+    rng = np.random.default_rng(7)
+    books = rng.normal(size=(4, 256, 2)).astype(np.float32)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    codes = PQ.encode(vecs, books)
+    queries = rng.normal(size=(5, 8)).astype(np.float32)
+
+    tables = PQ.adc_tables(queries, books)
+    assert tables.shape == (5, 4, 256)
+    for qi in range(5):
+        np.testing.assert_allclose(
+            tables[qi], PQ.adc_table(queries[qi], books), rtol=1e-5
+        )
+
+    multi = PQ.adc_scan_multi(codes, tables)
+    assert multi.shape == (40, 5)
+    for qi in range(5):
+        np.testing.assert_allclose(
+            multi[:, qi], PQ.adc_scan(codes, tables[qi]), rtol=1e-5
+        )
+
+
 def test_roundtrip_compression_quality():
     rng = np.random.default_rng(3)
     data = rng.normal(size=(3000, 16)).astype(np.float32)
