@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any
 
 import numpy as np
@@ -58,6 +59,16 @@ class VectorDB:
         self.spark = spark
         self.name = name
         self.path = os.path.join(base_path, name)
+        # serializes manifest read-modify-write sections (id reservation,
+        # counter updates) against a concurrent background training thread;
+        # Spark supports concurrent job submission from multiple threads
+        self._lock = threading.RLock()
+        # snapshot dirs pinned by an in-flight training build: remove() must
+        # not rmtree a pinned dir mid-build — removal is deferred until the
+        # build releases the pin (the reference's deferred-delete machinery,
+        # fastapi.py:219-241, collapsed to a two-line dir pin)
+        self._pins: set[str] = set()
+        self._deferred_rm: list[str] = []
         self._manifest: dict[str, Any] = {}
         if os.path.exists(self._manifest_path):
             self._load_manifest()
@@ -162,18 +173,21 @@ class VectorDB:
         """
         vectors, metadata = V.validate_and_normalize_add(data, self.vector_dimension)
         n = vectors.shape[0]
-        start = self.max_id + 1
-        ids = list(range(start, start + n))
-        rows = [
-            (ids[i], [float(x) for x in vectors[i]], json.dumps(metadata[i]))
-            for i in range(n)
-        ]
-        df = self.spark.createDataFrame(rows, VECTOR_SCHEMA)
-        df.write.mode("append").parquet(self._data_dir)
-        self._manifest["vector_dimension"] = self._manifest["vector_dimension"] or int(vectors.shape[1])
-        self._manifest["max_id"] = ids[-1]
-        self._manifest["num_new_vectors"] += n  # counter rule, ref mindb.py:529-546
-        self._save_manifest()
+        # the lock makes id reservation + append + manifest update atomic
+        # w.r.t. concurrent adds and a background training thread
+        with self._lock:
+            start = self.max_id + 1
+            ids = list(range(start, start + n))
+            rows = [
+                (ids[i], [float(x) for x in vectors[i]], json.dumps(metadata[i]))
+                for i in range(n)
+            ]
+            df = self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+            df.write.mode("append").parquet(self._data_dir)
+            self._manifest["vector_dimension"] = self._manifest["vector_dimension"] or int(vectors.shape[1])
+            self._manifest["max_id"] = ids[-1]
+            self._manifest["num_new_vectors"] += n  # counter rule, ref mindb.py:529-546
+            self._save_manifest()
         return ids
 
     def add_dataframe(
@@ -181,53 +195,97 @@ class VectorDB:
     ) -> int:
         """Distributed ingest: validate/normalize/assign-ids/append in one job.
 
-        Sequential gapless id assignment uses a window over a total order —
-        a single-partition bottleneck by nature (the price of the
-        reference's gapless-id semantic, ``faiss_utils.py:9-13``). For
-        append-heavy 100 TB pipelines prefer ingest batches of bounded size;
-        the window only ranks the *incoming* batch, never the full table.
-        Returns the number of rows added.
+        Gapless sequential ids (the reference's semantic,
+        ``faiss_utils.py:9-13``) WITHOUT a global sort: the batch is pinned
+        with ``persist()``, ``monotonically_increasing_id`` yields
+        (partition_id << 33) | row-offset-within-partition, a tiny
+        per-partition count job computes cumulative offsets on the driver
+        (one row per partition), and ``id = offset[pid] + local_offset``
+        via a broadcast join. No shuffle, no single-task stage — every
+        partition writes its id range independently, so ingest parallelism
+        is the file-split count even for a 100 TB batch. The persist also
+        pins partitioning + row order so the count, the id assignment and
+        the manifest update all see ONE evaluation of a possibly
+        non-deterministic source. Returns the number of rows added.
         """
-        from pyspark.sql.window import Window
-
         from mindb_spark.functions.vector import l2_normalize
 
         dim = self.vector_dimension
-        first = df.select(vector_col).first()
-        if first is None:
-            return 0
-        incoming_dim = len(first[0])
-        if dim is not None and incoming_dim != dim:
-            raise V.ValidationError(
-                f"Vector is not the correct size. Expected size: {dim} "
-                f"Actual size: {incoming_dim}"
-            )
-        # batch-atomic dimension check before any write
-        bad = df.where(F.size(F.col(vector_col)) != incoming_dim).limit(1).count()
-        if bad:
-            raise V.ValidationError(
-                f"Vector is not the correct size. Expected size: {incoming_dim}"
-            )
-
         meta = (
             F.to_json(F.col(metadata_col))
             if metadata_col and dict(df.dtypes)[metadata_col].startswith(("map", "struct"))
             else (F.col(metadata_col).cast("string") if metadata_col else F.lit("{}"))
         )
-        w = Window.orderBy(F.monotonically_increasing_id())
-        start = self.max_id + 1
-        out = df.select(
-            (F.row_number().over(w) + F.lit(start - 1)).cast("long").alias("id"),
-            l2_normalize(vector_col).alias("vector"),
+        src = df.select(
+            F.col(vector_col).alias("_vec"),
             meta.alias("metadata"),
-        )
-        out.write.mode("append").parquet(self._data_dir)
-        n = df.count()
-        self._manifest["vector_dimension"] = dim or incoming_dim
-        self._manifest["max_id"] = start + n - 1
-        self._manifest["num_new_vectors"] += n
-        self._save_manifest()
-        return n
+            F.monotonically_increasing_id().alias("_mid"),
+        ).persist()
+        try:
+            first = src.select("_vec").first()
+            if first is None:
+                return 0
+            incoming_dim = len(first[0])
+            if dim is not None and incoming_dim != dim:
+                raise V.ValidationError(
+                    f"Vector is not the correct size. Expected size: {dim} "
+                    f"Actual size: {incoming_dim}"
+                )
+            # batch-atomic dimension check before any write
+            bad = src.where(F.size(F.col("_vec")) != incoming_dim).limit(1).count()
+            if bad:
+                raise V.ValidationError(
+                    f"Vector is not the correct size. Expected size: {incoming_dim}"
+                )
+
+            # cumulative per-partition offsets: rows-per-partition is ONE
+            # tiny aggregate (one output row per partition) collected to the
+            # driver; ids are gapless because mid's low 33 bits are the
+            # consecutive 0-based row number within its partition
+            pid = F.shiftrightunsigned(F.col("_mid"), 33)
+            local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            counts = (
+                src.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))
+                .orderBy("_pid")
+                .collect()
+            )
+            with self._lock:  # id-range reservation + append + manifest, atomic
+                start = self.max_id + 1
+                offsets, base = [], start
+                for r in counts:
+                    offsets.append((r._pid, base))
+                    base += r._n
+                n = base - start
+                off_df = self.spark.createDataFrame(offsets, "_pid long, _off long")
+                out = (
+                    src.withColumn("_pid", pid)
+                    .join(F.broadcast(off_df), "_pid")
+                    .select(
+                        (F.col("_off") + local).cast("long").alias("id"),
+                        l2_normalize("_vec").alias("vector"),
+                        "metadata",
+                    )
+                )
+                out.write.mode("append").parquet(self._data_dir)
+                self._manifest["vector_dimension"] = dim or incoming_dim
+                self._manifest["max_id"] = start + n - 1
+                self._manifest["num_new_vectors"] += n
+                self._save_manifest()
+            return n
+        finally:
+            src.unpersist()
+
+    # --------------------------------------------------- streaming progress
+    def get_stream_progress(self, key: str) -> int:
+        """Last successfully ingested streaming batch_id for ``key``
+        (checkpoint location), -1 if none — the idempotence watermark for
+        the at-least-once ``foreachBatch`` sink."""
+        return int(self._manifest.get("stream_progress", {}).get(key, -1))
+
+    def set_stream_progress(self, key: str, batch_id: int) -> None:
+        with self._lock:
+            self._manifest.setdefault("stream_progress", {})[key] = int(batch_id)
+            self._save_manifest()
 
     # ------------------------------------------------------------- delete
     def remove(self, ids) -> list[int]:
@@ -242,24 +300,29 @@ class VectorDB:
         """
         ids = V.validate_remove_ids(ids)
         id_list = [int(x) for x in ids]
-        current = self.vectors()
-        existing = [
-            r.id for r in current.where(F.col("id").isin(id_list)).select("id").collect()
-        ]
-        if not existing:
-            return []
-        watermark = self._manifest["max_trained_id"]
-        removed_trained = sum(1 for i in existing if i <= watermark)
+        with self._lock:
+            current = self.vectors()
+            existing = [
+                r.id for r in current.where(F.col("id").isin(id_list)).select("id").collect()
+            ]
+            if not existing:
+                return []
+            watermark = self._manifest["max_trained_id"]
+            removed_trained = sum(1 for i in existing if i <= watermark)
 
-        next_version = self._manifest["data_version"] + 1
-        next_dir = os.path.join(self.path, "vectors", f"v{next_version}")
-        current.where(~F.col("id").isin(id_list)).write.mode("overwrite").parquet(next_dir)
-        old_dir = self._data_dir
-        self._manifest["data_version"] = next_version
-        self._manifest["num_trained_vectors_removed"] += removed_trained
-        self._manifest["num_new_vectors"] -= len(existing) - removed_trained
-        self._save_manifest()
-        shutil.rmtree(old_dir, ignore_errors=True)
+            next_version = self._manifest["data_version"] + 1
+            next_dir = os.path.join(self.path, "vectors", f"v{next_version}")
+            current.where(~F.col("id").isin(id_list)).write.mode("overwrite").parquet(next_dir)
+            old_dir = self._data_dir
+            self._manifest["data_version"] = next_version
+            self._manifest["num_trained_vectors_removed"] += removed_trained
+            self._manifest["num_new_vectors"] -= len(existing) - removed_trained
+            self._save_manifest()
+            if old_dir in self._pins:
+                # an in-flight training build is still reading this snapshot
+                self._deferred_rm.append(old_dir)
+            else:
+                shutil.rmtree(old_dir, ignore_errors=True)
         return existing
 
     # ------------------------------------------------------------- train
@@ -272,14 +335,21 @@ class VectorDB:
         force_flat: bool = False,
         seed: int = 42,
     ) -> None:
-        """(Re)build the index from a snapshot of the live table.
+        """(Re)build the index from a PINNED snapshot of the live table.
 
         Mirrors ``minDB.train`` (``mindb.py:231-344``): <5000 vectors (or
         ``force_flat``) keeps the exact path; otherwise builds IVF-PQ with
-        the chosen strategy. The build reads the current snapshot; rows
-        added during/after the build are found by ``id > max_trained_id``
-        and searched exactly (replaces the reference's replay/deferred
-        machinery, SURVEY O21).
+        the chosen strategy. Add-while-train safety (SURVEY O21, replacing
+        the reference's unassigned-vector replay, ``fastapi.py:219-311``):
+
+        - the build reads an explicit FILE LIST captured at train start, so
+          files appended by concurrent adds are invisible to the build;
+        - the watermark is the max id IN the snapshot, so rows added during
+          the build stay above it and are exactly-searched as the tail;
+        - final counters are recomputed from the live table against that
+          watermark (not reset to zero), so concurrent adds/removes during
+          the build are accounted exactly — the reference's
+          add-while-training invariant (n=32000 → coverage 30000/32000).
         """
         dim = self.vector_dimension
         if pca_dimension is not None or opq_dimension is not None or compressed_vector_bytes is not None:
@@ -287,53 +357,89 @@ class VectorDB:
         if dim is None:
             raise V.ValidationError("No vectors have been added to the database")
 
-        n = self.num_vectors
-        if force_flat or n < H.FLAT_INDEX_CUTOFF:  # ref mindb.py:276
-            self._manifest["index_version"] = None
-            self._manifest["index_params"] = None
-            self._set_watermark(n)
-            return
+        # pin the snapshot: explicit file list + dir pin against delete-swap
+        with self._lock:
+            snap_dir = self._data_dir
+            files = sorted(
+                os.path.join(snap_dir, f)
+                for f in os.listdir(snap_dir)
+                if f.endswith(".parquet")
+            ) if os.path.isdir(snap_dir) else []
+            self._pins.add(snap_dir)
+        try:
+            if files:
+                snapshot = self.spark.read.schema(VECTOR_SCHEMA).parquet(*files)
+            else:
+                snapshot = self.spark.createDataFrame([], VECTOR_SCHEMA)
+            stats = snapshot.agg(
+                F.count("*").alias("n"), F.max("id").alias("smax")
+            ).first()
+            n = int(stats["n"])
+            snap_max_id = int(stats["smax"]) if stats["smax"] is not None else -1
 
-        params = H.resolve_index_params(
-            n, dim, pca_dimension, opq_dimension, compressed_vector_bytes
-        )
-        two_level = (
-            use_two_level_clustering
-            if use_two_level_clustering is not None
-            else H.use_two_level_clustering(n, dim, None)
-        )
-        from mindb_spark.index.build import build_index
+            if force_flat or n < H.FLAT_INDEX_CUTOFF:  # ref mindb.py:276
+                with self._lock:
+                    self._manifest["index_version"] = None
+                    self._manifest["index_params"] = None
+                    self._finalize_watermark(n, snap_max_id)
+                return
 
-        next_version = (self._manifest["index_version"] or 0) + 1
-        index_dir = os.path.join(self.path, "index", f"v{next_version}")
-        snapshot = self.vectors()
-        n_buckets = max(1, min(64, params.num_clusters))
-        build_index(
-            snapshot, params, index_dir,
-            use_two_level=two_level, seed=seed, n_buckets=n_buckets,
-        )
-        self._manifest["index_version"] = next_version
-        self._manifest["n_buckets"] = n_buckets
-        self._manifest["index_params"] = {
-            "num_clusters": params.num_clusters,
-            "n_probe": params.n_probe,
-            "pca_dimension": params.pca_dimension,
-            "compressed_vector_bytes": params.compressed_vector_bytes,
-            "use_two_level_clustering": two_level,
-        }
-        self._set_watermark(n)
-        # old index versions are garbage; keep only the live one
-        index_root = os.path.join(self.path, "index")
-        for entry in os.listdir(index_root):
-            if entry != f"v{next_version}":
-                shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)
+            params = H.resolve_index_params(
+                n, dim, pca_dimension, opq_dimension, compressed_vector_bytes
+            )
+            two_level = (
+                use_two_level_clustering
+                if use_two_level_clustering is not None
+                else H.use_two_level_clustering(n, dim, None)
+            )
+            from mindb_spark.index.build import build_index
 
-    def _set_watermark(self, n: int) -> None:
-        # ref mindb.py:329-337: snapshot watermark + counter reset
-        self._manifest["max_trained_id"] = self._manifest["max_id"]
-        self._manifest["num_vectors_trained_on"] = n
-        self._manifest["num_new_vectors"] = 0
-        self._manifest["num_trained_vectors_removed"] = 0
+            next_version = (self._manifest["index_version"] or 0) + 1
+            index_dir = os.path.join(self.path, "index", f"v{next_version}")
+            n_buckets = max(1, min(64, params.num_clusters))
+            build_index(
+                snapshot, params, index_dir,
+                use_two_level=two_level, seed=seed, n_buckets=n_buckets,
+            )
+            with self._lock:
+                self._manifest["index_version"] = next_version
+                self._manifest["n_buckets"] = n_buckets
+                self._manifest["index_params"] = {
+                    "num_clusters": params.num_clusters,
+                    "n_probe": params.n_probe,
+                    "pca_dimension": params.pca_dimension,
+                    "compressed_vector_bytes": params.compressed_vector_bytes,
+                    "use_two_level_clustering": two_level,
+                }
+                self._finalize_watermark(n, snap_max_id)
+            # old index versions are garbage; keep only the live one
+            index_root = os.path.join(self.path, "index")
+            for entry in os.listdir(index_root):
+                if entry != f"v{next_version}":
+                    shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)
+        finally:
+            with self._lock:
+                self._pins.discard(snap_dir)
+                deferred, self._deferred_rm = self._deferred_rm, []
+            for d in deferred:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _finalize_watermark(self, n_trained: int, snap_max_id: int) -> None:
+        """Post-train counters, exact under concurrent mutation (ref
+        mindb.py:329-337 extended): everything the snapshot covered is
+        trained; live rows above the snapshot watermark are the new tail;
+        snapshot rows no longer live were removed-while-training."""
+        live_old, live_new = 0, 0
+        if self._has_data():
+            row = self.vectors().agg(
+                F.count(F.when(F.col("id") <= snap_max_id, 1)).alias("old"),
+                F.count(F.when(F.col("id") > snap_max_id, 1)).alias("new"),
+            ).first()
+            live_old, live_new = int(row["old"]), int(row["new"])
+        self._manifest["max_trained_id"] = snap_max_id
+        self._manifest["num_vectors_trained_on"] = n_trained
+        self._manifest["num_new_vectors"] = live_new
+        self._manifest["num_trained_vectors_removed"] = n_trained - live_old
         self._save_manifest()
 
     def maybe_auto_train(self, **train_kwargs) -> bool:

@@ -30,20 +30,23 @@ DataFrames — executors cache/evict blocks on their own — so the registry
 is a plain dict of handles; ``close`` exists for API parity and to drop
 references to index artifacts held on the driver.
 
-Training runs synchronously inside ``train`` (a Spark batch job). The
-reference's background-thread machinery — state strings, the
-unassigned-vector replay, deferred deletes (``fastapi.py:161-311``) —
-is subsumed by snapshot semantics: the build pins a data version, and
-rows added after it are the exactly-searched tail (``id >
-max_trained_id``), so adds/removes during or after training need no
-reconciliation. ``train_status`` reports the same state strings the
-reference exposes ("untrained" / "trained" / "complete") for parity.
+Training lifecycle (reference ``fastapi.py:245-330``): ``train`` runs the
+Spark build either synchronously (``block=True``, default) or on a
+background thread (``block=False``, the reference's
+``threading.Thread(target=train_db)``). The state machine mirrors the
+reference's ``operations`` dict — "not started" → "in progress" →
+"complete" | "failed" — and a train request while one is in progress is
+rejected with :class:`TrainingInProgressError` (the reference's 400).
+Data safety during a background build comes from snapshot semantics: the
+build pins an explicit file list, and rows added after the pin are the
+exactly-searched tail (``id > max_trained_id``) — no replay machinery.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import threading
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -53,11 +56,21 @@ from mindb_spark.core.database import DEFAULT_BASE, VectorDB
 from mindb_spark.core.heuristics import needs_initial_training, needs_retraining
 
 
+class TrainingInProgressError(RuntimeError):
+    """A train request arrived while one is already running (ref 400,
+    ``fastapi.py:321-326``)."""
+
+
 class Engine:
     def __init__(self, spark: SparkSession, base_path: str = DEFAULT_BASE):
         self.spark = spark
         self.base_path = base_path
         self._open: dict[str, VectorDB] = {}
+        # training state machine (ref fastapi.py `operations` dict)
+        self._train_ops: dict[str, str] = {}
+        self._train_errors: dict[str, str] = {}
+        self._train_threads: dict[str, threading.Thread] = {}
+        self._train_lock = threading.Lock()
 
     # ------------------------------------------------------------ registry
     def create_db(self, name: str) -> VectorDB:
@@ -113,13 +126,60 @@ class Engine:
             query_vector, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
         )
 
-    def train(self, name: str, **kwargs) -> None:
-        self.get_db(name).train(**kwargs)
+    def train(self, name: str, block: bool = True, **kwargs) -> None:
+        """(Re)train; ``block=False`` runs on a background thread (the
+        reference's POST /train). Either way a concurrent request while a
+        train is in progress raises :class:`TrainingInProgressError`."""
+        db = self.get_db(name)  # 404-analog raises before state changes
+        with self._train_lock:
+            if self._train_ops.get(name) == "in progress":
+                raise TrainingInProgressError(
+                    "This database is in the process of training already"
+                )
+            self._train_ops[name] = "in progress"
+            self._train_errors.pop(name, None)
+
+        def _run() -> None:
+            try:
+                db.train(**kwargs)
+            except BaseException as e:  # noqa: BLE001 — state must reflect ANY failure
+                with self._train_lock:
+                    self._train_ops[name] = "failed"
+                    self._train_errors[name] = f"{type(e).__name__}: {e}"
+                raise
+            else:
+                with self._train_lock:
+                    self._train_ops[name] = "complete"
+
+        if block:
+            _run()
+            return
+        t = threading.Thread(target=_run, name=f"mindb-train-{name}", daemon=True)
+        self._train_threads[name] = t
+        t.start()
+
+    def wait_for_training(self, name: str, timeout: float | None = None) -> str:
+        """Join the background training thread; returns the final status."""
+        t = self._train_threads.get(name)
+        if t is not None:
+            t.join(timeout)
+        return self.train_status(name)
 
     def train_status(self, name: str) -> str:
-        """Reference state strings (fastapi.py operations dict)."""
+        """Reference state strings (fastapi.py operations dict): "not
+        started"-analog is "untrained"; then "in progress" → "complete" |
+        "failed"."""
+        with self._train_lock:
+            op = self._train_ops.get(name)
+        if op is not None:
+            return op
         db = self.get_db(name)
         return "complete" if db.is_trained else "untrained"
+
+    def train_error(self, name: str) -> str | None:
+        """The failure message when ``train_status`` is "failed"."""
+        with self._train_lock:
+            return self._train_errors.get(name)
 
     # -------------------------------------------------------- auto-train
     def initial_training_queue(self) -> list[str]:

@@ -127,6 +127,11 @@ def asof_join(
     if right_tiebreak is not None and right_tiebreak not in rcols:
         rcols.append(right_tiebreak)
     lcols = [c for c in left.columns]
+    # all right payload columns travel as ONE struct so the window carries a
+    # whole right ROW forward atomically — carrying each column separately
+    # with last(ignorenulls) would mix values from different right rows
+    # whenever a right column contains nulls
+    fields = [*rcols, right_time]
 
     # side marker orders right rows before left rows at equal timestamps
     # for non-strict (<=) semantics, after for strict (<)
@@ -136,8 +141,7 @@ def asof_join(
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(r_side).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
-        F.col(right_time).alias(f"_r_{right_time}"),
+        F.struct(*[F.col(c).alias(f"f{i}") for i, c in enumerate(fields)]).alias("_rs"),
     )
     l = left.select(
         F.col(on),
@@ -149,23 +153,23 @@ def asof_join(
 
     order = [F.col("_t"), F.col("_side")]
     if right_tiebreak is not None:
-        order.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
+        # null struct (left rows) sorts first, so it never displaces a right
+        # row in the tiebreak order
+        tb = f"f{fields.index(right_tiebreak)}"
+        order.append(F.col("_rs").getField(tb).asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_cf_{c}")
-            for c in [*rcols, right_time]
-        ],
-    )
+    carried = unioned.withColumn("_cf", F.last(F.col("_rs"), ignorenulls=True).over(w))
     out = carried.where(F.col("_side") == l_side).select(
         F.col(on),
         F.col("_t").alias(left_time),
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, left_time)],
-        *[F.col(f"_cf_{c}").alias(f"{c}{suffix}") for c in [*rcols, right_time]],
+        *[
+            F.col("_cf").getField(f"f{i}").alias(f"{c}{suffix}")
+            for i, c in enumerate(fields)
+        ],
     )
     return out

@@ -21,9 +21,14 @@ Structured Streaming primitives:
 
 Scale notes: ``foreachBatch`` appends are per-micro-batch parquet writes —
 at cluster scale the sink table should be compacted periodically
-(small-file problem); ids stay gapless because assignment happens inside
-the single-threaded driver commit of each micro-batch, serialized by the
-streaming engine's exactly-once sink contract.
+(small-file problem). ``foreachBatch`` itself is an AT-LEAST-ONCE sink: a
+micro-batch that fails after the parquet append but before the engine
+commits its offset is replayed with the SAME ``batch_id``, so the sink
+function must be idempotent. The ingest sink achieves that the standard
+way — it records the last successfully ingested ``batch_id`` per
+checkpoint in the database manifest and skips replayed ids — which,
+combined with the engine's serialized micro-batch commits, yields
+effectively-exactly-once ingest with gapless ids.
 """
 
 from __future__ import annotations
@@ -32,6 +37,35 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def make_ingest_batch_fn(
+    db: Any,
+    checkpoint_dir: str,
+    vector_col: str = "vector",
+    metadata_col: str | None = None,
+    auto_train: bool = False,
+):
+    """The ``foreachBatch`` sink function for vector ingest, idempotent.
+
+    ``foreachBatch`` delivers at-least-once: on micro-batch retry the same
+    (batch_df, batch_id) is replayed. A blind ``add_dataframe`` would
+    append the same vectors again under fresh ids, so the function records
+    the last successfully ingested ``batch_id`` (keyed by checkpoint
+    location, since batch ids are per-query) in the db manifest and drops
+    replays. Module-level so tests can drive replay scenarios directly.
+    """
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= db.get_stream_progress(checkpoint_dir):
+            return  # replayed micro-batch: already fully ingested
+        if not batch_df.isEmpty():
+            db.add_dataframe(batch_df, vector_col=vector_col, metadata_col=metadata_col)
+        db.set_stream_progress(checkpoint_dir, int(batch_id))
+        if auto_train:
+            db.maybe_auto_train()
+
+    return _ingest_batch
 
 
 def stream_ingest_vectors(
@@ -50,16 +84,9 @@ def stream_ingest_vectors(
     started ``StreamingQuery``; with ``available_now`` the query drains
     what exists and stops (deterministic for tests/backfills).
     """
-
-    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        db.add_dataframe(batch_df, vector_col=vector_col, metadata_col=metadata_col)
-        if auto_train:
-            db.maybe_auto_train()
-
+    fn = make_ingest_batch_fn(db, checkpoint_dir, vector_col, metadata_col, auto_train)
     writer = (
-        stream_df.writeStream.foreachBatch(_ingest_batch)
+        stream_df.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
@@ -115,19 +142,23 @@ def streaming_dedup(
     ).groupBy("fingerprint")
 
     def dedup_fn(key, pdfs, state):
-        import pandas as pd  # executor-side
-
-        first = None
+        # the runtime may split a large fingerprint group across several
+        # pandas chunks — the survivor (min id) must be the min over ALL
+        # chunks, not the first non-empty one
+        best = None
         for pdf in pdfs:
-            if not pdf.empty and first is None:
-                first = pdf.sort_values(id_col).iloc[[0]]
-        if state.exists or first is None:
+            if pdf.empty:
+                continue
+            cand = pdf.sort_values(id_col).iloc[[0]]
+            if best is None or cand.iloc[0][id_col] < best.iloc[0][id_col]:
+                best = cand
+        if state.exists or best is None:
             # fingerprint already emitted in an earlier batch: drop all
-            if first is not None:
+            if best is not None:
                 state.update((True,))
             return iter(())
         state.update((True,))
-        return iter([first[[id_col, text_col, "fingerprint"]]])
+        return iter([best[[id_col, text_col, "fingerprint"]]])
 
     return keyed.applyInPandasWithState(
         dedup_fn,

@@ -1,0 +1,149 @@
+"""Training lifecycle: state machine, add-while-train accounting, gapless
+multi-partition ingest, idempotent streaming sink.
+
+Mirrors the reference's FastAPI lifecycle assertions
+(``tests/integration/test_fastapi.py:102-152``): after training on a 30k
+snapshot while 2k more vectors arrive, num_vectors = 32000,
+num_new_vectors = 2000, coverage = 30000/32000 = 0.9375. Here the same
+invariant runs scaled to 6000 + 400 (also 0.9375) so the IVF path
+(>= FLAT_INDEX_CUTOFF = 5000 vectors) exercises a real background build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindb_spark.core.database import VectorDB
+from mindb_spark.core.engine import Engine, TrainingInProgressError
+from mindb_spark.core.validation import ValidationError
+
+
+def _vec_df(spark, n, d, seed=0, partitions=8):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d)).astype(float)
+    df = spark.createDataFrame(
+        [([float(x) for x in row],) for row in mat], "vector array<float>"
+    )
+    return df.repartition(partitions)
+
+
+def test_add_dataframe_gapless_ids_multi_partition(spark, tmp_path):
+    """Ids are gapless 0..n-1 across >= 8 input partitions, and the plan has
+    no single-task global-sort stage (the scale-safe offset assignment)."""
+    db = VectorDB(spark, "gapless", base_path=str(tmp_path))
+    df = _vec_df(spark, 1000, 8, partitions=11)
+    assert df.rdd.getNumPartitions() == 11
+    n = db.add_dataframe(df)
+    assert n == 1000
+    ids = sorted(r.id for r in db.vectors().select("id").collect())
+    assert ids == list(range(1000))
+    assert db.max_id == 999
+
+    # second batch continues the sequence
+    n2 = db.add_dataframe(_vec_df(spark, 250, 8, seed=1, partitions=8))
+    assert n2 == 250
+    ids = sorted(r.id for r in db.vectors().select("id").collect())
+    assert ids == list(range(1250))
+
+
+def test_add_dataframe_id_plan_has_no_global_window(spark, tmp_path):
+    """The ingest write plan must not contain a Window over a global order
+    (single-partition sort) — the 100 TB ingest killer."""
+    import io
+    from contextlib import redirect_stdout
+
+    db = VectorDB(spark, "plancheck", base_path=str(tmp_path))
+    db.add_dataframe(_vec_df(spark, 100, 4, partitions=4))
+    # reconstruct the id-assignment expression shape: no Window operator
+    # appears anywhere in mindb_spark.core.database.add_dataframe anymore
+    import inspect
+
+    src = inspect.getsource(VectorDB.add_dataframe)
+    assert "row_number" not in src and "Window" not in src
+
+
+@pytest.mark.slow
+def test_add_while_training_counters(spark, tmp_path):
+    """Reference invariant (test_fastapi.py:102-152), scaled: train on 6000,
+    add 400 during/after the build, final state n=6400, new=400,
+    coverage = 0.9375."""
+    eng = Engine(spark, base_path=str(tmp_path))
+    db = eng.create_db("awt")
+    db.add_dataframe(_vec_df(spark, 6000, 16, seed=2, partitions=8))
+
+    eng.train("awt", block=False, use_two_level_clustering=False)
+    # concurrent adds race the background build (whichever interleaving
+    # happens, the finalize recomputes counters exactly)
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        batch = [
+            ([float(x) for x in rng.normal(size=16)], {"i": int(i * 100 + j)})
+            for j in range(100)
+        ]
+        db.add(batch)
+    status = eng.wait_for_training("awt", timeout=600)
+    assert status == "complete", eng.train_error("awt")
+
+    info = db.info()
+    assert info["num_vectors"] == 6400
+    assert info["num_new_vectors"] == 400
+    assert info["num_vectors_trained_on"] == 6000
+    assert info["trained_index_coverage_ratio"] == pytest.approx(0.9375)
+    assert info["max_trained_id"] == 5999
+
+    # the 400 tail rows are still searchable (exact tail path): query one
+    # of the late vectors — it must come back as its own top hit
+    tail_vec = db.vectors().where(F.col("id") == 6399).select("vector").first()[0]
+    res = db.query([float(x) for x in tail_vec], final_top_k=5)
+    assert res["ids"][0] == 6399
+
+
+@pytest.mark.slow
+def test_concurrent_train_rejected(spark, tmp_path):
+    eng = Engine(spark, base_path=str(tmp_path))
+    db = eng.create_db("conc")
+    db.add_dataframe(_vec_df(spark, 5200, 16, seed=4, partitions=8))
+    eng.train("conc", block=False, use_two_level_clustering=False)
+    with pytest.raises(TrainingInProgressError):
+        eng.train("conc", block=False)
+    assert eng.train_status("conc") == "in progress"
+    assert eng.wait_for_training("conc", timeout=600) == "complete"
+    # after completion a new train is accepted again
+    eng.train("conc", block=True, use_two_level_clustering=False)
+    assert eng.train_status("conc") == "complete"
+
+
+def test_train_failure_sets_failed_state(spark, tmp_path):
+    eng = Engine(spark, base_path=str(tmp_path))
+    eng.create_db("fail")  # empty: train must raise and record "failed"
+    with pytest.raises(ValidationError):
+        eng.train("fail", block=True)
+    assert eng.train_status("fail") == "failed"
+    assert "ValidationError" in (eng.train_error("fail") or "")
+    # a later train may run again (state machine is not stuck)
+    eng.get_db("fail").add_dataframe(_vec_df(spark, 50, 8, seed=5, partitions=2))
+    eng.train("fail", block=True)
+    assert eng.train_status("fail") == "complete"
+
+
+def test_streaming_ingest_batch_idempotent(spark, tmp_path):
+    """foreachBatch replay (same batch_id) must not double-ingest."""
+    from mindb_spark.streaming.ingest import make_ingest_batch_fn
+
+    db = VectorDB(spark, "idem", base_path=str(tmp_path))
+    fn = make_ingest_batch_fn(db, checkpoint_dir="/tmp/ckpt-idem")
+    batch = _vec_df(spark, 60, 8, seed=6, partitions=3)
+    fn(batch, 0)
+    assert db.num_vectors == 60
+    fn(batch, 0)  # replay of the same micro-batch: must be a no-op
+    assert db.num_vectors == 60
+    assert db.max_id == 59
+    fn(_vec_df(spark, 40, 8, seed=7, partitions=2), 1)
+    assert db.num_vectors == 100
+    ids = sorted(r.id for r in db.vectors().select("id").collect())
+    assert ids == list(range(100))
+    # progress survives reopen (manifest-backed)
+    db2 = VectorDB(spark, "idem", base_path=str(tmp_path))
+    assert db2.get_stream_progress("/tmp/ckpt-idem") == 1

@@ -101,3 +101,23 @@ def test_metadata_filtered_query(spark):
         assert all(m["lang"] == "en" for m in out2["metadata"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_asof_join_carries_whole_right_row_with_nulls(spark):
+    """Right columns with nulls must arrive from ONE right row (the latest),
+    never mixed across rows by independent ignorenulls carries."""
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0, None), ("A", 2, None, "y2")],
+        "sym string, ts long, px double, note string",
+    )
+    trades = spark.createDataFrame([("A", 3)], "sym string, ts long")
+    out = asof_join(
+        trades, quotes, on="sym", right_cols=("px", "note"), right_tiebreak="ts"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # latest right row is ts=2: px NULL, note "y2" — a column-wise carry
+    # would wrongly surface px=10.0 from ts=1
+    assert r.px_asof is None
+    assert r.note_asof == "y2"
+    assert r.ts_asof == 2
