@@ -98,6 +98,61 @@ def main() -> None:
     except Exception as e:  # never let the quality probe kill the bench
         print(f"# recall probe failed: {e}", file=sys.stderr)
 
+    # reference-scale recall evidence at the HEURISTIC probe budget: 30k x 64
+    # clustered corpus (FIXTURES.md prescription), recall@50 with n_probe
+    # from get_n_probe — the selective plan that would run at 100x scale,
+    # mirroring the reference's FIQA bar (test_full_eval.py:75-78: > 0.97)
+    clustered = None
+    try:
+        import numpy as np
+
+        from mindb_spark.core.heuristics import resolve_index_params
+        from mindb_spark.index import ivf
+        from mindb_spark.index.build import build_index
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(32, 64)) * 4.0
+        assign = rng.integers(0, 32, size=30_000)
+        mat = (centers[assign] + rng.normal(size=(30_000, 64))).astype(np.float32)
+        norm = mat.astype(np.float64)
+        norm /= np.linalg.norm(norm, axis=1, keepdims=True)
+        vdf = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(norm)],
+            "id long, vector array<double>",
+        )
+        params = resolve_index_params(30_000, 64)
+        idx_dir = "/tmp/bench_clustered_idx"
+        t0 = time.time()
+        arts, _ = build_index(vdf, params, idx_dir, n_buckets=16)
+        build_s = round(time.time() - t0, 3)
+        codes = spark.read.parquet(f"{idx_dir}/codes")
+        q_idx = rng.integers(0, 30_000, size=50)
+        qmat = norm[q_idx] + 0.05 * rng.normal(size=(50, 64))
+        queries = [(int(i), qmat[i]) for i in range(50)]
+        t0 = time.time()
+        out = ivf.search(
+            codes, vdf, arts, queries, preliminary_top_k=500, final_top_k=50,
+            n_probe=params.n_probe, max_trained_id=None, n_buckets=16,
+        ).collect()
+        search_s = round(time.time() - t0, 3)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        gt = np.argsort(-(norm @ qn.T), axis=0)[:50].T
+        by_q: dict[int, set] = {}
+        for r in out:
+            by_q.setdefault(r.query_id, set()).add(r.id)
+        recs = [len(by_q.get(i, set()) & set(gt[i].tolist())) / 50 for i in range(50)]
+        clustered = {
+            "recall_at_50": round(float(np.mean(recs)), 4),
+            "n_probe": params.n_probe,
+            "num_clusters": params.num_clusters,
+            "n": 30_000,
+            "build_sec": build_s,
+            "search_sec_50q": search_s,
+        }
+        print(f"# clustered heuristic-probe eval = {clustered}", file=sys.stderr)
+    except Exception as e:
+        print(f"# clustered recall probe failed: {e}", file=sys.stderr)
+
     # amortized batch latency: the honest Spark-native ANN metric
     # (BASELINE.md note) — ms/query over a large query batch against the
     # cached index, at Q=128 and Q=512
@@ -127,6 +182,7 @@ def main() -> None:
                 "sf": sf_val,
                 "ann_recall_at_10": recall,
                 "ann_ms_per_query": ann_ms_per_query,
+                "clustered_heuristic_probe": clustered,
             }
         )
     )

@@ -332,6 +332,7 @@ class VectorDB:
         opq_dimension: int | None = None,
         compressed_vector_bytes: int | None = None,
         use_two_level_clustering: bool | None = None,
+        omit_opq: bool = True,  # reference default (training_params.py:7)
         force_flat: bool = False,
         seed: int = 42,
     ) -> None:
@@ -385,7 +386,8 @@ class VectorDB:
                 return
 
             params = H.resolve_index_params(
-                n, dim, pca_dimension, opq_dimension, compressed_vector_bytes
+                n, dim, pca_dimension, opq_dimension, compressed_vector_bytes,
+                omit_opq=omit_opq,
             )
             two_level = (
                 use_two_level_clustering
@@ -408,6 +410,8 @@ class VectorDB:
                     "num_clusters": params.num_clusters,
                     "n_probe": params.n_probe,
                     "pca_dimension": params.pca_dimension,
+                    "opq_dimension": params.opq_dimension if not omit_opq else None,
+                    "omit_opq": omit_opq,
                     "compressed_vector_bytes": params.compressed_vector_bytes,
                     "use_two_level_clustering": two_level,
                 }

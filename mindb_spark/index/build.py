@@ -358,12 +358,25 @@ def build_index(
     n = vectors.count()
     d = len(vectors.select(vector_col).first()[0])
     pca_dim = min(params.pca_dimension or d, d)
+    # OPQ (off by default, reference training_params.py:7) rotates + cuts
+    # the projected space to opq_dimension; PQ then operates there
+    apply_opq = not params.omit_opq and params.opq_dimension is not None
+    eff_dim = min(params.opq_dimension, pca_dim) if apply_opq else pca_dim
     m = params.compressed_vector_bytes
-    # PQ needs pca_dim % m == 0 — shrink m to the largest divisor <= requested
-    while pca_dim % m != 0:
+    # PQ needs eff_dim % m == 0 — shrink m to the largest divisor <= requested
+    while eff_dim % m != 0:
         m -= 1
 
     mean, pca_mat = fit_pca(vectors, vector_col, pca_dim, seed=seed)
+    if apply_opq:
+        # train the rotation on a bounded projected sample and FOLD it into
+        # the projection matrix — downstream (centroids, residuals, encode,
+        # ADC) is unchanged, and search-time cost is identical to plain PCA
+        fraction = min(1.0, PQ_TRAIN_ROWS / max(n, 1))
+        s = vectors.sample(fraction=fraction, seed=seed) if fraction < 1.0 else vectors
+        smat = _to_matrix(s.select(vector_col).collect(), vector_col)
+        rot = PQ.fit_opq((smat - mean) @ pca_mat, m, eff_dim, seed=seed)
+        pca_mat = pca_mat @ rot
     projected = _project_df(vectors, vector_col, mean, pca_mat).persist()
     try:
         k = min(params.num_clusters, max(1, n))

@@ -81,6 +81,50 @@ def train_codebooks(
     return books
 
 
+def fit_opq(
+    sample: np.ndarray,
+    m: int,
+    opq_dim: int,
+    seed: int = 42,
+    n_iter: int = 8,
+    kmeans_iter: int = 10,
+) -> np.ndarray:
+    """OPQ: learn a (p, opq_dim) orthonormal-column rotation minimizing PQ
+    reconstruction error, by alternating PQ fit and Procrustes solve.
+
+    The reference gets this from faiss's ``OPQ{m}_{opq_dim}`` pre-transform
+    (``training_utils.py:44-46``); here it is the standard OPQ-NP
+    alternation (Ge et al., CVPR'13): rotate → fit codebooks → decode →
+    ``R = UVᵀ`` from the SVD of ``XᵀX̂``. The rotation is FOLDED into the
+    projection matrix downstream, so centroids/residuals/ADC all operate in
+    the rotated space with no extra per-row work at search time.
+
+    ``sample``: (n, p) projected training rows (PCA space);
+    ``opq_dim`` ≤ p, divisible by ``m``.
+    """
+    n, p = sample.shape
+    if opq_dim > p:
+        raise ValueError(f"opq_dim {opq_dim} exceeds input dimension {p}")
+    if opq_dim % m != 0:
+        raise ValueError(f"opq_dim {opq_dim} not divisible by num_subquantizers {m}")
+    X = np.asarray(sample, dtype=np.float64)
+    # identity-truncation init: sample arrives in PCA order (energy-ranked),
+    # so the first opq_dim coordinates are the best unrotated start
+    R = np.eye(p)[:, :opq_dim]
+    for _ in range(n_iter):
+        Xr = (X @ R).astype(np.float32)
+        books = np.empty((m, N_CENTROIDS, opq_dim // m), dtype=np.float32)
+        dsub = opq_dim // m
+        for i in range(m):
+            books[i] = _kmeans(Xr[:, i * dsub : (i + 1) * dsub], N_CENTROIDS,
+                               n_iter=kmeans_iter, seed=seed + i)
+        xhat = decode(encode(Xr, books), books)  # (n, opq_dim)
+        # orthogonal Procrustes: max tr(Rᵀ X̂ᵀX) over R with orthonormal cols
+        u, _, vt = np.linalg.svd(X.T @ xhat.astype(np.float64), full_matrices=False)
+        R = u @ vt
+    return R
+
+
 def encode(vectors: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Encode (n, d) vectors -> (n, m) uint8 codes."""
     n, d = vectors.shape

@@ -189,3 +189,35 @@ def test_two_level_training_recall(spark, tmp_path, clustered_corpus):
     recalls = [len(by_q[i] & set(gt[i].tolist())) / 10 for i in range(10)]
     assert np.mean(recalls) > 0.9, f"recall too low: {np.mean(recalls)} {recalls}"
     db.delete()
+
+
+@pytest.mark.slow
+def test_opq_training_recall(spark, tmp_path, clustered_corpus):
+    """omit_opq=False trains the rotation end-to-end; recall holds and the
+    manifest records the OPQ parameters (no accepted-but-ignored knob)."""
+    mat = clustered_corpus
+    db = VectorDB(spark, "opq", base_path=str(tmp_path))
+    db.add_dataframe(
+        spark.createDataFrame(
+            [(row.tolist(),) for row in mat], "vector array<float>"
+        ),
+        vector_col="vector",
+    )
+    db.train(
+        use_two_level_clustering=False, omit_opq=False,
+        pca_dimension=32, opq_dimension=16, compressed_vector_bytes=8,
+    )
+    assert db.is_trained
+    ip = db.info()["index_params"]
+    assert ip["omit_opq"] is False and ip["opq_dimension"] == 16
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = norm[:20]
+    gt = np.argsort(-(norm.astype(np.float64) @ queries.T.astype(np.float64)), axis=0)[:10].T
+    out = db.query_df(queries, preliminary_top_k=200, final_top_k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(by_q[i] & set(gt[i].tolist())) / 10 for i in range(20)]
+    assert np.mean(recalls) > 0.85, f"recall too low: {np.mean(recalls)} {recalls}"
+    db.delete()

@@ -79,3 +79,43 @@ def test_train_rejects_indivisible_m():
 
     with pytest.raises(ValueError, match="not divisible"):
         PQ.train_codebooks(np.zeros((10, 10), dtype=np.float32), m=3)
+
+
+def test_fit_opq_orthonormal_and_improves_reconstruction():
+    """R has orthonormal columns; the learned rotation beats the identity
+    init on cross-subspace-correlated data (deterministic: fixed seeds)."""
+    rng = np.random.default_rng(11)
+    # strong correlation ACROSS the PQ subspace split: latent 8-d signal
+    # mixed by a random matrix into 16 dims
+    latent = rng.normal(size=(4000, 8))
+    mix = rng.normal(size=(8, 16))
+    data = latent @ mix + 0.05 * rng.normal(size=(4000, 16))
+
+    m, opq_dim = 4, 16
+    R = PQ.fit_opq(data, m, opq_dim, seed=0, n_iter=6)
+    assert R.shape == (16, 16)
+    np.testing.assert_allclose(R.T @ R, np.eye(16), atol=1e-8)
+
+    def recon_err(rot):
+        X = (data @ rot).astype(np.float32)
+        books = PQ.train_codebooks(X, m, seed=0)
+        xhat = PQ.decode(PQ.encode(X, books), books)
+        return float(((X - xhat) ** 2).sum())
+
+    err_id = recon_err(np.eye(16))
+    err_opq = recon_err(R)
+    assert err_opq < err_id
+
+
+def test_fit_opq_dimension_cut():
+    """opq_dim < p yields a (p, opq_dim) matrix with orthonormal columns."""
+    rng = np.random.default_rng(12)
+    data = rng.normal(size=(1000, 12))
+    R = PQ.fit_opq(data, 2, 8, seed=0, n_iter=3)
+    assert R.shape == (12, 8)
+    np.testing.assert_allclose(R.T @ R, np.eye(8), atol=1e-8)
+
+    with np.testing.assert_raises(ValueError):
+        PQ.fit_opq(data, 2, 16)  # opq_dim > p
+    with np.testing.assert_raises(ValueError):
+        PQ.fit_opq(data, 5, 8)  # not divisible
