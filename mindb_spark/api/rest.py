@@ -1,0 +1,287 @@
+"""REST serving layer: the reference's 16 FastAPI routes over ``Engine``.
+
+Route-for-route port of ``/root/reference/mindb/api/fastapi.py:67-470``
+using ONLY the standard library (``http.server``) — the runtime has no web
+framework, and the layer is deliberately thin: every route body is a
+one-call delegation to :class:`mindb_spark.core.engine.Engine`, which owns
+the semantics (404/400 mapping included). Request/response JSON shapes
+mirror the reference's pydantic models (``fastapi.py:32-64``):
+
+| route                                | method | reference line |
+|--------------------------------------|--------|----------------|
+| /health, /test                       | GET    | :67, :71       |
+| /db/{name}/info                      | GET    | :75            |
+| /db/create                           | POST   | :108           |
+| /db/{name}/add                       | POST   | :151           |
+| /db/{name}/remove                    | POST   | :191           |
+| /db/{name}/train                     | POST   | :314 (async)   |
+| /db/{name}/train                     | GET    | :333           |
+| /db/{name}/query                     | POST   | :341           |
+| /db/{name}/save                      | POST   | :356 (no-op)   |
+| /db/{name}/reload                    | POST   | :365           |
+| /db/{name}/delete                    | POST   | :377           |
+| /db/find_indexes_to_train            | GET    | :409           |
+| /db/get_initial_training_queue       | GET    | :442           |
+| /db/view_cache                       | GET    | :448           |
+| /db/{name}/remove_from_cache         | POST   | :461           |
+| /db/update_max_memory_usage          | POST   | :467 (no-op)   |
+
+Scale note: this is a control-plane surface (DDL + point queries), not the
+data plane — bulk ingest and batch analytics go through the DataFrame API.
+A ``ThreadingHTTPServer`` is used because Spark supports concurrent job
+submission from multiple driver threads; heavy concurrent queries should
+still be batched by the caller (one Spark job per HTTP query).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from mindb_spark.core.engine import Engine, TrainingInProgressError
+from mindb_spark.core.validation import ValidationError
+
+
+class _HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+class RestServer:
+    """Dispatcher holding the Engine; the handler class is built per-server
+    so tests can run several isolated servers in one process."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 8000):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- routing
+    _ROUTES: list[tuple[str, re.Pattern, str]] = [
+        ("GET", re.compile(r"^/health$"), "health"),
+        ("GET", re.compile(r"^/test$"), "health"),
+        ("GET", re.compile(r"^/db/find_indexes_to_train$"), "find_indexes_to_train"),
+        ("GET", re.compile(r"^/db/get_initial_training_queue$"), "initial_training_queue"),
+        ("GET", re.compile(r"^/db/view_cache$"), "view_cache"),
+        ("POST", re.compile(r"^/db/create$"), "create"),
+        ("POST", re.compile(r"^/db/update_max_memory_usage$"), "update_max_memory"),
+        ("GET", re.compile(r"^/db/(?P<name>[^/]+)/info$"), "info"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/add$"), "add"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/remove$"), "remove"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/train$"), "train_start"),
+        ("GET", re.compile(r"^/db/(?P<name>[^/]+)/train$"), "train_status"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/query$"), "query"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/save$"), "save"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/reload$"), "reload"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/delete$"), "delete"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/remove_from_cache$"), "remove_from_cache"),
+    ]
+
+    def dispatch(self, method: str, path: str, body: dict) -> tuple[int, dict]:
+        for m, pat, handler in self._ROUTES:
+            if m != method:
+                continue
+            match = pat.match(path)
+            if match:
+                try:
+                    return 200, getattr(self, f"_r_{handler}")(body, **match.groupdict())
+                except _HTTPError as e:
+                    return e.status, {"detail": e.detail}
+                except TrainingInProgressError as e:
+                    return 400, {"detail": str(e)}
+                except ValidationError as e:
+                    return 400, {"detail": str(e)}
+                except Exception as e:  # noqa: BLE001 — ref returns 500 w/ detail
+                    return 500, {"detail": f"{type(e).__name__}: {e}"}
+        return 404, {"detail": "Not Found"}
+
+    def _db(self, name: str):
+        """404 on missing db (the reference's databases.get -> None check)."""
+        from mindb_spark.core.database import VectorDB
+
+        if not VectorDB.exists(name, self.engine.base_path):
+            raise _HTTPError(404, "Database not found")
+        return self.engine.get_db(name)
+
+    # ------------------------------------------------------------- handlers
+    def _r_health(self, body: dict) -> dict:
+        return {"status": "healthy"}
+
+    def _r_info(self, body: dict, name: str) -> dict:
+        db = self._db(name)
+        info = db.info()
+        # reference shape (fastapi.py:86-104): db_info is a JSON string.
+        # n_total is the searchable total — with the exactly-searched tail
+        # design every live vector is searchable (the reference reaches the
+        # same number after its unassigned-vector replay).
+        db_info = {
+            "name": info["name"],
+            "vector_dimension": info["vector_dimension"],
+            "num_vectors": info["num_vectors"],
+            "trained_index_coverage_ratio": info["trained_index_coverage_ratio"],
+            "n_total": info["num_vectors"],
+            "max_id": info["max_id"],
+            "max_trained_id": info["max_trained_id"],
+            "num_vectors_trained_on": info["num_vectors_trained_on"],
+            "num_new_vectors": info["num_new_vectors"],
+            "num_trained_vectors_removed": info["num_trained_vectors_removed"],
+            "training_params": info["index_params"],
+        }
+        return {"db_info": json.dumps(db_info)}
+
+    def _r_create(self, body: dict) -> dict:
+        name = body.get("name")
+        if not isinstance(name, str) or not name:
+            raise _HTTPError(400, "name is required")
+        try:
+            self.engine.create_db(name)
+        except ValidationError as e:
+            raise _HTTPError(400, str(e)) from e
+        return {"message": "Database created successfully"}
+
+    def _r_add(self, body: dict, name: str) -> dict:
+        db = self._db(name)
+        add_data = body.get("add_data")
+        if not isinstance(add_data, list):
+            raise _HTTPError(400, "add_data must be a list of (vector, metadata) pairs")
+        db.add([(v, m) for v, m in add_data])
+        return {"message": "Vectors and text added successfully"}
+
+    def _r_remove(self, body: dict, name: str) -> dict:
+        db = self._db(name)
+        ids = body.get("ids")
+        if not isinstance(ids, list):
+            raise _HTTPError(400, "ids must be a list of ints")
+        db.remove(ids)
+        return {"message": f"{len(ids)} vectors removed successfully"}
+
+    def _r_train_start(self, body: dict, name: str) -> dict:
+        self._db(name)
+        kwargs = {
+            k: body[k]
+            for k in (
+                "use_two_level_clustering",
+                "pca_dimension",
+                "opq_dimension",
+                "compressed_vector_bytes",
+                "omit_opq",
+            )
+            if body.get(k) is not None
+        }
+        self.engine.train(name, block=False, **kwargs)
+        return {"status": "training successfully initiated"}
+
+    def _r_train_status(self, body: dict, name: str) -> dict:
+        self._db(name)
+        return {"status": self.engine.train_status(name)}
+
+    def _r_query(self, body: dict, name: str) -> dict:
+        db = self._db(name)
+        qv = body.get("query_vector")
+        if not isinstance(qv, list) or not qv:
+            raise _HTTPError(400, "query_vector must be a non-empty list of floats")
+        res = db.query(
+            qv,
+            preliminary_top_k=int(body.get("preliminary_top_k", 500)),
+            final_top_k=int(body.get("final_top_k", 100)),
+        )
+        return {
+            "metadata": res["metadata"],
+            "ids": res["ids"],
+            "cosine_similarity": res["cosine_similarity"],
+        }
+
+    def _r_save(self, body: dict, name: str) -> dict:
+        self._db(name)  # writes are write-through; save is a no-op
+        return {"message": "Database saved successfully"}
+
+    def _r_reload(self, body: dict, name: str) -> dict:
+        self._db(name)
+        self.engine.reload(name)
+        return {"message": "Database reloaded successfully"}
+
+    def _r_delete(self, body: dict, name: str) -> dict:
+        self._db(name)
+        self.engine.delete_db(name)
+        return {"message": "Database deleted successfully"}
+
+    def _r_find_indexes_to_train(self, body: dict) -> dict:
+        return {"training_queue": self.engine.find_indexes_to_train()}
+
+    def _r_initial_training_queue(self, body: dict) -> dict:
+        return {"initial_training_queue": self.engine.initial_training_queue()}
+
+    def _r_view_cache(self, body: dict) -> dict:
+        # memory numbers are Spark's concern (block manager), not tracked here
+        return {
+            "cache_keys": self.engine.open_databases(),
+            "current_memory_usage": None,
+            "max_memory_usage": None,
+        }
+
+    def _r_remove_from_cache(self, body: dict, name: str) -> dict:
+        self.engine.close(name)
+        return {"message": "Database removed from cache"}
+
+    def _r_update_max_memory(self, body: dict) -> dict:
+        # accepted for wire parity; Spark's block manager owns memory
+        return {"message": "Max memory usage updated successfully"}
+
+    # ------------------------------------------------------------- server
+    def start(self) -> int:
+        """Start serving on a background thread; returns the bound port."""
+        dispatcher = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # silence per-request stderr
+                pass
+
+            def _respond(self, method: str) -> None:
+                length = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(length) if length else b""
+                try:
+                    body = json.loads(raw) if raw else {}
+                except json.JSONDecodeError:
+                    status, payload = 400, {"detail": "invalid JSON body"}
+                else:
+                    status, payload = dispatcher.dispatch(method, self.path, body)
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._respond("GET")
+
+            def do_POST(self):
+                self._respond("POST")
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="mindb-rest", daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8000) -> RestServer:
+    """Start a REST server over ``engine``; returns the running server."""
+    server = RestServer(engine, host, port)
+    server.start()
+    return server

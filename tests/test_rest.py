@@ -1,0 +1,111 @@
+"""REST layer: the reference's route surface over a real HTTP socket.
+
+Drives the stdlib server with http.client exactly as the reference's
+integration suite drives uvicorn (``tests/integration/test_fastapi.py``):
+create → add → query → train lifecycle → remove → delete, plus the cache
+and error routes.
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+
+import numpy as np
+import pytest
+
+from mindb_spark.api.rest import serve
+from mindb_spark.core.engine import Engine
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    server = serve(Engine(spark, base_path=str(tmp_path)), port=0)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+
+    def call(method: str, path: str, body: dict | None = None):
+        conn.request(
+            method, path, body=json.dumps(body) if body is not None else None
+        )
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+
+    yield call
+    conn.close()
+    server.stop()
+
+
+def test_rest_full_lifecycle(client):
+    assert client("GET", "/health") == (200, {"status": "healthy"})
+    assert client("GET", "/test")[0] == 200
+
+    status, _ = client("POST", "/db/create", {"name": "restdb"})
+    assert status == 200
+    # duplicate create is a 400 (reference fastapi.py:110-112)
+    status, out = client("POST", "/db/create", {"name": "restdb"})
+    assert status == 400 and "exists" in out["detail"]
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 8)).astype(float)
+    add_data = [[v.tolist(), {"i": i}] for i, v in enumerate(vecs)]
+    status, out = client("POST", "/db/restdb/add", {"add_data": add_data})
+    assert status == 200 and "successfully" in out["message"]
+
+    status, out = client("GET", "/db/restdb/info")
+    assert status == 200
+    info = json.loads(out["db_info"])
+    assert info["num_vectors"] == 50 and info["max_id"] == 49
+    assert info["n_total"] == 50
+
+    status, out = client("POST", "/db/restdb/query",
+                         {"query_vector": vecs[7].tolist(), "final_top_k": 5})
+    assert status == 200
+    assert out["ids"][0] == 7
+    assert out["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
+    assert out["metadata"][0] == {"i": 7}
+
+    # train (async route) + status polling; 50 vectors -> flat path, fast
+    status, out = client("POST", "/db/restdb/train", {})
+    assert status == 200 and out["status"] == "training successfully initiated"
+    import time
+
+    for _ in range(120):
+        status, out = client("GET", "/db/restdb/train")
+        if out["status"] in ("complete", "failed"):
+            break
+        time.sleep(0.5)
+    assert out["status"] == "complete"
+
+    status, out = client("POST", "/db/restdb/remove", {"ids": [0, 1]})
+    assert status == 200 and out["message"].startswith("2 vectors")
+    _, out = client("GET", "/db/restdb/info")
+    assert json.loads(out["db_info"])["num_vectors"] == 48
+
+    # cache routes
+    _, out = client("GET", "/db/view_cache")
+    assert "restdb" in out["cache_keys"]
+    assert client("POST", "/db/restdb/remove_from_cache")[1]["message"]
+    assert client("POST", "/db/restdb/reload")[0] == 200
+    assert client("POST", "/db/restdb/save")[0] == 200
+    assert client("GET", "/db/find_indexes_to_train")[0] == 200
+    assert client("GET", "/db/get_initial_training_queue")[0] == 200
+    assert client("POST", "/db/update_max_memory_usage",
+                  {"max_memory_usage": 1 << 30})[0] == 200
+
+    assert client("POST", "/db/restdb/delete")[0] == 200
+    assert client("GET", "/db/restdb/info")[0] == 404
+
+
+def test_rest_error_paths(client):
+    assert client("GET", "/db/nosuch/info") == (404, {"detail": "Database not found"})
+    assert client("POST", "/db/nosuch/query", {"query_vector": [1.0]})[0] == 404
+    assert client("GET", "/nope")[0] == 404
+    assert client("POST", "/db/create", {})[0] == 400
+    # malformed body
+    client_status, out = client("POST", "/db/create", {"name": "x", "bad": 1})
+    assert client_status == 200
+    assert client("POST", "/db/x/add", {"add_data": "notalist"})[0] == 400
+    # dimension mismatch surfaces as a 400 ValidationError
+    client("POST", "/db/x/add", {"add_data": [[[1.0, 2.0], {}]]})
+    status, out = client("POST", "/db/x/query", {"query_vector": [1.0, 2.0, 3.0]})
+    assert status == 400 and "size" in out["detail"].lower()
