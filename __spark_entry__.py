@@ -51,13 +51,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which the vectorized
-    parquet reader rejects; read nanos as long and derive a usable ts."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: routing int64 nanos through a double drops precision
-    # (53-bit mantissa < 61 bits needed for 2024-epoch nanos)
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.parquet's ts physical type has drifted across testdata
+    regenerations (int64 nanos vs timestamp[us]); read_events adapts."""
+    from mindb_spark.sources import read_events
+
+    return read_events(spark, sf_dir)
 
 
 def _normalized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,13 +538,15 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mindb_spark.streaming import run_stream_to_memory, windowed_event_counts
 
+    from mindb_spark.sources import normalize_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
-    raw = (
+    raw = normalize_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = windowed_event_counts(raw, window="1 hour", watermark="1 hour")
     name = "win_counts_entry"

@@ -1,5 +1,7 @@
 from mindb_spark.sources.readers import (
     ingest_file,
+    normalize_ts,
+    read_events,
     read_vectors_csv,
     read_vectors_json,
     read_vectors_parquet,
@@ -7,6 +9,8 @@ from mindb_spark.sources.readers import (
 
 __all__ = [
     "ingest_file",
+    "normalize_ts",
+    "read_events",
     "read_vectors_csv",
     "read_vectors_json",
     "read_vectors_parquet",

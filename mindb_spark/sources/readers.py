@@ -96,6 +96,53 @@ def read_vectors_json(
     )
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-drift-tolerant event-time normalization to TimestampType.
+
+    The harness testdata has shipped ``events.ts`` in two physical shapes
+    across regenerations: int64 epoch-nanos (parquet TIMESTAMP(NANOS),
+    readable only via ``spark.sql.legacy.parquet.nanosAsLong``) and
+    ``timestamp[us]`` (surfacing as TIMESTAMP_NTZ). Branch on the *read*
+    schema so both — plus plain TIMESTAMP, DATE and ISO strings — load
+    identically. Pure column expressions, so it composes with both batch
+    and streaming relations.
+
+    NTZ wall-clock is interpreted as UTC (callers pin the session timezone)
+    so epoch values agree with engines that treat naive timestamps as UTC.
+    """
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return df
+    if isinstance(dt, (TimestampNTZType, DateType, StringType)):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dt, LongType):
+        # int64 nanos: integer division — routing through a double would
+        # drop precision (53-bit mantissa < ~61 bits of 2024-epoch nanos)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    raise TypeError(f"unsupported dtype for event-time column {col!r}: {dt}")
+
+
+def read_events(spark: SparkSession, sf_dir: str, ts_col: str = "ts") -> DataFrame:
+    """Load ``events.parquet`` with a normalized TimestampType ``ts``.
+
+    Pins the session timezone to UTC so NTZ-as-UTC and unix_timestamp
+    round-trips are deterministic regardless of host TZ, and enables
+    ``nanosAsLong`` (needed only for the TIMESTAMP(NANOS) physical shape;
+    inert otherwise).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), ts_col)
+
+
 def ingest_file(
     db,
     path: str,

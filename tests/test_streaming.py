@@ -75,25 +75,19 @@ def test_stream_ingest_vectors(spark, tmpdir):
 
 
 def test_windowed_event_counts_stream_matches_batch(spark, tmpdir):
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    from mindb_spark.sources import normalize_ts, read_events
 
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
-    # the raw streaming source has ts as long nanos; rebuild the timestamp
-    raw = (
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    batch = read_events(spark, sf)
+
+    # the raw streaming source carries whatever physical ts shape the
+    # testdata was generated with; normalize_ts adapts either way
+    raw = normalize_ts(
         spark.readStream.schema(
             spark.read.option("pathGlobFilter", "events.parquet").parquet(sf).schema
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     agg = windowed_event_counts(raw, window="1 hour", watermark="1 hour")
     run_stream_to_memory(agg, "win_counts", os.path.join(tmpdir, "ckpt2"))
