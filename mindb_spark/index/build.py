@@ -325,16 +325,20 @@ def encode_all(
             cid = np.argmin(c2[None, :] - 2.0 * (proj @ centroids.T), axis=1)
             residuals = (proj - centroids[cid]).astype(np.float32)
             codes = PQ.encode(residuals, codebooks)
+            # query-independent half of the ADC distance, precomputed once
+            # per row so the scan needs no per-(query, cell) tables
+            bterm = PQ.cell_code_term(codes, cid, centroids, codebooks)
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "cluster_id": cid.astype(np.int32),
                     "code": [c.tobytes() for c in codes],
+                    "bterm": bterm,
                 }
             )
 
     out = df.select(id_col, vector_col).mapInPandas(
-        enc, schema=f"{id_col} long, cluster_id int, code binary"
+        enc, schema=f"{id_col} long, cluster_id int, code binary, bterm float"
     )
     return out.withColumn("cluster_bucket", F.pmod(F.col("cluster_id"), F.lit(n_buckets)).cast("int"))
 

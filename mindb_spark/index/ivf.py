@@ -8,9 +8,11 @@ to ``final_top_k``. Spark re-expression:
 stage 1:  rank centroids per query (driver numpy — the centroid table is
           small by construction, §heuristics) → probed (query, cluster)
           pairs → ``cluster_bucket``/``cluster_id`` filters PRUNE the codes
-          scan (directory + row-group pruning) → ADC scoring in an Arrow
-          UDF with per-(query, cluster) lookup tables → per-query partial
-          top-k inside each batch → global per-query top-prelim_k window.
+          scan (directory + row-group pruning) → decomposed ADC scoring in
+          an Arrow UDF (per-query tables + a build-time per-row ``bterm``
+          — no per-(query, cluster) tables; see ``pq.adc_query_tables``) →
+          per-query partial top-k inside each batch → global per-query
+          top-prelim_k window.
 
 stage 2:  semi-join candidate ids against the vectors table (the
           reference's LMDB point-lookups become one hash join,
@@ -42,6 +44,14 @@ def rank_centroids(
     artifacts: IndexArtifacts, queries: np.ndarray, n_probe: int
 ) -> np.ndarray:
     """(Q, n_probe) best cluster ids per projected query (L2, ascending)."""
+    return rank_centroids_d2(artifacts, queries, n_probe)[0]
+
+
+def rank_centroids_d2(
+    artifacts: IndexArtifacts, queries: np.ndarray, n_probe: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`rank_centroids` but also returns the full (Q, C) squared
+    coarse distances — the scalar term of the decomposed ADC distance."""
     proj = artifacts.project(queries)  # (Q, p)
     C = artifacts.centroids
     d2 = ((proj**2).sum(axis=1, keepdims=True)
@@ -52,7 +62,7 @@ def rank_centroids(
     # order the probed cells best-first (stable for determinism)
     rows = np.arange(d2.shape[0])[:, None]
     order = np.argsort(d2[rows, part], axis=1, kind="stable")
-    return part[rows, order]
+    return part[rows, order], d2
 
 
 def adc_candidates(
@@ -73,7 +83,7 @@ def adc_candidates(
     from mindb_spark.session import ship_package
 
     ship_package(spark)
-    probed = rank_centroids(artifacts, query_vectors, n_probe)  # (Q, nprobe)
+    probed, d2_full = rank_centroids_d2(artifacts, query_vectors, n_probe)
 
     # Partition + row-group pruning: only the probed buckets/cells are read.
     probed_cids = sorted({int(c) for row in probed for c in row})
@@ -82,16 +92,39 @@ def adc_candidates(
         F.col("cluster_bucket").isin(probed_buckets) & F.col("cluster_id").isin(probed_cids)
     )
 
-    # cluster_id -> [query indexes probing it]
-    cluster_to_q: dict[int, list[int]] = {}
+    # Decomposed ADC (see pq.adc_query_tables): dist = d2(q,cell) + A_q[code]
+    # + bterm(row). Everything shipped is sized by PROBED cells only:
+    #   A        (Q, m, 256)  query tables — independent of cell count
+    #   d2p      (Q, P)       coarse distances to the P probed cells
+    #   probe_q  (P, Q) bool  which queries probe which cell
+    #   cell2p   (max_cid+1,) compact cell -> p index
+    # No per-(query, cell) tables exist anywhere, so memory and Python-loop
+    # cost no longer scale with cells x queries.
+    nq = len(query_ids)
+    P = len(probed_cids)
+    cell2p = np.full(max(probed_cids) + 1, -1, dtype=np.int32)
+    cell2p[np.asarray(probed_cids, dtype=np.int64)] = np.arange(P, dtype=np.int32)
+    d2p = d2_full[:, np.asarray(probed_cids, dtype=np.int64)].astype(np.float32)
+    probe_q = np.zeros((P, nq), dtype=bool)
     for qi, row in enumerate(probed):
-        for c in row:
-            cluster_to_q.setdefault(int(c), []).append(qi)
-
+        probe_q[cell2p[row], qi] = True
     proj_queries = artifacts.project(query_vectors)  # (Q, p)
+    A = PQ.adc_query_tables(proj_queries, artifacts.codebooks)
+
+    has_bterm = "bterm" in codes.columns
+    # legacy codes tables (pre-bterm) fall back to per-cell cell tables,
+    # still query-independent: B[p][j,k] = 2 c_j . cb[j,k] for probed cells
+    B = None
+    if not has_bterm:
+        m_, _, dsub_ = artifacts.codebooks.shape
+        cb = artifacts.codebooks.astype(np.float64)
+        cmat = artifacts.centroids[np.asarray(probed_cids, dtype=np.int64)]
+        cmat = cmat.reshape(P, m_, dsub_)
+        B = (2.0 * np.einsum("pjd,jkd->pjk", cmat, cb)).astype(np.float32)
+
     b = spark.sparkContext.broadcast(
-        (artifacts.centroids, artifacts.codebooks, proj_queries,
-         np.asarray(query_ids, dtype=np.int64), cluster_to_q, preliminary_top_k)
+        (A, d2p, probe_q, cell2p, B,
+         np.asarray(query_ids, dtype=np.int64), preliminary_top_k)
     )
 
     # codes-row chunk bound inside the kernel: a (chunk, Q) float32 distance
@@ -100,49 +133,53 @@ def adc_candidates(
     CHUNK = 65536
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        centroids, codebooks, projq, qids, c2q, prelim = b.value
-        m = codebooks.shape[0]
-        # per-cell LUT tensor cache: (Q_probing, m, 256) per cluster —
-        # bounded by cells-per-task, not cells x queries
-        lut_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        A_, d2p_, probe_q_, cell2p_, B_, qids, prelim = b.value
+        m = A_.shape[1]
+        At = np.ascontiguousarray(A_.transpose(1, 2, 0))  # (m, 256, Q), once
+        d2pT = d2p_.T  # (P, Q)
         for pdf in batches:
             if pdf.empty:
                 continue
+            n_rows = len(pdf)
+            ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            cells_all = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            code_all = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
+            bt_all = (
+                pdf["bterm"].to_numpy(dtype=np.float32) if B_ is None else None
+            )
             out_q, out_id, out_d = [], [], []
-            for cid, grp in pdf.groupby("cluster_id"):
-                cid = int(cid)
-                qis = c2q.get(cid)
-                if not qis:
-                    continue
-                ids = grp[id_col].to_numpy(dtype=np.int64)
-                code_mat = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8).reshape(-1, m)
-                cached = lut_cache.get(cid)
-                if cached is None:
-                    # every probing query's residual LUT, stacked once
-                    residuals = projq[qis] - centroids[cid]  # (q, p)
-                    tables = PQ.adc_tables(residuals, codebooks)  # (q, m, 256)
-                    qarr = qids[np.asarray(qis, dtype=np.int64)]
-                    lut_cache[cid] = (tables, qarr)
+            for start in range(0, n_rows, CHUNK):
+                end = start + CHUNK
+                ids_c = ids_all[start:end]
+                p_idx = cell2p_[cells_all[start:end]]  # (n,) compact cell index
+                codes_c = code_all[start:end]
+                dists = PQ.adc_scan_multi_t(codes_c, At)  # (n, Q)
+                if bt_all is not None:
+                    dists += bt_all[start:end, None]
                 else:
-                    tables, qarr = cached
-                for start in range(0, len(ids), CHUNK):
-                    chunk_ids = ids[start : start + CHUNK]
-                    dists = PQ.adc_scan_multi(code_mat[start : start + CHUNK], tables)  # (n, q)
-                    kk = min(prelim, dists.shape[0])
-                    if kk < dists.shape[0]:
-                        sel = np.argpartition(dists, kth=kk - 1, axis=0)[:kk]  # (kk, q)
-                    else:
-                        sel = np.broadcast_to(
-                            np.arange(dists.shape[0])[:, None], (kk, dists.shape[1])
-                        )
-                    # column-major ravel groups rows by query
-                    out_q.append(np.repeat(qarr, kk))
-                    out_id.append(chunk_ids[sel].ravel(order="F"))
-                    out_d.append(
-                        np.take_along_axis(dists, sel, axis=0)
-                        .astype(np.float64)
-                        .ravel(order="F")
+                    # legacy path: gather the per-cell term per unique cell
+                    rowterm = np.empty(len(ids_c), dtype=np.float32)
+                    for pid in np.unique(p_idx):
+                        sel_rows = p_idx == pid
+                        rowterm[sel_rows] = PQ.adc_scan(codes_c[sel_rows], B_[pid])
+                    dists += rowterm[:, None]
+                dists += d2pT[p_idx]
+                dists[~probe_q_[p_idx]] = np.inf  # only (row, probing query) pairs
+                kk = min(prelim, dists.shape[0])
+                if kk < dists.shape[0]:
+                    sel = np.argpartition(dists, kth=kk - 1, axis=0)[:kk]  # (kk, Q)
+                else:
+                    sel = np.broadcast_to(
+                        np.arange(dists.shape[0])[:, None], (kk, dists.shape[1])
                     )
+                dsel = np.take_along_axis(dists, sel, axis=0)  # (kk, Q)
+                keep = np.isfinite(dsel).ravel(order="F")
+                if not keep.any():
+                    continue
+                qcol = np.broadcast_to(qids[None, :], dsel.shape)
+                out_q.append(qcol.ravel(order="F")[keep])
+                out_id.append(ids_c[sel].ravel(order="F")[keep])
+                out_d.append(dsel.astype(np.float64).ravel(order="F")[keep])
             if out_q:
                 yield pd.DataFrame(
                     {"query_id": np.concatenate(out_q),
@@ -150,7 +187,8 @@ def adc_candidates(
                      "adc_dist": np.concatenate(out_d)}
                 )
 
-    scored = pruned.select("cluster_id", id_col, "code").mapInPandas(
+    scan_cols = ["cluster_id", id_col, "code"] + (["bterm"] if has_bterm else [])
+    scored = pruned.select(*scan_cols).mapInPandas(
         score, schema=f"query_id long, {id_col} long, adc_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.col(id_col))

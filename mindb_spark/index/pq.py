@@ -180,12 +180,57 @@ def adc_scan_multi(codes: np.ndarray, tables: np.ndarray) -> np.ndarray:
     8-64): every (code row, query) pair is scored without any per-query
     Python work. Equivalent to stacking ``adc_scan`` over queries.
     """
-    t = np.ascontiguousarray(tables.transpose(1, 2, 0))  # (m, 256, Q)
+    return adc_scan_multi_t(codes, np.ascontiguousarray(tables.transpose(1, 2, 0)))
+
+
+def adc_scan_multi_t(codes: np.ndarray, tables_t: np.ndarray) -> np.ndarray:
+    """``adc_scan_multi`` over pre-transposed (m, 256, Q) tables — hoist the
+    transpose out of per-batch loops when the tables are fixed."""
     n, m = codes.shape
-    out = np.zeros((n, t.shape[2]), dtype=np.float32)
+    out = np.zeros((n, tables_t.shape[2]), dtype=np.float32)
     for j in range(m):
-        out += t[j, codes[:, j]]
+        out += tables_t[j, codes[:, j]]
     return out
+
+
+def adc_query_tables(queries_proj: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Cell-INDEPENDENT ADC component (faiss's precomputed-table trick).
+
+    For IVF-PQ over residuals, the per-(query, cell) lookup table decomposes
+    exactly (expand the square):
+
+        ||(q-c)_j - cb[j,k]||^2
+          = ||q-c||^2_(j)  +  (||cb[j,k]||^2 - 2 q_j.cb[j,k])  +  2 c_j.cb[j,k]
+            \__ scalar __/     \________ per QUERY: A ________/   \_ per CELL _/
+
+    Summed over subspaces j at gather time: ``||q-c||^2`` is the coarse
+    distance already computed when ranking centroids, the A term is this
+    (Q, m, 256) table, and the cell term depends only on (cell, code) so it
+    is PRECOMPUTED AT BUILD TIME as the ``bterm`` column of the codes table
+    (:func:`cell_code_term`). The scan then needs no per-cell tables at all
+    — memory and Python-loop cost stop scaling with cells x queries.
+    """
+    nq = queries_proj.shape[0]
+    m, _, dsub = codebooks.shape
+    q = np.asarray(queries_proj, dtype=np.float64).reshape(nq, m, dsub)
+    dots = np.einsum("qjd,jkd->qjk", q, codebooks.astype(np.float64))
+    c2 = (codebooks.astype(np.float64) ** 2).sum(axis=2)  # (m, 256)
+    return (c2[None, :, :] - 2.0 * dots).astype(np.float32)
+
+
+def cell_code_term(
+    codes: np.ndarray, cluster_ids: np.ndarray, centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> np.ndarray:
+    """Query-independent ADC term per code row: ``2 * c . decode(code)``.
+
+    (n,) float32 for (n, m) codes in cells ``cluster_ids``. Stored in the
+    codes table at build time; see :func:`adc_query_tables` for the algebra.
+    """
+    decoded = decode(codes, codebooks).astype(np.float64)  # (n, d)
+    return (2.0 * np.einsum(
+        "nd,nd->n", decoded, centroids[cluster_ids].astype(np.float64)
+    )).astype(np.float32)
 
 
 def decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:

@@ -119,3 +119,37 @@ def test_fit_opq_dimension_cut():
         PQ.fit_opq(data, 2, 16)  # opq_dim > p
     with np.testing.assert_raises(ValueError):
         PQ.fit_opq(data, 5, 8)  # not divisible
+
+
+def test_decomposed_adc_equals_residual_lut():
+    """faiss-style precomputed-table identity: for residual IVF-PQ,
+    d2(q,c) + A_q[code] + bterm(row) == the per-(query, cell) residual-LUT
+    distance, for every (query, row) pair."""
+    rng = np.random.default_rng(5)
+    d, m, n, nq, C = 16, 4, 200, 7, 5
+    data = rng.normal(size=(n, d))
+    centroids = rng.normal(size=(C, d))
+    books = PQ.train_codebooks(rng.normal(size=(500, d)).astype(np.float32), m)
+    cid = rng.integers(0, C, size=n)
+    residuals = (data - centroids[cid]).astype(np.float32)
+    codes = PQ.encode(residuals, books)
+    queries = rng.normal(size=(nq, d))
+
+    # reference: per-(query, cell) residual LUTs
+    want = np.empty((n, nq))
+    for qi in range(nq):
+        for ci in range(C):
+            rows = cid == ci
+            if not rows.any():
+                continue
+            table = PQ.adc_table((queries[qi] - centroids[ci]).astype(np.float32), books)
+            want[rows, qi] = PQ.adc_scan(codes[rows], table)
+
+    # decomposition
+    A = PQ.adc_query_tables(queries, books)              # (nq, m, 256)
+    bterm = PQ.cell_code_term(codes, cid, centroids, books)  # (n,)
+    d2 = ((queries**2).sum(axis=1, keepdims=True)
+          - 2.0 * queries @ centroids.T
+          + (centroids**2).sum(axis=1)[None, :])         # (nq, C)
+    got = PQ.adc_scan_multi(codes, A) + bterm[:, None] + d2.T[cid].astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
