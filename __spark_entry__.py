@@ -326,6 +326,20 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition stats (boilerplate/spam filter)."""
+    from mindb_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / IPv4s / phones) with removal counts."""
+    from mindb_spark.operators.textops import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir))
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General aggregation surface (TPC-H Q1 shape) over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -390,9 +404,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no inequality-join fan-out.
     """
     from mindb_spark.operators.temporal import asof_join
+    from mindb_spark.sources import normalize_ts
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ts")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = normalize_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", F.col("o_orderdate").alias("ts")
+        )
     )
     events = _events(spark, sf_dir).select("user_id", "ts", "event_id").withColumnRenamed(
         "user_id", "o_custkey"
@@ -598,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
@@ -901,6 +921,44 @@ from m
         "text_fingerprint": r"""
 select doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) as fingerprint
 from documents
+""",
+        "text_repetition": r"""
+with toks as (
+  select doc_id, unnest(regexp_extract_all(text, '\S+')) t from documents
+),
+pt as (select doc_id, t, count(*) c from toks group by 1, 2),
+ag as (select doc_id, sum(c) n, count(*) nd, max(c) topc from pt group by 1),
+ln as (
+  select doc_id,
+         len(string_split(text, chr(10))) nl,
+         len(list_distinct(string_split(text, chr(10)))) ndl
+  from documents
+)
+select l.doc_id,
+       coalesce(a.n, 0)::BIGINT as n_tokens,
+       round(coalesce(a.nd * 1.0 / a.n, 0), 6) as distinct_token_ratio,
+       round(coalesce(a.topc * 1.0 / a.n, 0), 6) as top_token_ratio,
+       round(1.0 - l.ndl * 1.0 / l.nl, 6) as dup_line_ratio
+from ln l left join ag a using (doc_id)
+""",
+        "text_pii_scrub": r"""
+with s as (
+  select doc_id,
+         text t0,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') t1
+  from documents
+),
+s2 as (
+  select doc_id, t0, t1,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') t2
+  from s
+)
+select doc_id,
+       regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') as clean_text,
+       len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT as n_emails,
+       len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT as n_ips,
+       len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT as n_phones
+from s2
 """,
         "agg_pricing_summary": """
 select l_returnflag, l_linestatus,

@@ -116,3 +116,81 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fingerprint) — md5 of canonical (lower, ws-collapsed) text."""
     return df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family used to
+    filter boilerplate/spam from pre-training corpora).
+
+    Columns per doc:
+    - n_tokens             total whitespace tokens
+    - distinct_token_ratio distinct / total tokens (1.0 = no repetition)
+    - top_token_ratio      occurrences of the modal token / total tokens
+    - dup_line_ratio       1 - distinct lines / lines
+
+    Plan: line stats are per-row array expressions; token stats are one
+    explode + two codegen'd hash aggregates (doc,token) -> doc. Shuffle
+    bytes are bounded by distinct (doc, token) pairs — no per-doc
+    quadratic work, no higher-order-function loops over token arrays
+    (an `aggregate(filter(...))` mode-count would be O(tokens^2) per doc).
+    """
+    from mindb_spark.session import widen
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    lines = base.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("_nl"),
+        F.size(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("_ndl"),
+    )
+    tok = widen(base).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    per_tok = tok.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count("*").alias("_nd"),
+        F.max("_c").alias("_top"),
+    )
+    out = lines.join(agg, id_col, "left")
+    n = F.col("_n")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(F.col("_nd") / n, F.lit(0.0)), 6).alias("distinct_token_ratio"),
+        F.round(F.coalesce(F.col("_top") / n, F.lit(0.0)), 6).alias("top_token_ratio"),
+        F.round(F.lit(1.0) - F.col("_ndl") / F.col("_nl"), 6).alias("dup_line_ratio"),
+    )
+
+
+# PII patterns kept to the Java-regex/RE2 COMMON SUBSET (no lookaround, no
+# backreferences) so a SQL oracle replays the scrub byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; count what was removed.
+
+    Applied in a fixed order (email -> ip -> phone) with each count taken
+    against the previous stage's text, so counts compose deterministically
+    when patterns could overlap. Pure regexp expressions — whole-stage
+    codegen, no Python in the path.
+
+    Returns (id, clean_text, n_emails, n_ips, n_phones).
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("clean_text"),
+        F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+    )

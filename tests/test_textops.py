@@ -94,3 +94,47 @@ def test_detect_language_runs_on_testdata(docs):
     assert out.count() == docs.count()
     langs = {r.detected_lang for r in out.select("detected_lang").distinct().collect()}
     assert langs <= {"en", "es", "de", "fr", "und"}
+
+
+def test_repetition_stats_planted(spark):
+    from mindb_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),                      # one token repeated 4x
+            (2, "w x y z"),                      # all distinct
+            (3, "line\nline\nother"),            # duplicate line
+            (4, ""),                             # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].distinct_token_ratio == 0.25
+    assert got[1].top_token_ratio == 1.0
+    assert got[2].distinct_token_ratio == 1.0
+    assert got[2].top_token_ratio == 0.25
+    assert abs(got[3].dup_line_ratio - (1 - 2 / 3)) < 1e-6
+    assert got[4].n_tokens == 0 and got[4].top_token_ratio == 0.0
+
+
+def test_scrub_pii_planted(spark):
+    from mindb_spark.operators.textops import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk please"),
+            (2, "server 192.168.001.1 and phone 555-123-4567"),
+            (3, "nothing sensitive here"),
+            (4, "two mails a@b.io c@d.org and 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].clean_text == "mail me at <EMAIL> please"
+    assert got[1].n_emails == 1 and got[1].n_ips == 0
+    assert got[2].clean_text == "server <IP> and phone <PHONE>"
+    assert got[2].n_ips == 1 and got[2].n_phones == 1
+    assert got[3].clean_text == "nothing sensitive here"
+    assert got[4].n_emails == 2 and got[4].n_ips == 1
+    assert got[4].clean_text == "two mails <EMAIL> <EMAIL> and <IP>"
