@@ -340,6 +340,35 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(_docs(spark, sf_dir))
 
 
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed curation pipeline over documents — the shape a
+    pre-training data job actually runs: language-ID -> quality gate ->
+    exact dedup (first-id survivor) -> per-(lang, source) corpus stats.
+
+    Single declarative plan: Catalyst fuses the language/quality
+    projections into one pass over the scan, the dedup is one hash
+    aggregate, and the final rollup is a second; only doc_id/text/lang/
+    source/n_chars are read (column pruning).
+    """
+    from mindb_spark.operators.dedup import dedup_exact_survivors
+    from mindb_spark.operators.textops import detect_language, quality_features
+
+    docs = _docs(spark, sf_dir)
+    lang = detect_language(docs)
+    qual = quality_features(docs)
+    survivors = dedup_exact_survivors(docs).select("doc_id", "source")
+    kept = (
+        survivors.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where((F.col("detected_lang") == "en") & (F.col("quality_score") >= 0.5))
+    )
+    return kept.groupBy("detected_lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        _fl6(F.avg("quality_score")).alias("avg_quality"),
+    )
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General aggregation surface (TPC-H Q1 shape) over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -618,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "pipeline_curation": q_pipeline_curation,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
@@ -959,6 +989,47 @@ select doc_id,
        len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT as n_ips,
        len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT as n_phones
 from s2
+""",
+        "pipeline_curation": rf"""
+with keep as (
+  select min(doc_id) doc_id
+  from documents
+  group by md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+),
+t as (
+  select d.doc_id, d.source, regexp_extract_all(d.text, '\S+') toks
+  from documents d semi join keep using (doc_id)
+),
+m as (
+  select doc_id, source, len(toks) n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) avg_tok,
+         len(list_filter(toks, s -> list_contains({_STOPWORDS_SQL}, lower(s)))) stop_hits,
+         {lang_counts}
+  from t
+),
+q as (
+  select doc_id, source, n_tokens,
+         round(least(n_tokens / 64.0, 1.0)
+               * (case when avg_tok >= 2.0 and avg_tok <= 12.0 then 1.0 else 0.5 end)
+               * (case when stop_hits > 0 then 1.0 else 0.7 end), 6) quality_score,
+         greatest(c_de, c_en, c_es, c_fr) best, c_de, c_en, c_es, c_fr
+  from m
+),
+l as (
+  select *, case when best = 0 then 'und'
+                 when c_de = best then 'de'
+                 when c_en = best then 'en'
+                 when c_es = best then 'es'
+                 else 'fr' end detected_lang
+  from q
+)
+select detected_lang, source,
+       count(*) as n_docs,
+       sum(n_tokens)::BIGINT as total_tokens,
+       floor(avg(quality_score) * 1000000 + 0.5) / 1000000 as avg_quality
+from l
+where detected_lang = 'en' and quality_score >= 0.5
+group by 1, 2
 """,
         "agg_pricing_summary": """
 select l_returnflag, l_linestatus,

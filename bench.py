@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_langid",
+    "text_repetition",
+    "text_pii_scrub",
+    "pipeline_curation",
     "agg_pricing_summary",
     "join_top_customers",
     "window_top_events",
