@@ -1,0 +1,85 @@
+"""Physical-plan contracts: the scale properties the operators claim.
+
+These assertions pin the *plan shape*, not timings — the properties that
+decide whether a query survives a 100x scale-up: filter/column pushdown
+into the parquet scan, broadcast of small join sides, TakeOrderedAndProject
+(not global sort) for top-k, WindowGroupLimit partial top-k below windows,
+single-shuffle temporal plans, no nested-loop joins, and no Python UDFs in
+paths documented as JVM-side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return E.queries()
+
+
+def test_topk_join_uses_broadcast_and_takeordered(spark, sf_dir, qs):
+    p = plan_of(qs["join_top_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # top-k, never a global sort
+    assert "BroadcastHashJoin" in p      # dim side broadcast
+    assert "SortMergeJoin" not in p
+
+
+def test_filtered_knn_pushes_label_filter_to_scan(spark, sf_dir, qs):
+    p = plan_of(qs["filtered_knn"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    # the attribute filter must reach the parquet reader, not a post-scan Filter only
+    assert "PushedFilters: [" in p and "EqualTo(label,3)" in p
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir, qs):
+    for name in ("text_quality", "text_langid", "text_tokens", "text_fingerprint",
+                 "text_pii_scrub"):
+        p = plan_of(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "Exchange" not in p, f"{name}: narrow projection should not shuffle"
+
+
+def test_window_topk_uses_group_limit_pushdown(spark, sf_dir, qs):
+    p = plan_of(qs["window_top_events"](spark, sf_dir))
+    # rank<=k is executed as partial+final WindowGroupLimit, so each map task
+    # emits at most k rows per key into the single shuffle
+    assert p.count("WindowGroupLimit") >= 2
+    assert p.count("Exchange") == 1
+
+
+def test_sessionize_is_single_shuffle(spark, sf_dir, qs):
+    p = plan_of(qs["sessionize"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_has_no_nested_loop(spark, sf_dir, qs):
+    p = plan_of(qs["range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_asof_join_has_no_nested_loop_and_bounded_shuffles(spark, sf_dir, qs):
+    p = plan_of(qs["asof_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # union + carry-forward window: one hash shuffle for the window (+ AQE
+    # may add coalesces, which are not hash exchanges)
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_pricing_summary_prunes_and_pushes(spark, sf_dir, qs):
+    p = plan_of(qs["agg_pricing_summary"](spark, sf_dir))
+    # only the referenced lineitem columns are read
+    assert "l_orderkey" not in p.split("ReadSchema")[-1]
+    assert "l_shipdate" in p.split("PushedFilters")[-1].split("ReadSchema")[0]
+
+
+def test_dedup_exact_stays_on_codegen_hash_aggregate(spark, sf_dir, qs):
+    p = plan_of(qs["dedup_exact"](spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "ObjectHashAggregate" not in p and "SortAggregate" not in p
