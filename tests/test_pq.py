@@ -153,3 +153,45 @@ def test_decomposed_adc_equals_residual_lut():
           + (centroids**2).sum(axis=1)[None, :])         # (nq, C)
     got = PQ.adc_scan_multi(codes, A) + bterm[:, None] + d2.T[cid].astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_search_legacy_codes_without_bterm(request):
+    """Codes tables written before the bterm column (r2 saved indexes) must
+    search identically through the per-cell fallback path."""
+    import numpy as np
+    import pytest
+    from mindb_spark.core.heuristics import resolve_index_params
+    from mindb_spark.index import ivf
+    from mindb_spark.index.build import build_index
+
+    spark = request.getfixturevalue("spark")
+    tmp_path = request.getfixturevalue("tmp_path")
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(8, 16)) * 3.0
+    mat = centers[rng.integers(0, 8, size=3000)] + rng.normal(size=(3000, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    vdf = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(mat)], "id long, vector array<double>"
+    )
+    params = resolve_index_params(3000, 16)
+    arts, _ = build_index(vdf, params, str(tmp_path / "idx"), n_buckets=4)
+    codes = spark.read.parquet(str(tmp_path / "idx" / "codes"))
+    assert "bterm" in codes.columns
+    # simulate a legacy index: strip the precomputed column
+    codes.drop("bterm").write.mode("overwrite").partitionBy("cluster_bucket").parquet(
+        str(tmp_path / "legacy_codes")
+    )
+    legacy = spark.read.parquet(str(tmp_path / "legacy_codes"))
+
+    qs = [(int(i), mat[rng.integers(0, 3000)] + 0.02 * rng.normal(size=16)) for i in range(20)]
+    kw = dict(preliminary_top_k=100, final_top_k=10, n_probe=4,
+              max_trained_id=None, n_buckets=4)
+    got_new = sorted(
+        (r.query_id, r.id, round(r.cosine_similarity, 9))
+        for r in ivf.search(codes, vdf, arts, qs, **kw).collect()
+    )
+    got_legacy = sorted(
+        (r.query_id, r.id, round(r.cosine_similarity, 9))
+        for r in ivf.search(legacy, vdf, arts, qs, **kw).collect()
+    )
+    assert got_new == got_legacy
