@@ -625,6 +625,35 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via built-in session windows,
+    drained with availableNow (complete mode). Unified batch/stream
+    semantics make it oracle-checkable: the SQL twin rebuilds the sessions
+    with a strictly-greater-than gap break on exact-microsecond epochs
+    (an event at exactly prev+gap merges — pinned by the unit test)."""
+    import tempfile
+
+    from mindb_spark.sources import normalize_ts
+    from mindb_spark.streaming import run_stream_to_memory, sessionized_event_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    raw = normalize_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = sessionized_event_stats(raw, gap="30 minutes", watermark="1 hour")
+    name = "stream_sessions_entry"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(agg, name, ckpt)
+    return spark.table(name).select(
+        "user_id", "session_start_us", "session_end_us", "n_events",
+        _fl6(F.col("sum_value")).alias("sum_value"),
+    ).localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk": q_knn_topk,
@@ -655,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "agg_quantiles": q_agg_quantiles,
         "stream_window_agg": q_stream_window_agg,
+        "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1154,6 +1184,28 @@ select epoch(date_trunc('hour', ts))::BIGINT as window_epoch,
        floor(sum(value) * 1000000 + 0.5) / 1000000 as sum_value
 from events
 group by 1, 2
+""",
+        "stream_sessionize": """
+with g as (
+  select user_id, value, epoch_us(ts) us,
+         case when epoch_us(ts) - epoch_us(lag(ts) over w) > 1800 * 1000000
+                or lag(ts) over w is null
+              then 1 else 0 end brk
+  from events
+  window w as (partition by user_id order by ts)
+),
+s as (
+  select user_id, value, us,
+         sum(brk) over (partition by user_id order by us rows unbounded preceding) sid
+  from g
+)
+select user_id,
+       min(us)::BIGINT as session_start_us,
+       (max(us) + 1800 * 1000000)::BIGINT as session_end_us,
+       count(*) as n_events,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 as sum_value
+from s
+group by user_id, sid
 """,
         "window_top_events": """
 with ranked as (

@@ -119,6 +119,44 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(key, session) stats via Spark's built-in session windows.
+
+    The streaming twin of ``operators.temporal.session_stats``: the
+    ``session_window`` operator merges events separated by < gap into one
+    stateful window, evicting closed sessions by watermark — no hand-rolled
+    ``applyInPandasWithState`` needed, and the SAME expression runs on a
+    batch DataFrame (unified semantics), which is how the oracle checks it.
+
+    Boundary semantics are inclusive (pinned by test): an event at exactly
+    ``prev + gap`` MERGES into the running session — a new session starts
+    only when the gap is strictly exceeded, matching the batch
+    ``session_stats`` break condition.
+    Output: (key, session_start_us, session_end_us, n_events, sum_value);
+    epochs are microsecond-exact (no sub-second truncation).
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     id_col: str = "doc_id",

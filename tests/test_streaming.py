@@ -135,3 +135,42 @@ def test_streaming_dedup_across_batches(spark, tmpdir):
     assert texts == {"alpha text", "beta text", "gamma text"}
     assert 4 not in emitted and 3 not in emitted
     assert len(emitted) == 3
+
+
+def test_session_window_boundary_and_stream_matches_batch(spark, tmpdir):
+    """Built-in session windows: an event at EXACTLY prev+gap merges into
+    the running session (inclusive boundary — same break condition as the
+    batch session_stats), and the availableNow-drained stream equals the
+    batch evaluation of the same expression."""
+    from datetime import datetime, timedelta
+
+    from mindb_spark.streaming import run_stream_to_memory, sessionized_event_stats
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    gap = timedelta(minutes=30)
+    rows = [
+        # user 1: two close events, one at EXACTLY the gap (merges), then
+        # one a microsecond past the gap (new session)
+        (1, t0, 1.0),
+        (1, t0 + timedelta(minutes=10), 2.0),
+        (1, t0 + timedelta(minutes=10) + gap, 4.0),  # boundary -> merges
+        (1, t0 + timedelta(minutes=40) + gap + timedelta(microseconds=1), 16.0),
+        # user 2: single event with sub-second micros
+        (2, t0 + timedelta(microseconds=123456), 8.0),
+    ]
+    batch = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = os.path.join(tmpdir, "sess_events")
+    batch.coalesce(1).write.parquet(src)
+
+    expected = {
+        tuple(r) for r in sessionized_event_stats(batch, gap="30 minutes").collect()
+    }
+    by_user1 = sorted((r for r in expected if r[0] == 1), key=lambda r: r[1])
+    assert len(by_user1) == 2            # boundary merged, past-boundary split
+    assert by_user1[0][3] == 3 and by_user1[1][3] == 1
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = sessionized_event_stats(stream, gap="30 minutes", watermark="1 hour")
+    run_stream_to_memory(agg, "sess_stream", os.path.join(tmpdir, "ck_sess"))
+    got = {tuple(r) for r in spark.table("sess_stream").collect()}
+    assert got == expected
