@@ -500,6 +500,21 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
 
 
+def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine self-join bucketed by a learned k-means coarse
+    quantizer with 2-probe multi-assignment — the data-adaptive linear
+    scale path (vs the random-plane LSH twin). Seeded/deterministic;
+    rows-only check (learned buckets are not SQL-expressible); subset-of-
+    exact + recall evidence in tests/test_topk.py."""
+    from mindb_spark.operators.similarity import cosine_pairs_ivf
+
+    out = cosine_pairs_ivf(
+        _emb(spark, sf_dir), 0.45, id_col="vec_id", vector_col="embedding",
+        n_assign=2, seed=42,
+    )
+    return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState): first occurrence
     per fingerprint survives across micro-batches. Drained with
@@ -693,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "set_ops": q_set_ops,
         "similarity_join_lsh": q_similarity_join_lsh,
+        "similarity_join_ivf": q_similarity_join_ivf,
     }
 
 

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "agg_rollup",
     "set_ops",
     "similarity_join_lsh",
+    "similarity_join_ivf",
+    "stream_sessionize",
     "sessionize",
     "range_join",
     "agg_quantiles",
@@ -200,14 +202,22 @@ def main() -> None:
         lsh_rows = E.q_similarity_join_lsh(spark, SF_DIR).collect()
         lsh_s = round(time.time() - t0, 3)
         lsh_pairs = {(r.id_a, r.id_b) for r in lsh_rows}
+        t0 = time.time()
+        ivf_pairs = {
+            (r.id_a, r.id_b) for r in E.q_similarity_join_ivf(spark, SF_DIR).collect()
+        }
+        ivf_s = round(time.time() - t0, 3)
         sim_compare = {
             "tau": 0.45,
             "exact_pairs": len(exact_pairs),
             "lsh_pairs": len(lsh_pairs),
-            "pair_recall": round(len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 4),
+            "ivf_pairs": len(ivf_pairs),
+            "lsh_pair_recall": round(len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 4),
+            "ivf_pair_recall": round(len(exact_pairs & ivf_pairs) / max(1, len(exact_pairs)), 4),
             "exact_sec": exact_s,
             "lsh_sec": lsh_s,
-            "note": "exact is the O(n^2) baseline; lsh is the linear scale path",
+            "ivf_sec": ivf_s,
+            "note": "exact is the O(n^2) baseline; lsh/ivf are the linear scale paths",
         }
         print(f"# exact-vs-lsh similarity = {sim_compare}", file=sys.stderr)
     except Exception as e:

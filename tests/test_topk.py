@@ -149,3 +149,42 @@ def test_entry_lsh_subset_of_exact_with_equal_scores(spark, sf_dir):
     recall = len(lsh) / max(1, len(exact))
     assert len(exact) > 0
     assert recall >= 0.5, f"LSH pair recall {recall} below documented floor"
+
+
+def test_cosine_pairs_ivf_recall(near_dup_corpus):
+    """Learned-quantizer bucketed join: subset of exact pairs, identical
+    scores, high recall on planted near-dups (clustered data is its
+    favorable regime)."""
+    df, mat = near_dup_corpus
+    tau = 0.9
+    sims = mat @ mat.T
+    n = len(mat)
+    exact = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= tau
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_ivf(
+            df, tau, n_cells=16, n_assign=2, assume_normalized=True,
+        ).collect()
+    }
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"IVF-join recall too low: {recall}"
+
+
+def test_cosine_pairs_ivf_empty_and_deterministic(spark):
+    import numpy as np
+
+    empty = spark.createDataFrame([], "id long, vector array<double>")
+    assert S.cosine_pairs_ivf(empty, 0.5).count() == 0
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(60, 8))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(m)], "id long, vector array<double>"
+    )
+    a = sorted(tuple(r) for r in S.cosine_pairs_ivf(df, 0.3, seed=9, assume_normalized=True).collect())
+    b = sorted(tuple(r) for r in S.cosine_pairs_ivf(df, 0.3, seed=9, assume_normalized=True).collect())
+    assert a == b
