@@ -351,17 +351,19 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     source/n_chars are read (column pruning).
     """
     from mindb_spark.operators.dedup import dedup_exact_survivors
-    from mindb_spark.operators.textops import detect_language, quality_features
+    from mindb_spark.operators.textops import language_columns, quality_columns
 
     docs = _docs(spark, sf_dir)
-    lang = detect_language(docs)
-    qual = quality_features(docs)
-    survivors = dedup_exact_survivors(docs).select("doc_id", "source")
-    kept = (
-        survivors.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .where((F.col("detected_lang") == "en") & (F.col("quality_score") >= 0.5))
-    )
+    # language + quality are PER-ROW projections: fuse them onto the
+    # survivor rows (column builders) instead of shuffle-joining three
+    # per-doc frames — one dedup shuffle is the whole exchange budget
+    lang, qual = language_columns("text"), quality_columns("text")
+    kept = dedup_exact_survivors(docs).select(
+        "source",
+        lang["detected_lang"].alias("detected_lang"),
+        qual["quality_score"].alias("quality_score"),
+        qual["n_tokens"].alias("n_tokens"),
+    ).where((F.col("detected_lang") == "en") & (F.col("quality_score") >= 0.5))
     return kept.groupBy("detected_lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -40,9 +40,11 @@ def language_scores(text_col: Column | str) -> dict[str, Column]:
     return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
 
 
-def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, detected_lang, marker_hits): argmax language by marker count.
+def language_columns(text_col: Column | str) -> dict[str, Column]:
+    """Column-level language ID: {'detected_lang', 'marker_hits'}.
 
+    Exposed so pipelines can FUSE the projection onto another frame
+    (e.g. dedup survivors) instead of paying a per-doc shuffle join.
     Tie-break is alphabetical-by-language (deterministic); zero hits in
     every language yields 'und' (undetermined).
     """
@@ -54,19 +56,26 @@ def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     for lang in reversed(langs):
         pick = F.when(scores[lang] == best_count, F.lit(lang)).otherwise(pick)
     pick = F.when(best_count == 0, F.lit("und")).otherwise(pick)
+    return {
+        "detected_lang": pick,
+        "marker_hits": best_count.cast("long"),
+    }
+
+
+def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, detected_lang, marker_hits): argmax language by marker count."""
+    cols = language_columns(text_col)
     return df.select(
         F.col(id_col),
-        pick.alias("detected_lang"),
-        best_count.cast("long").alias("marker_hits"),
+        cols["detected_lang"].alias("detected_lang"),
+        cols["marker_hits"].alias("marker_hits"),
     )
 
 
-def quality_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-doc quality features: lengths, ratios, a composite score.
+def quality_columns(text_col: Column | str) -> dict[str, Column]:
+    """Column-level quality features — fuse-able like :func:`language_columns`.
 
-    Columns (all deterministic arithmetic, rounded where fractional):
+    Keys (all deterministic arithmetic, rounded where fractional):
     - n_chars, n_tokens
     - avg_token_len   = n_chars_in_tokens / n_tokens
     - punct_ratio     = punctuation chars / chars
@@ -75,10 +84,11 @@ def quality_features(
                         (has sane avg token len) x (has some stopwords)
     """
     toks = tokens(text_col)
-    n_chars = F.length(F.col(text_col))
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(tcol)
     n_tokens = F.size(toks)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    punct = F.length(F.regexp_replace(tcol, PUNCT_CLASS, ""))
     stop_hits = _marker_hits(toks, STOPWORDS_EN)
 
     avg_tok = tok_chars / F.greatest(n_tokens, F.lit(1))
@@ -90,14 +100,23 @@ def quality_features(
     stop_signal = F.when(stop_ratio > 0.0, F.lit(1.0)).otherwise(F.lit(0.7))
     score = length_signal * tok_signal * stop_signal
 
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(avg_tok, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features: lengths, ratios, a composite score."""
+    cols = quality_columns(text_col)
     return df.select(
-        F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(avg_tok, 6).alias("avg_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
