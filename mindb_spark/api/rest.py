@@ -152,6 +152,10 @@ class RestServer:
         if not isinstance(add_data, list):
             raise _HTTPError(400, "add_data must be a list of (vector, metadata) pairs")
         db.add([(v, m) for v, m in add_data])
+        # reference semantics (fastapi.py:173-186): adding may trip the
+        # auto-train policy; training runs on a background thread and the
+        # add response is not delayed
+        self.engine.maybe_auto_train_async(name)
         return {"message": "Vectors and text added successfully"}
 
     def _r_remove(self, body: dict, name: str) -> dict:

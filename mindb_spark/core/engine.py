@@ -118,6 +118,26 @@ class Engine:
         ids = self.get_db(name).add(data)
         return ids
 
+    def maybe_auto_train_async(self, name: str) -> bool:
+        """Post-add auto-train trigger, reference-style: if the policy
+        (training_utils.py:148-188, wired at fastapi.py:173-186) flags this
+        database, kick off a BACKGROUND train and return True. Never raises
+        on a concurrent train — the policy itself treats in-progress as
+        "don't trigger"."""
+        db = self.get_db(name)
+        in_progress = self.train_status(name) == "in progress"
+        should = needs_initial_training(db.num_vectors, db.is_trained, in_progress) or (
+            db.is_trained
+            and needs_retraining(db.num_vectors, db.coverage_ratio(), in_progress)
+        )
+        if not should:
+            return False
+        try:
+            self.train(name, block=False)
+        except TrainingInProgressError:
+            return False
+        return True
+
     def remove(self, name: str, ids) -> list[int]:
         return self.get_db(name).remove(ids)
 

@@ -171,3 +171,34 @@ def test_rest_async_train_polling_while_serving(client):
 
     assert client("POST", "/db/asyncdb/remove", {"ids": [0, 1, 2]})[0] == 200
     assert client("POST", "/db/asyncdb/delete")[0] == 200
+
+
+def test_rest_add_trips_auto_train(client, monkeypatch):
+    """Reference semantics (fastapi.py:173-186): a POST /add that pushes the
+    database over the training cutoff starts a BACKGROUND train without any
+    explicit /train call."""
+    import time
+
+    import mindb_spark.core.heuristics as H
+
+    monkeypatch.setattr(H, "TRAINING_CUTOFF", 40)
+
+    assert client("POST", "/db/create", {"name": "autodb"})[0] == 200
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 8)).astype(float)
+    add_data = [[v.tolist(), {"i": i}] for i, v in enumerate(vecs)]
+    assert client("POST", "/db/autodb/add", {"add_data": add_data})[0] == 200
+
+    final = None
+    for _ in range(240):
+        status, out = client("GET", "/db/autodb/train")
+        final = out["status"]
+        if final in ("complete", "failed"):
+            break
+        time.sleep(0.5)
+    assert final == "complete"  # never POSTed /train — the add triggered it
+
+    status, out = client("GET", "/db/autodb/info")
+    info = json.loads(out["db_info"])
+    assert info["num_vectors_trained_on"] == 60
+    assert client("POST", "/db/autodb/delete")[0] == 200
