@@ -325,6 +325,45 @@ class VectorDB:
                 shutil.rmtree(old_dir, ignore_errors=True)
         return existing
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite the vectors table as few id-sorted files; returns the
+        new file count.
+
+        Streaming ingest (``foreachBatch``) appends one parquet file per
+        micro-batch, so a long-running stream accumulates thousands of
+        small files that tax every scan's planning and IO — the classic
+        small-file problem (Delta's ``OPTIMIZE`` analog). Compaction
+        materializes the next snapshot version (same versioned-swap
+        protocol as ``remove``, so in-flight training snapshot pins are
+        honored) with ``repartitionByRange(id)`` + in-partition sort: the
+        id column's min/max row-group stats become disjoint ranges, so
+        id-range scans (the unindexed-tail search ``id > max_trained_id``,
+        candidate fetches) prune files and row groups instead of reading
+        everything.
+        """
+        with self._lock:
+            current = self.vectors()
+            n = current.count()
+            if n == 0:
+                return 0
+            n_files = max(1, -(-n // int(target_rows_per_file)))
+            next_version = self._manifest["data_version"] + 1
+            next_dir = os.path.join(self.path, "vectors", f"v{next_version}")
+            (
+                current.repartitionByRange(n_files, F.col("id"))
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(next_dir)
+            )
+            old_dir = self._data_dir
+            self._manifest["data_version"] = next_version
+            self._save_manifest()
+            if old_dir in self._pins:
+                self._deferred_rm.append(old_dir)
+            else:
+                shutil.rmtree(old_dir, ignore_errors=True)
+        return n_files
+
     # ------------------------------------------------------------- train
     def train(
         self,

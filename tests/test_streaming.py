@@ -174,3 +174,40 @@ def test_session_window_boundary_and_stream_matches_batch(spark, tmpdir):
     run_stream_to_memory(agg, "sess_stream", os.path.join(tmpdir, "ck_sess"))
     got = {tuple(r) for r in spark.table("sess_stream").collect()}
     assert got == expected
+
+
+def test_compact_after_streaming_ingest(spark, tmpdir):
+    """Per-micro-batch appends accumulate small files; compact() rewrites
+    them id-sorted into few files with identical content, and the db keeps
+    working (add/remove/query) on the new snapshot."""
+    src = os.path.join(tmpdir, "incoming_c")
+    _write_vector_files(spark, src, batches=5, rows=20, dim=8)
+
+    db = VectorDB(spark, "compactdb", base_path=os.path.join(tmpdir, "dbs_c"))
+    stream = (
+        spark.readStream.schema("vector array<double>, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_vectors(db, stream, os.path.join(tmpdir, "ckpt_c"), metadata_col="tag")
+    q.awaitTermination()
+    assert db.num_vectors == 100
+
+    def parquet_files():
+        d = db._data_dir
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(parquet_files()) >= 5  # one file per micro-batch
+    before = {(r.id, tuple(r.vector)) for r in db.vectors().collect()}
+
+    n_files = db.compact(target_rows_per_file=60)
+    assert n_files == 2 and len(parquet_files()) == 2
+    after = {(r.id, tuple(r.vector)) for r in db.vectors().collect()}
+    assert after == before
+
+    # the db still functions on the compacted snapshot
+    db.add([([1.0] + [0.0] * 7, None)])
+    assert db.num_vectors == 101
+    assert db.remove([0]) == [0]
+    assert db.num_vectors == 100
+    db.delete()
