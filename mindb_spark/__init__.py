@@ -22,3 +22,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# reference-parity convenience surface: the reference's `from mindb import
+# minDB` becomes `from mindb_spark import VectorDB` (one database) or
+# `Engine` (the multi-db registry behind the REST routes)
+from mindb_spark.core.database import VectorDB  # noqa: E402
+from mindb_spark.core.engine import Engine  # noqa: E402
+
+__all__ = ["VectorDB", "Engine", "__version__"]
