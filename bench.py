@@ -68,23 +68,30 @@ def main() -> None:
 
     qs = E.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         # best-of-2 steady-state timing: the first pass absorbs plan
         # compilation/codegen and any GC debt from the previous query;
         # between passes persisted blocks are dropped and garbage collected
         # so one query's memory pressure doesn't bleed into the next.
-        best = None
-        for _ in range(2):
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Fault-isolated per query (round-2 lesson: one data-drift throw
+        # must degrade ONE row, not zero out the whole scoreboard).
+        try:
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     # quality gate alongside throughput: ANN recall@10 vs exact brute force
     # (BASELINE.md's contract is recall >= 0.97 trained / ~1.0 flat)
@@ -242,6 +249,7 @@ def main() -> None:
                 "clustered_heuristic_probe": clustered,
                 "similarity_exact_vs_lsh": sim_compare,
                 "baseline_only": ["similarity_join", "dedup_embedding"],
+                "errors": errors or None,
             }
         )
     )
