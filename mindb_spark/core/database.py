@@ -133,6 +133,22 @@ class VectorDB:
             return 0
         return self.vectors().count()
 
+    @property
+    def num_vectors_fast(self) -> int:
+        """Live row count from manifest counters alone — no Spark job.
+
+        Exact under the counter invariants (add: new++; remove: removed++/
+        new--; train: counters rebased against the live table), so policy
+        checks on hot paths (the post-add auto-train trigger) stay O(1)
+        like the reference's in-memory bookkeeping.
+        """
+        m = self._manifest
+        return (
+            m["num_vectors_trained_on"]
+            - m["num_trained_vectors_removed"]
+            + m["num_new_vectors"]
+        )
+
     def _has_data(self) -> bool:
         d = self._data_dir
         return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))

@@ -126,9 +126,12 @@ class Engine:
         "don't trigger"."""
         db = self.get_db(name)
         in_progress = self.train_status(name) == "in progress"
-        should = needs_initial_training(db.num_vectors, db.is_trained, in_progress) or (
+        # manifest-counter count: the per-add policy check must not cost a
+        # Spark job (the reference's check is an in-memory dict lookup)
+        n = db.num_vectors_fast
+        should = needs_initial_training(n, db.is_trained, in_progress) or (
             db.is_trained
-            and needs_retraining(db.num_vectors, db.coverage_ratio(), in_progress)
+            and needs_retraining(n, db.coverage_ratio(), in_progress)
         )
         if not should:
             return False

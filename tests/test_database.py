@@ -221,3 +221,21 @@ def test_opq_training_recall(spark, tmp_path, clustered_corpus):
     recalls = [len(by_q[i] & set(gt[i].tolist())) / 10 for i in range(20)]
     assert np.mean(recalls) > 0.85, f"recall too low: {np.mean(recalls)} {recalls}"
     db.delete()
+
+
+def test_num_vectors_fast_matches_count_through_lifecycle(spark, tmp_path):
+    """Manifest-counter live count == actual count() through add/remove/train."""
+    import numpy as np
+
+    db = VectorDB(spark, "fastcount", base_path=str(tmp_path))
+    rng = np.random.default_rng(2)
+    db.add([(v.tolist(), None) for v in rng.normal(size=(30, 8))])
+    assert db.num_vectors_fast == db.num_vectors == 30
+    db.remove([0, 5, 7])
+    assert db.num_vectors_fast == db.num_vectors == 27
+    db.train()
+    assert db.num_vectors_fast == db.num_vectors == 27
+    db.add([(v.tolist(), None) for v in rng.normal(size=(4, 8))])
+    db.remove([1, 28])  # one pre-watermark, one post-watermark id
+    assert db.num_vectors_fast == db.num_vectors == 29
+    db.delete()
