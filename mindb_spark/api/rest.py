@@ -195,6 +195,10 @@ class RestServer:
             qv,
             preliminary_top_k=int(body.get("preliminary_top_k", 500)),
             final_top_k=int(body.get("final_top_k", 100)),
+            # beyond-reference: the reference README's declared next feature
+            # (metadata filtering) — SQL boolean over the row, e.g.
+            # "get_json_object(metadata, '$.lang') = 'en'"
+            metadata_filter=body.get("metadata_filter"),
         )
         return {
             "metadata": res["metadata"],

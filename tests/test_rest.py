@@ -202,3 +202,29 @@ def test_rest_add_trips_auto_train(client, monkeypatch):
     info = json.loads(out["db_info"])
     assert info["num_vectors_trained_on"] == 60
     assert client("POST", "/db/autodb/delete")[0] == 200
+
+
+def test_rest_query_metadata_filter(client):
+    """Beyond-reference: /query accepts a metadata_filter SQL expression
+    (the reference README's declared next feature)."""
+    assert client("POST", "/db/create", {"name": "filterdb"})[0] == 200
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(30, 8)).astype(float)
+    add_data = [[v.tolist(), {"lang": "en" if i % 3 == 0 else "de"}] for i, v in enumerate(vecs)]
+    assert client("POST", "/db/filterdb/add", {"add_data": add_data})[0] == 200
+
+    status, out = client(
+        "POST", "/db/filterdb/query",
+        {"query_vector": vecs[1].tolist(), "final_top_k": 5,
+         "metadata_filter": "get_json_object(metadata, '$.lang') = 'en'"},
+    )
+    assert status == 200 and len(out["ids"]) == 5
+    assert all(m["lang"] == "en" for m in out["metadata"])
+    assert 1 not in out["ids"]  # the query vector itself is lang=de, filtered out
+    # malformed filter surfaces as a 500 with detail, not a hang
+    status, out = client(
+        "POST", "/db/filterdb/query",
+        {"query_vector": vecs[0].tolist(), "metadata_filter": "no such ("},
+    )
+    assert status == 500 and "detail" in out
+    assert client("POST", "/db/filterdb/delete")[0] == 200
