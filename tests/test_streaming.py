@@ -211,3 +211,46 @@ def test_compact_after_streaming_ingest(spark, tmpdir):
     assert db.remove([0]) == [0]
     assert db.num_vectors == 100
     db.delete()
+
+
+def test_watermark_drops_late_events_after_eviction(spark, tmpdir):
+    """Event-time late-data GUARANTEE (append mode): once the watermark has
+    closed a window — its row emitted, its state evicted — a later row for
+    that window is dropped: the window is neither reopened nor re-emitted
+    (no duplicate window rows downstream). Note Spark's documented
+    one-sided contract: a late row arriving while the state is still live
+    MAY still be merged (drop-before-eviction is best-effort), so the test
+    pins the eviction case, which is the semantics sinks rely on.
+    """
+    import time as _time
+    from datetime import datetime
+
+    src = os.path.join(tmpdir, "late_events")
+    ts = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    sch = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # file mtime order == processing order
+
+    # batch 0: the 09:00 window (2 rows) + a 12:00 row -> watermark 11:00
+    write_file([(1, ts(9, 0), "click", 1.0), (2, ts(9, 30), "click", 1.0),
+                (3, ts(12, 0), "click", 1.0)])
+    # batch 1: fresh row; watermark 11:00 closes 09:00 -> emitted, evicted
+    write_file([(4, ts(12, 30), "click", 1.0)])
+    # batch 2: a 09:15 row — LATE, state long gone -> must be dropped
+    write_file([(5, ts(9, 15), "click", 1.0), (6, ts(13, 30), "click", 1.0)])
+
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    run_stream_to_memory(
+        agg, "late_win", os.path.join(tmpdir, "ck_late"), output_mode="append"
+    )
+    rows = [
+        r for r in spark.table("late_win").collect()
+        if r.window_start == ts(9, 0)
+    ]
+    assert len(rows) == 1          # emitted exactly once, never re-emitted
+    assert rows[0].n_events == 2   # the late row did not resurrect the window
