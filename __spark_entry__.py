@@ -288,6 +288,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup grouping: Jaccard pair edges -> connected
+    components (min-label propagation). Oracle: DuckDB recursive CTE over
+    the identical edge set."""
+    from mindb_spark.operators.dedup import near_dup_components
+
+    out = near_dup_components(
+        _docs(spark, sf_dir), NEAR_DUP_TAU, k=JACCARD_K,
+        max_shingle_freq=JACCARD_MAX_DF,
+    )
+    return out.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (md5-derived bits — engine-portable, so the
     DuckDB oracle recomputes the exact signatures; the banding is a
@@ -688,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -933,6 +947,32 @@ jacf as (
 select id_a, id_b, floor(j * 1000000 + 0.5) / 1000000 as jaccard from jacf where j >= {NEAR_DUP_TAU}
 """,
         "dedup_minhash": _minhash_sql(),
+        "dedup_components": f"""
+with recursive {_SHINGLE_CTE.strip()},
+stop as (
+  select shingle from ex group by shingle having count(*) > {JACCARD_MAX_DF}
+),
+exf as (select * from ex anti join stop using (shingle)),
+interf as (
+  select a.doc_id id_a, b.doc_id id_b, count(*) i,
+         any_value(a.n) na, any_value(b.n) nb
+  from exf a join exf b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select id_a, id_b from interf where i * 1.0 / (na + nb - i) >= {NEAR_DUP_TAU}
+),
+und as (
+  select id_a a, id_b b from pairs union select id_b, id_a from pairs
+),
+lab(node, lbl) as (
+  select distinct a, a from und
+  union
+  select u.b, l.lbl from lab l join und u on u.a = l.node
+)
+select node as doc_id, min(lbl) as component from lab group by node
+""",
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "multimodal_decode": _DECODE_SQL,
         "dedup_embedding": f"""

@@ -149,6 +149,83 @@ def ngram_jaccard_pairs(
         cached.unpersist()
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph: (id, component)
+    with ``component`` = the minimum id reachable from ``id``.
+
+    The missing step between pairwise near-dup candidates (Jaccard /
+    MinHash / SimHash / embedding joins, which emit EDGES) and survivor
+    selection: duplicates are transitive, so keep-one-per-group must
+    group by component, not by pair.
+
+    Min-label propagation: each iteration every node takes
+    ``min(own label, neighbor labels)`` — two codegen'd shuffles (join +
+    groupBy-min) per iteration, ``localCheckpoint`` truncating the plan
+    so lineage doesn't grow with iterations, early-stop when an iteration
+    changes nothing. Converges in graph-diameter iterations; near-dup
+    clusters are dense and shallow (diameter ~2-3), so this beats the
+    O(log n)-round star algorithms' per-round constant at this workload.
+    Iteration count capped defensively; raise for pathological chains.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(prop, labels.id == prop.dst, "left")
+            .select(
+                "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where("n.lbl != o.lbl")
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def near_dup_components(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(id, component) for every doc in at least one near-dup pair:
+    n-gram Jaccard edges -> connected components. Survivor selection is
+    then ``groupBy(component).min(id)`` + an anti/semi join."""
+    pairs = ngram_jaccard_pairs(
+        df, threshold, id_col=id_col, text_col=text_col, k=k,
+        max_shingle_freq=max_shingle_freq,
+    )
+    return connected_components(pairs)
+
+
 def _signatures_from_shingled(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """Signature aggregation over exploded (id, shingle) rows.
 

@@ -147,3 +147,32 @@ def test_simhash_hamming_semantics(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df, max_hamming=8).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 4) not in pairs
+
+
+def test_connected_components_basic(spark):
+    from mindb_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from mindb_spark.operators.dedup import connected_components
+
+    n = 30  # path graph: worst case for min-label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges, max_iter=64).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_empty(spark):
+    from mindb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
