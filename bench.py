@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_components",
     "text_quality",
     "text_langid",
     "text_repetition",
