@@ -226,6 +226,18 @@ def near_dup_components(
     return connected_components(pairs)
 
 
+def survivors_from_components(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per near-dup component (the min id — the component
+    label); docs in no component survive untouched. One anti-join against
+    the non-representative members."""
+    drop = components.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def _signatures_from_shingled(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """Signature aggregation over exploded (id, shingle) rows.
 

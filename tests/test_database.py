@@ -239,3 +239,34 @@ def test_num_vectors_fast_matches_count_through_lifecycle(spark, tmp_path):
     db.remove([1, 28])  # one pre-watermark, one post-watermark id
     assert db.num_vectors_fast == db.num_vectors == 29
     db.delete()
+
+
+def test_trained_query_with_metadata_filter(spark, tmp_path, monkeypatch):
+    """Pre-filtered search on the TRAINED path: results honor the filter
+    and equal the filtered brute force (prelim_k covers the corpus here,
+    so the two-stage result is exact)."""
+    import numpy as np
+
+    import mindb_spark.core.heuristics as H
+
+    monkeypatch.setattr(H, "FLAT_INDEX_CUTOFF", 100)  # force a real IVF train
+    db = VectorDB(spark, "filtertrained", base_path=str(tmp_path))
+    rng = np.random.default_rng(4)
+    mat = rng.normal(size=(600, 16))
+    db.add([(v.tolist(), {"lang": "en" if i % 2 == 0 else "de"}) for i, v in enumerate(mat)])
+    db.train()
+    assert db.is_trained
+
+    q = mat[10]
+    res = db.query(q, preliminary_top_k=600, final_top_k=5,
+                   metadata_filter="get_json_object(metadata, '$.lang') = 'en'")
+    assert len(res["ids"]) == 5
+    assert all(m["lang"] == "en" for m in res["metadata"])
+
+    # brute force over the filtered (normalized) corpus
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    even = np.arange(0, 600, 2)
+    order = even[np.argsort(-(norm[even] @ qn), kind="stable")][:5]
+    assert res["ids"] == [int(i) for i in order]
+    db.delete()

@@ -176,3 +176,19 @@ def test_connected_components_empty(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_survivors_from_components(spark):
+    from mindb_spark.operators.dedup import (
+        connected_components,
+        survivors_from_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+    comps = connected_components(edges)
+    kept = sorted(r.doc_id for r in survivors_from_components(docs, comps).collect())
+    # {1,2,5} -> keep 1; {6,7} -> keep 6; 0,3,4 untouched
+    assert kept == [0, 1, 3, 4, 6]
