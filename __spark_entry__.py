@@ -384,6 +384,27 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified mixture draw over documents (seeded,
+    engine-portable md5 ordering — the oracle replays the same draw)."""
+    from mindb_spark.operators.sampling import stratified_sample_exact
+
+    out = stratified_sample_exact(
+        _docs(spark, sf_dir), "lang", {"en": 120, "de": 80, "fr": 40}, seed=7
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset shard assignment for sequence packing (scale-safe
+    two-phase prefix sum, no global single-task window)."""
+    from mindb_spark.operators.sampling import assign_token_shards
+    from mindb_spark.operators.textops import token_counts
+
+    toks = token_counts(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return assign_token_shards(toks, budget=4096)
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General aggregation surface (TPC-H Q1 shape) over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -709,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "pipeline_curation": q_pipeline_curation,
+        "sample_mixture": q_sample_mixture,
+        "pack_shards": q_pack_shards,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
@@ -1119,6 +1142,33 @@ select detected_lang, source,
 from l
 where detected_lang = 'en' and quality_score >= 0.5
 group by 1, 2
+""",
+        "sample_mixture": """
+with r as (
+  select doc_id, lang,
+         row_number() over (
+           partition by lang
+           order by md5(concat('7', ':', doc_id)), doc_id
+         ) rn
+  from documents
+)
+select doc_id, lang from r
+where (lang = 'de' and rn <= 80)
+   or (lang = 'en' and rn <= 120)
+   or (lang = 'fr' and rn <= 40)
+""",
+        "pack_shards": r"""
+with t as (
+  select doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT n_tokens
+  from documents
+),
+s as (
+  select doc_id, n_tokens,
+         (sum(n_tokens) over (order by doc_id rows unbounded preceding) - n_tokens)::BIGINT as "offset"
+  from t
+)
+select doc_id, n_tokens, "offset", ("offset" // 4096)::BIGINT as shard_id
+from s
 """,
         "agg_pricing_summary": """
 select l_returnflag, l_linestatus,

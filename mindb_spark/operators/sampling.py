@@ -1,0 +1,107 @@
+"""Corpus-construction operators: mixture sampling and sequence sharding.
+
+The two planning steps a pre-training data build runs after filtering and
+dedup: draw an exact per-domain mixture, then lay documents out into
+fixed-token-budget shards for sequence packing. Both are deterministic
+(seeded, engine-portable md5 ordering) and fully SQL-expressible, so the
+DuckDB oracle replays them row-for-row.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    counts: dict[str, int],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT-count per-stratum sample (mixture construction).
+
+    ``df.sampleBy`` is Bernoulli — counts fluctuate, which is wrong when a
+    mixture spec says "exactly 3M rows of code, 1M of math". This draws
+    exactly ``counts[stratum]`` rows (or all, if fewer exist) by ranking
+    each stratum with a seeded, engine-portable hash order
+    (``md5(seed:id)``, id tiebreak) and keeping the first N.
+
+    Plan: ONE hash-partition shuffle on the stratum column + an
+    in-partition sort (the rank window). Strata are processed in parallel;
+    a mega-stratum is one sorted partition chain, not a global sort. The
+    hash order makes the draw a uniform random sample, reproducible across
+    engines and runs.
+    """
+    order_key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(order_key, F.col(id_col))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col(strata_col) == F.lit(k)) & (F.col("_rn") <= int(n))
+            for k, n in sorted(counts.items())
+        ],
+    )
+    return ranked.where(cond).drop("_rn")
+
+
+def assign_token_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Contiguous token-offset sharding for sequence packing.
+
+    Lays documents out in deterministic ``id`` order and assigns each a
+    global token ``offset`` (exclusive prefix sum of token counts) and a
+    ``shard_id = offset // budget`` — the plan a packing job consumes to
+    build fixed-budget training sequences.
+
+    A naive global ``Window.orderBy(id)`` computes the prefix sum in ONE
+    task — the single-node bottleneck that kills this at 100 TB. Instead
+    the scale-safe two-phase shape (same as the engine's gapless id
+    allocation): range-partition by id, per-partition token totals to the
+    driver (tiny: one number per partition), cumulate into partition base
+    offsets, broadcast-join them back, and run the prefix-sum window
+    WITHIN each partition — every stage parallel, one range shuffle.
+    """
+    spark = df.sparkSession
+    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
+    parted = (
+        df.select(F.col(id_col), F.col(tokens_col))
+        .repartitionByRange(P, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = parted.localCheckpoint(eager=True)  # pin partition ids
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in parted.groupBy("_pid").agg(F.sum(tokens_col).alias("tot")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += int(totals[pid] or 0)
+    base_df = F.broadcast(
+        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local_prefix = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        parted.join(base_df, "_pid")
+        .select(
+            F.col(id_col),
+            F.col(tokens_col),
+            (F.col("_base") + local_prefix).alias("offset"),
+            ((F.col("_base") + local_prefix) / F.lit(int(budget)))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
