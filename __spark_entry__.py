@@ -608,6 +608,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (one-to-many mapInPandas explode,
+    stub codec): every 10th 4096-byte chunk as a frame row. Content is
+    verified via an 8-byte hex fingerprint + exact frame length (the
+    oracle slices the hex expansion of the same payload)."""
+    from mindb_spark.multimodal import sample_frames
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = sample_frames(payloads, every_n=10)
+    return out.select(
+        "doc_id",
+        "frame_no",
+        F.hex(F.expr("substring(frame, 1, 8)")).alias("frame_hex8"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
     from mindb_spark.operators.temporal import session_stats
@@ -743,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
         "filtered_knn": q_filtered_knn,
         "asof_join": q_asof_join,
         "agg_rollup": q_agg_rollup,
@@ -998,6 +1018,22 @@ select node as doc_id, min(lbl) as component from lab group by node
 """,
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "multimodal_decode": _DECODE_SQL,
+        "multimodal_frames": """
+with h as (
+  select doc_id, hex(encode(text)) hx, octet_length(encode(text)) n
+  from documents
+),
+f as (
+  select doc_id, n, hx,
+         unnest(range(0, greatest((n + 4095) // 4096, 1), 10)) fno
+  from h
+)
+select doc_id,
+       fno::INTEGER as frame_no,
+       substr(hx, fno * 8192 + 1, 16) as frame_hex8,
+       (least((fno + 1) * 4096, n) - fno * 4096)::BIGINT as frame_bytes
+from f
+""",
         "dedup_embedding": f"""
 with {_NORM_EMB_CTE.strip()}
 select a.vec_id id_a, b.vec_id id_b, floor(list_dot_product(a.v, b.v) * 1000000 + 0.5) / 1000000 as score
