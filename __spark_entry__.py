@@ -656,6 +656,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("error_id", "click_id", F.col("k").alias("user_id"))
 
 
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: per-user rolling 1-hour event count and
+    value sum (range frame over event-time seconds — frame membership is
+    time-defined, so results are tie-order-independent)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        _fl6(F.sum("value").over(w)).alias("value_last_hour"),
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: top 50 tokens (vocabulary analysis) —
+    explode -> hash count -> TakeOrderedAndProject, deterministic token
+    tie-break."""
+    from mindb_spark.functions.text import tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
 def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (continuous interpolation) over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -754,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
+        "window_rolling": q_window_rolling,
+        "top_tokens": q_top_tokens,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "agg_quantiles": q_agg_quantiles,
@@ -1296,6 +1336,23 @@ join events c
  and er.event_type = 'error' and c.event_type = 'click'
  and floor(epoch(c.ts)) >= floor(epoch(er.ts))
  and floor(epoch(c.ts)) < floor(epoch(er.ts)) + 3600
+""",
+        "window_rolling": """
+with e as (
+  select event_id, user_id, floor(epoch(ts))::BIGINT es, value from events
+)
+select event_id, user_id,
+       count(*) over w as n_last_hour,
+       floor(sum(value) over w * 1000000 + 0.5) / 1000000 as value_last_hour
+from e
+window w as (partition by user_id order by es range between 3600 preceding and current row)
+""",
+        "top_tokens": r"""
+select t as token, count(*) as n
+from (select unnest(regexp_extract_all(text, '\S+')) t from documents)
+group by t
+order by n desc, t
+limit 50
 """,
         "agg_quantiles": """
 select l_returnflag,
