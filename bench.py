@@ -37,9 +37,14 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_scrub",
     "pipeline_curation",
+    "sample_mixture",
+    "pack_shards",
+    "top_tokens",
+    "multimodal_frames",
     "agg_pricing_summary",
     "join_top_customers",
     "window_top_events",
+    "window_rolling",
     "stream_window_agg",
     "filtered_knn",
     "asof_join",
