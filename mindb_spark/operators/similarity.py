@@ -117,6 +117,28 @@ def cosine_pairs(
         packed.unpersist()
 
 
+def _score_packed_buckets(threshold: float, score_col: str):
+    """mapInPandas kernel over packed (_ids, _vecs) buckets: per-bucket
+    GEMM, exact-threshold verification, each unordered pair emitted once.
+    Shared by the LSH- and IVF-bucketed joins."""
+    thr = float(threshold)
+
+    def score_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for ids, vecs in zip(pdf["_ids"], pdf["_vecs"]):
+                ids = np.asarray(ids, dtype=np.int64)
+                mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+                sims = mat @ mat.T
+                ii, jj = np.nonzero(sims >= thr)
+                keep = ids[ii] < ids[jj]  # each unordered pair once, no self
+                ia, ib = ids[ii[keep]], ids[jj[keep]]
+                yield pd.DataFrame(
+                    {"id_a": ia, "id_b": ib, score_col: sims[ii[keep], jj[keep]]}
+                )
+
+    return score_buckets
+
+
 def simhash_signature_udf(planes: np.ndarray):
     """Pandas UDF mapping vector -> int64 random-hyperplane signature."""
     from pyspark.sql.functions import pandas_udf
@@ -204,23 +226,11 @@ def cosine_pairs_lsh(
         )
         .where(F.size("_ids") > 1)
     )
-    thr = float(threshold)
-
-    def score_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for ids, vecs in zip(pdf["_ids"], pdf["_vecs"]):
-                ids = np.asarray(ids, dtype=np.int64)
-                mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-                sims = mat @ mat.T
-                ii, jj = np.nonzero(sims >= thr)
-                keep = ids[ii] < ids[jj]  # each unordered pair once, no self
-                ia, ib = ids[ii[keep]], ids[jj[keep]]
-                yield pd.DataFrame(
-                    {"id_a": ia, "id_b": ib, score_col: sims[ii[keep], jj[keep]]}
-                )
-
     return (
-        packed.mapInPandas(score_buckets, f"id_a long, id_b long, {score_col} double")
+        packed.mapInPandas(
+            _score_packed_buckets(threshold, score_col),
+            f"id_a long, id_b long, {score_col} double",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -300,23 +310,11 @@ def cosine_pairs_ivf(
         )
         .where(F.size("_ids") > 1)
     )
-    thr = float(threshold)
-
-    def score_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for ids, vecs in zip(pdf["_ids"], pdf["_vecs"]):
-                ids = np.asarray(ids, dtype=np.int64)
-                mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-                sims = mat @ mat.T
-                ii, jj = np.nonzero(sims >= thr)
-                keep = ids[ii] < ids[jj]
-                ia, ib = ids[ii[keep]], ids[jj[keep]]
-                yield pd.DataFrame(
-                    {"id_a": ia, "id_b": ib, score_col: sims[ii[keep], jj[keep]]}
-                )
-
     return (
-        packed.mapInPandas(score_buckets, f"id_a long, id_b long, {score_col} double")
+        packed.mapInPandas(
+            _score_packed_buckets(threshold, score_col),
+            f"id_a long, id_b long, {score_col} double",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
