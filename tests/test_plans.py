@@ -83,3 +83,26 @@ def test_dedup_exact_stays_on_codegen_hash_aggregate(spark, sf_dir, qs):
     p = plan_of(qs["dedup_exact"](spark, sf_dir))
     assert "HashAggregate" in p
     assert "ObjectHashAggregate" not in p and "SortAggregate" not in p
+
+
+def test_pack_shards_avoids_single_partition_window(spark, sf_dir, qs):
+    p = plan_of(qs["pack_shards"](spark, sf_dir))
+    # the naive global-order prefix sum plans as Exchange SinglePartition —
+    # the two-phase layout must not
+    assert "Exchange SinglePartition" not in p
+    assert "WindowGroupLimit" not in p  # sanity: it's a prefix sum, not top-k
+
+
+def test_sample_mixture_is_one_shuffle(spark, sf_dir, qs):
+    p = plan_of(qs["sample_mixture"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_top_tokens_uses_takeordered(spark, sf_dir, qs):
+    p = plan_of(qs["top_tokens"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_window_rolling_is_one_shuffle(spark, sf_dir, qs):
+    p = plan_of(qs["window_rolling"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
