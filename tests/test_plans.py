@@ -106,3 +106,11 @@ def test_top_tokens_uses_takeordered(spark, sf_dir, qs):
 def test_window_rolling_is_one_shuffle(spark, sf_dir, qs):
     p = plan_of(qs["window_rolling"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pipeline_curation_two_shuffles(spark, sf_dir, qs):
+    """The fused curation pipeline: dedup exchange + final rollup exchange
+    — the per-row language/quality projections must not add joins."""
+    p = plan_of(qs["pipeline_curation"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in p
