@@ -1,0 +1,72 @@
+"""End-to-end training-data pipeline over the synthetic document corpus.
+
+Run from the repo root:  python examples/corpus_pipeline.py [sf_dir]
+
+The full pre-training data flow: quality/language signals -> exact dedup
+-> near-dup components -> survivor selection -> PII scrub -> exact
+mixture draw -> token-shard layout. Every step is a declarative
+DataFrame op from `mindb_spark.operators`; chain them and Catalyst
+plans the whole thing.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from mindb_spark.operators.dedup import (
+    dedup_exact_survivors,
+    near_dup_components,
+    survivors_from_components,
+)
+from mindb_spark.operators.sampling import assign_token_shards, stratified_sample_exact
+from mindb_spark.operators.textops import language_columns, quality_columns, scrub_pii
+from mindb_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("corpus-pipeline", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    print(f"input docs: {docs.count()}")
+
+    # 1. exact dedup, then transitive near-dup grouping and survivor pick
+    exact = dedup_exact_survivors(docs)
+    comps = near_dup_components(exact, 0.5, max_shingle_freq=100)
+    survivors = survivors_from_components(exact, comps)
+    print(f"after exact dedup: {exact.count()}; after near-dup: {survivors.count()}")
+
+    # 2. fused per-row signals + quality/language gate
+    lang, qual = language_columns("text"), quality_columns("text")
+    kept = survivors.select(
+        "doc_id", "text", "source",
+        lang["detected_lang"].alias("lang2"),
+        qual["quality_score"].alias("q"),
+        qual["n_tokens"].alias("n_tokens"),
+    ).where(F.col("q") >= 0.3)
+    print(f"after quality gate: {kept.count()}")
+
+    # 3. PII scrub (emails / IPs / phones)
+    clean = scrub_pii(kept, text_col="text").join(
+        kept.select("doc_id", "lang2", "n_tokens"), "doc_id"
+    )
+    print("scrub counts:", clean.agg(
+        F.sum("n_emails").alias("emails"), F.sum("n_ips").alias("ips"),
+        F.sum("n_phones").alias("phones")).first())
+
+    # 4. exact mixture draw per language
+    mix = stratified_sample_exact(clean, "lang2", {"en": 200, "de": 100}, seed=11)
+    print("mixture:", {r["lang2"]: r["n"] for r in
+                       mix.groupBy("lang2").agg(F.count("*").alias("n")).collect()})
+
+    # 5. token-shard layout for sequence packing
+    shards = assign_token_shards(mix.select("doc_id", "n_tokens"), budget=4096)
+    print("shards:", shards.agg(F.max("shard_id").alias("last_shard"),
+                                F.sum("n_tokens").alias("total_tokens")).first())
+
+
+if __name__ == "__main__":
+    main()
