@@ -106,3 +106,34 @@ def test_asof_join_matches_naive_oracle(spark, left_rows, right_rows):
         cand = [(rt, rv) for (rk, rt, rv) in (right or [(99, -1, -1)]) if rk == k and rt <= t]
         want = max(cand)[1] if cand else None
         assert got[lid] == want, (lid, got[lid], want, cand)
+
+
+@given(matrices(min_rows=3, max_rows=48), st.integers(1, 5))
+@settings(max_examples=20, deadline=None)
+def test_decomposed_adc_identity_property(mat, m_pick):
+    """The faiss-style decomposition equals the residual-LUT distance for
+    arbitrary data, any cluster count, any subspace split."""
+    rng = np.random.default_rng(0)
+    n, d = mat.shape
+    m = next(mm for mm in (m_pick, 4, 2, 1) if d % mm == 0)
+    C = min(4, n)
+    centroids = mat[rng.choice(n, C, replace=False)].astype(np.float64)
+    books = PQ.train_codebooks(mat, m)
+    c2 = (centroids**2).sum(axis=1)
+    cid = np.argmin(c2[None, :] - 2.0 * (mat.astype(np.float64) @ centroids.T), axis=1)
+    codes = PQ.encode((mat - centroids[cid]).astype(np.float32), books)
+    queries = rng.normal(size=(3, d))
+
+    want = np.empty((n, 3))
+    for qi in range(3):
+        for ci in range(C):
+            rows = cid == ci
+            if rows.any():
+                t = PQ.adc_table((queries[qi] - centroids[ci]).astype(np.float32), books)
+                want[rows, qi] = PQ.adc_scan(codes[rows], t)
+    A = PQ.adc_query_tables(queries, books)
+    bterm = PQ.cell_code_term(codes, cid, centroids, books)
+    d2 = ((queries**2).sum(axis=1, keepdims=True) - 2.0 * queries @ centroids.T
+          + (centroids**2).sum(axis=1)[None, :])
+    got = PQ.adc_scan_multi(codes, A) + bterm[:, None] + d2.T[cid].astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-2)
