@@ -17,6 +17,7 @@ mirror the reference's pydantic models (``fastapi.py:32-64``):
 | /db/{name}/train                     | POST   | :314 (async)   |
 | /db/{name}/train                     | GET    | :333           |
 | /db/{name}/query                     | POST   | :341           |
+| /db/{name}/batch_query               | POST   | beyond-ref     |
 | /db/{name}/save                      | POST   | :356 (no-op)   |
 | /db/{name}/reload                    | POST   | :365           |
 | /db/{name}/delete                    | POST   | :377           |
@@ -77,6 +78,7 @@ class RestServer:
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/remove$"), "remove"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/train$"), "train_start"),
         ("GET", re.compile(r"^/db/(?P<name>[^/]+)/train$"), "train_status"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/batch_query$"), "batch_query"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/query$"), "query"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/save$"), "save"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/reload$"), "reload"),
@@ -185,6 +187,25 @@ class RestServer:
     def _r_train_status(self, body: dict, name: str) -> dict:
         self._db(name)
         return {"status": self.engine.train_status(name)}
+
+    def _r_batch_query(self, body: dict, name: str) -> dict:
+        """Beyond-reference route: many vectors, ONE Spark job — the
+        amortized-batch path the engine is optimized for (bench headline:
+        single-digit ms/query at Q=512 vs per-POST job overhead)."""
+        self._db(name)
+        qvs = body.get("query_vectors")
+        if not isinstance(qvs, list) or not qvs or not all(
+            isinstance(v, list) and v for v in qvs
+        ):
+            raise _HTTPError(400, "query_vectors must be a non-empty list of float lists")
+        results = self.engine.batch_query(
+            name,
+            qvs,
+            preliminary_top_k=int(body.get("preliminary_top_k", 500)),
+            final_top_k=int(body.get("final_top_k", 100)),
+            metadata_filter=body.get("metadata_filter"),
+        )
+        return {"results": results}
 
     def _r_query(self, body: dict, name: str) -> dict:
         db = self._db(name)

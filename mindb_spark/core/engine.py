@@ -149,6 +149,47 @@ class Engine:
             query_vector, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
         )
 
+    def batch_query(
+        self,
+        name: str,
+        query_vectors,
+        preliminary_top_k: int = 500,
+        final_top_k: int = 100,
+        metadata_filter: str | None = None,
+    ) -> list[dict]:
+        """Beyond-reference: many queries in ONE Spark job.
+
+        The reference serves one vector per POST; a Spark engine's
+        throughput comes from batching (amortized ms/query is the headline
+        bench metric — job-scheduling overhead is paid once per batch, not
+        per query). Returns one reference-shaped result dict per input
+        vector, in input order.
+        """
+        import json as _json
+
+        db = self.get_db(name)
+        rows = db.query_df(
+            query_vectors,
+            preliminary_top_k=preliminary_top_k,
+            final_top_k=final_top_k,
+            metadata_filter=metadata_filter,
+        ).collect()
+        n = len(query_vectors)
+        out = [
+            {"ids": [], "metadata": [], "cosine_similarity": []} for _ in range(n)
+        ]
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rs in by_q.items():
+            rs.sort(key=lambda r: (-r.cosine_similarity, r.id))
+            out[qid] = {
+                "ids": [r.id for r in rs],
+                "metadata": [_json.loads(r.metadata) if r.metadata else {} for r in rs],
+                "cosine_similarity": [r.cosine_similarity for r in rs],
+            }
+        return out
+
     def train(self, name: str, block: bool = True, **kwargs) -> None:
         """(Re)train; ``block=False`` runs on a background thread (the
         reference's POST /train). Either way a concurrent request while a

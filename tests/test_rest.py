@@ -228,3 +228,38 @@ def test_rest_query_metadata_filter(client):
     )
     assert status == 500 and "detail" in out
     assert client("POST", "/db/filterdb/delete")[0] == 200
+
+
+def test_rest_batch_query(client):
+    """Beyond-reference batch route: N vectors in one Spark job, results
+    in input order with the reference's per-query shape."""
+    assert client("POST", "/db/create", {"name": "batchdb"})[0] == 200
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    add_data = [[v.tolist(), {"i": i, "par": i % 2}] for i, v in enumerate(vecs)]
+    assert client("POST", "/db/batchdb/add", {"add_data": add_data})[0] == 200
+
+    status, out = client(
+        "POST", "/db/batchdb/batch_query",
+        {"query_vectors": [vecs[3].tolist(), vecs[17].tolist(), vecs[29].tolist()],
+         "final_top_k": 4},
+    )
+    assert status == 200 and len(out["results"]) == 3
+    for want, res in zip((3, 17, 29), out["results"]):
+        assert res["ids"][0] == want
+        assert res["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
+        assert res["metadata"][0]["i"] == want
+        assert len(res["ids"]) == 4
+
+    # with a metadata filter: only matching rows, still per-query shaped
+    status, out = client(
+        "POST", "/db/batchdb/batch_query",
+        {"query_vectors": [vecs[4].tolist()], "final_top_k": 3,
+         "metadata_filter": "get_json_object(metadata, '$.par') = '0'"},
+    )
+    assert status == 200
+    res = out["results"][0]
+    assert res["ids"][0] == 4 and all(m["par"] == 0 for m in res["metadata"])
+
+    assert client("POST", "/db/batchdb/batch_query", {"query_vectors": []})[0] == 400
+    assert client("POST", "/db/batchdb/delete")[0] == 200
