@@ -536,6 +536,18 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
 
 
+def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: element-wise mean embedding per label
+    (chunk->document pooling shape). Fully oracle-checked including the
+    array payload (6-dp quantized on both sides)."""
+    from mindb_spark.operators.similarity import mean_pool_vectors
+
+    out = mean_pool_vectors(_emb(spark, sf_dir), "label", "embedding")
+    return out.select(
+        "label", F.transform("mean_vector", lambda x: _fl6(x)).alias("mean_vector")
+    )
+
+
 def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine self-join bucketed by a learned k-means coarse
     quantizer with 2-probe multi-assignment — the data-adaptive linear
@@ -809,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "similarity_join_lsh": q_similarity_join_lsh,
         "similarity_join_ivf": q_similarity_join_ivf,
+        "embed_mean_pool": q_embed_mean_pool,
     }
 
 
@@ -1218,6 +1231,17 @@ select detected_lang, source,
 from l
 where detected_lang = 'en' and quality_score >= 0.5
 group by 1, 2
+""",
+        "embed_mean_pool": """
+with ex as (
+  select label, unnest(range(1, len(embedding) + 1)) as pos, embedding
+  from embeddings
+),
+vals as (select label, pos, embedding[pos]::DOUBLE x from ex),
+pd as (select label, pos, avg(x) m from vals group by 1, 2)
+select label,
+       list(floor(m * 1000000 + 0.5) / 1000000 order by pos) as mean_vector
+from pd group by label
 """,
         "sample_mixture": """
 with r as (

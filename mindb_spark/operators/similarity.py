@@ -319,6 +319,36 @@ def cosine_pairs_ivf(
     )
 
 
+def mean_pool_vectors(
+    df: DataFrame,
+    group_col: str,
+    vector_col: str = "embedding",
+    out_col: str = "mean_vector",
+) -> DataFrame:
+    """Per-group element-wise mean of vectors — chunk-to-document (or
+    doc-to-domain) embedding pooling.
+
+    Plan: posexplode to (group, dim, value) → codegen'd hash average per
+    (group, dim) → re-assemble the ordered array with
+    ``array_sort(collect_list(struct(pos, mean)))``. The shuffle carries
+    narrow (int, double) rows with map-side partial averages — never whole
+    vectors per group — so a group with millions of members costs the same
+    shuffle bytes as one with ten. No UDFs anywhere.
+    """
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vector_col)).alias("_pos", "_x")
+    )
+    per_dim = ex.groupBy(group_col, "_pos").agg(F.avg("_x").alias("_m"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_s"))
+        .select(
+            F.col(group_col),
+            F.transform("_s", lambda t: t["_m"]).alias(out_col),
+        )
+    )
+
+
 def ann_brute_force(
     corpus: DataFrame,
     queries: DataFrame,

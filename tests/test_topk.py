@@ -188,3 +188,19 @@ def test_cosine_pairs_ivf_empty_and_deterministic(spark):
     a = sorted(tuple(r) for r in S.cosine_pairs_ivf(df, 0.3, seed=9, assume_normalized=True).collect())
     b = sorted(tuple(r) for r in S.cosine_pairs_ivf(df, 0.3, seed=9, assume_normalized=True).collect())
     assert a == b
+
+
+def test_mean_pool_vectors_matches_numpy(emb, sf_dir):
+    norm_df, ids, mat = emb
+    spark = norm_df.sparkSession
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = raw.orderBy("vec_id").collect()
+    labels = np.array([r.label for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    got = {
+        r.label: np.array(r.mean_vector)
+        for r in S.mean_pool_vectors(raw, "label", "embedding").collect()
+    }
+    for lab in np.unique(labels):
+        want = vecs[labels == lab].mean(axis=0)
+        np.testing.assert_allclose(got[int(lab)], want, rtol=1e-9, atol=1e-12)
