@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "set_ops",
     "similarity_join_lsh",
     "similarity_join_ivf",
+    "embed_mean_pool",
     "stream_sessionize",
     "sessionize",
     "range_join",
