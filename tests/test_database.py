@@ -270,3 +270,31 @@ def test_trained_query_with_metadata_filter(spark, tmp_path, monkeypatch):
     order = even[np.argsort(-(norm[even] @ qn), kind="stable")][:5]
     assert res["ids"] == [int(i) for i in order]
     db.delete()
+
+
+def test_trained_persistence_roundtrip(spark, tmp_path, monkeypatch):
+    """A TRAINED database reopened from disk (manifest + artifacts + codes
+    incl. the precomputed bterm column) serves identical two-stage results."""
+    import mindb_spark.core.heuristics as H
+
+    monkeypatch.setattr(H, "FLAT_INDEX_CUTOFF", 100)
+    rng = np.random.default_rng(9)
+    mat = _mk(rng, 400, 12)
+    d1 = VectorDB(spark, "persist_trained", base_path=str(tmp_path))
+    d1.add([(v, {"i": i}) for i, v in enumerate(mat)])
+    d1.train()
+    assert d1.is_trained
+    q = mat[33]
+    before = d1.query(q, preliminary_top_k=400, final_top_k=5)
+
+    d2 = VectorDB(spark, "persist_trained", base_path=str(tmp_path))
+    assert d2.is_trained and d2.num_vectors == 400
+    after = d2.query(q, preliminary_top_k=400, final_top_k=5)
+    assert before["ids"] == after["ids"]
+    assert before["cosine_similarity"] == after["cosine_similarity"]
+    assert after["ids"][0] == 33
+    # post-reload mutation keeps working and the tail is searched exactly
+    d2.add([(mat[33], {"i": 400})])
+    res = d2.query(q, preliminary_top_k=400, final_top_k=2)
+    assert set(res["ids"]) == {33, 400}
+    d2.delete()
