@@ -639,6 +639,23 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (stub kernel: payload passthrough + target
+    dims recorded). Oracle verifies dims, payload length and an 8-byte
+    hex fingerprint of the re-emitted content."""
+    from mindb_spark.multimodal import resize_images
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = resize_images(payloads, target=(64, 48))
+    return out.select(
+        "doc_id", "height", "width",
+        F.hex(F.expr("substring(content, 1, 8)")).alias("content_hex8"),
+        F.length("content").cast("long").alias("content_bytes"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
     from mindb_spark.operators.temporal import session_stats
@@ -815,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "filtered_knn": q_filtered_knn,
         "asof_join": q_asof_join,
         "agg_rollup": q_agg_rollup,
@@ -1071,6 +1089,14 @@ select node as doc_id, min(lbl) as component from lab group by node
 """,
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "multimodal_decode": _DECODE_SQL,
+        "multimodal_resize": """
+select doc_id,
+       64::INTEGER as height,
+       48::INTEGER as width,
+       substr(hex(encode(text)), 1, 16) as content_hex8,
+       octet_length(encode(text))::BIGINT as content_bytes
+from documents
+""",
         "multimodal_frames": """
 with h as (
   select doc_id, hex(encode(text)) hx, octet_length(encode(text)) n
