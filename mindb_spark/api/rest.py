@@ -188,6 +188,28 @@ class RestServer:
         self._db(name)
         return {"status": self.engine.train_status(name)}
 
+    # metadata_filter reaches Catalyst's expression parser; an unrestricted
+    # string would let a remote caller run reflect()/java_method() on the
+    # driver. Defense in depth: length cap + banned identifiers/characters.
+    # (The reference's REST layer is likewise trusted-client; this closes
+    # the concrete escalation primitives without a full SQL sandbox.)
+    _FILTER_BANNED = re.compile(
+        r"(?i)\b(reflect|java_method|assert_true|raise_error|current_user|"
+        r"session_user|current_database|current_catalog|input_file_name|"
+        r"from_avro|to_avro|call_function|transform|aggregate|eval|exec)\b|[;`\\]"
+    )
+
+    def _validated_filter(self, expr):
+        if expr is None:
+            return None
+        if (
+            not isinstance(expr, str)
+            or len(expr) > 2000
+            or self._FILTER_BANNED.search(expr)
+        ):
+            raise _HTTPError(400, "metadata_filter contains disallowed constructs")
+        return expr
+
     def _r_batch_query(self, body: dict, name: str) -> dict:
         """Beyond-reference route: many vectors, ONE Spark job — the
         amortized-batch path the engine is optimized for (bench headline:
@@ -203,7 +225,7 @@ class RestServer:
             qvs,
             preliminary_top_k=int(body.get("preliminary_top_k", 500)),
             final_top_k=int(body.get("final_top_k", 100)),
-            metadata_filter=body.get("metadata_filter"),
+            metadata_filter=self._validated_filter(body.get("metadata_filter")),
         )
         return {"results": results}
 
@@ -219,7 +241,7 @@ class RestServer:
             # beyond-reference: the reference README's declared next feature
             # (metadata filtering) — SQL boolean over the row, e.g.
             # "get_json_object(metadata, '$.lang') = 'en'"
-            metadata_filter=body.get("metadata_filter"),
+            metadata_filter=self._validated_filter(body.get("metadata_filter")),
         )
         return {
             "metadata": res["metadata"],

@@ -359,8 +359,10 @@ class VectorDB:
         """
         with self._lock:
             current = self.vectors()
-            n = current.count()
-            if n == 0:
+            # manifest-counter count (exact under the counter invariants):
+            # sizing output files must not cost an extra full-table scan
+            n = self.num_vectors_fast
+            if n <= 0:
                 return 0
             n_files = max(1, -(-n // int(target_rows_per_file)))
             next_version = self._manifest["data_version"] + 1

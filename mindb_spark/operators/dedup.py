@@ -170,7 +170,9 @@ def connected_components(
     changes nothing. Converges in graph-diameter iterations; near-dup
     clusters are dense and shallow (diameter ~2-3), so this beats the
     O(log n)-round star algorithms' per-round constant at this workload.
-    Iteration count capped defensively; raise for pathological chains.
+    ``max_iter`` is a safety valve: exhausting it without convergence
+    RAISES (silently-split components would corrupt survivor selection
+    downstream) — raise it for pathological long-chain graphs.
     """
     und = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -182,6 +184,7 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         prop = (
             und.join(labels, und.src == labels.id)
@@ -204,7 +207,13 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (graph diameter exceeds the cap); raise max_iter"
+        )
     return labels.select("id", F.col("lbl").alias("component"))
 
 

@@ -36,6 +36,8 @@ def stratified_sample_exact(
     hash order makes the draw a uniform random sample, reproducible across
     engines and runs.
     """
+    if not counts:
+        return df.limit(0)
     order_key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

@@ -271,9 +271,13 @@ def cosine_pairs_ivf(
     from mindb_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    norm = _normalized(df, id_col, vector_col, assume_normalized)
+    # persisted: the normalized projection feeds three consumers (count,
+    # k-means sample, the exploded join) — without the cache the scan +
+    # normalize pipeline would run three times
+    norm = _normalized(df, id_col, vector_col, assume_normalized).persist()
     n = norm.count()
     if n == 0:
+        norm.unpersist()
         return norm.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, {score_col} double"
         )
@@ -310,13 +314,18 @@ def cosine_pairs_ivf(
         )
         .where(F.size("_ids") > 1)
     )
-    return (
-        packed.mapInPandas(
-            _score_packed_buckets(threshold, score_col),
-            f"id_a long, id_b long, {score_col} double",
+    try:
+        return (
+            packed.mapInPandas(
+                _score_packed_buckets(threshold, score_col),
+                f"id_a long, id_b long, {score_col} double",
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            # eager materialization so the cache can be released on return
+            .localCheckpoint(eager=True)
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    finally:
+        norm.unpersist()
 
 
 def mean_pool_vectors(

@@ -130,15 +130,25 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     raise TypeError(f"unsupported dtype for event-time column {col!r}: {dt}")
 
 
-def read_events(spark: SparkSession, sf_dir: str, ts_col: str = "ts") -> DataFrame:
+def read_events(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_col: str = "ts",
+    pin_session_utc: bool = True,
+) -> DataFrame:
     """Load ``events.parquet`` with a normalized TimestampType ``ts``.
 
-    Pins the session timezone to UTC so NTZ-as-UTC and unix_timestamp
-    round-trips are deterministic regardless of host TZ, and enables
-    ``nanosAsLong`` (needed only for the TIMESTAMP(NANOS) physical shape;
-    inert otherwise).
+    SESSION-WIDE side effects, deliberate and documented: enables
+    ``nanosAsLong`` (required at read time for the TIMESTAMP(NANOS)
+    physical shape; inert otherwise) and — unless ``pin_session_utc`` is
+    False — pins the session timezone to UTC so NTZ wall-clock and
+    ``unix_timestamp`` round-trips are deterministic regardless of host
+    TZ (the correctness-harness contract). Callers embedding this in an
+    application with its own timezone discipline should pass
+    ``pin_session_utc=False`` and manage the conf themselves.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if pin_session_utc:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), ts_col)
 

@@ -125,6 +125,7 @@ def sessionized_event_stats(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    value_col: str = "value",
 ) -> DataFrame:
     """Per-(key, session) stats via Spark's built-in session windows.
 
@@ -146,7 +147,7 @@ def sessionized_event_stats(
         src.groupBy(
             F.session_window(F.col(ts_col), gap).alias("_w"), F.col(key_col)
         )
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
         .select(
             F.col(key_col),
             F.unix_micros(F.col("_w.start")).alias("session_start_us"),
