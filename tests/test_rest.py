@@ -263,3 +263,24 @@ def test_rest_batch_query(client):
 
     assert client("POST", "/db/batchdb/batch_query", {"query_vectors": []})[0] == 400
     assert client("POST", "/db/batchdb/delete")[0] == 200
+
+
+def test_rest_metadata_filter_rejects_dangerous_expressions(client):
+    """The filter validation gate: expression-injection primitives are
+    refused with a 400 before reaching the SQL parser."""
+    assert client("POST", "/db/create", {"name": "fsecdb"})[0] == 200
+    rng = np.random.default_rng(2)
+    add_data = [[v.tolist(), {}] for v in rng.normal(size=(5, 4))]
+    assert client("POST", "/db/fsecdb/add", {"add_data": add_data})[0] == 200
+    for bad in (
+        "cast(reflect('java.lang.System','getenv','HOME') as int) is null",
+        "java_method('java.lang.Runtime','getRuntime') is not null",
+        "1=1; drop table x",
+        "x" * 3000,
+    ):
+        status, out = client(
+            "POST", "/db/fsecdb/query",
+            {"query_vector": [1.0, 0.0, 0.0, 0.0], "metadata_filter": bad},
+        )
+        assert status == 400 and "disallowed" in out["detail"], bad
+    assert client("POST", "/db/fsecdb/delete")[0] == 200
