@@ -792,6 +792,82 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
+CONTAM_BENCH_MOD = 41  # docs with doc_id % 41 == 0 play the held-out benchmark
+CONTAM_K = 4
+INCR_DEDUP_CUTOFF = 400  # doc_id >= cutoff is the "new batch"
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: distinct word-4-gram overlap of every
+    corpus doc against a (broadcast) benchmark shingle set."""
+    from mindb_spark.operators.corpus import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return ngram_contamination(corpus, bench, k=CONTAM_K)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup shape: classify a new batch against the existing
+    corpus by canonical fingerprint (corpus wins; min-id wins in-batch)."""
+    from mindb_spark.operators.corpus import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") < INCR_DEDUP_CUTOFF)
+    batch = docs.where(F.col("doc_id") >= INCR_DEDUP_CUTOFF)
+    return incremental_dedup(existing, batch)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf-idf (linear idf — engine-portable)."""
+    from mindb_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
+
+
+def _sq_grid(spark: SparkSession, sf_dir: str):
+    from mindb_spark.index.sq import sq_train
+
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("vector"))
+    return emb, *sq_train(emb, "vector")
+
+
+def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embeddings table (4x compression);
+    emitted as per-vector scalar digests so the oracle hash-compares the
+    full code arrays without array-typed columns."""
+    from mindb_spark.index.sq import sq_encode
+
+    emb, mins, maxs = _sq_grid(spark, sf_dir)
+    codes = sq_encode(emb, mins, maxs, vec_col="vector")
+    return codes.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes").cast("array<long>"), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("code_sum"),
+        F.md5(
+            F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        ).alias("code_checksum"),
+    )
+
+
+def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 top-10: integerized query weights x stored codes —
+    exact integer scores, bit-reproducible by the SQL oracle."""
+    from mindb_spark.index.sq import query_weights, sq_encode, sq_search
+
+    emb, mins, maxs = _sq_grid(spark, sf_dir)
+    codes = sq_encode(emb, mins, maxs, vec_col="vector")
+    qrows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    queries = [
+        (r.vec_id, query_weights([float(x) for x in r.vector], mins, maxs))
+        for r in qrows
+    ]
+    return sq_search(codes, queries, k=10, id_col="vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk": q_knn_topk,
@@ -840,6 +916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_lsh": q_similarity_join_lsh,
         "similarity_join_ivf": q_similarity_join_ivf,
         "embed_mean_pool": q_embed_mean_pool,
+        "contamination_check": q_contamination_check,
+        "dedup_incremental": q_dedup_incremental,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sq_encode": q_sq_encode,
+        "sq_knn": q_sq_knn,
     }
 
 
@@ -873,6 +954,26 @@ inter as (
 ),
 jac as (
   select id_a, id_b, i * 1.0 / (na + nb - i) j from inter
+)
+"""
+
+
+# SQ8 grid + codes, replayed from the raw embeddings exactly as
+# index/sq.py computes them (same IEEE op order; see sq.py docstrings)
+_SQ_CTE = """
+expl as (
+  select vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+  from embeddings
+),
+grid as (
+  select pos, min(x) mn, max(x) mx from expl group by pos
+),
+codes as (
+  select vec_id, pos,
+         case when mx = mn then 0
+              else greatest(0, least(255, floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INTEGER))
+         end c
+  from expl join grid using (pos)
 )
 """
 
@@ -1467,5 +1568,92 @@ with ranked as (
 )
 select user_id, event_id, event_type, value, rn
 from ranked where rn <= 3
+""",
+        "contamination_check": rf"""
+with toks as (
+  select doc_id, regexp_extract_all(text, '\S+') t from documents
+),
+sh as (
+  select doc_id,
+         list_distinct([array_to_string(t[i:i+{CONTAM_K - 1}], ' ')
+                        for i in range(1, len(t) - {CONTAM_K - 2})]) s
+  from toks where len(t) >= {CONTAM_K}
+),
+ex as (select doc_id, unnest(s) shingle from sh),
+bench as (select distinct shingle from ex where doc_id % {CONTAM_BENCH_MOD} = 0),
+corp as (select doc_id, shingle from ex where doc_id % {CONTAM_BENCH_MOD} <> 0),
+hits as (
+  select c.doc_id, count(*) n,
+         sum(case when b.shingle is not null then 1 else 0 end) h
+  from corp c left join bench b using (shingle) group by 1
+)
+select d.doc_id,
+       coalesce(n, 0)::BIGINT as n_shingles,
+       coalesce(h, 0)::BIGINT as n_contaminated,
+       round(coalesce(h, 0) / greatest(coalesce(n, 0), 1), 6) as contamination_rate
+from (select doc_id from documents where doc_id % {CONTAM_BENCH_MOD} <> 0) d
+left join hits using (doc_id)
+""",
+        "dedup_incremental": rf"""
+with fp as (
+  select doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) fingerprint
+  from documents
+),
+corp as (select distinct fingerprint from fp where doc_id < {INCR_DEDUP_CUTOFF}),
+b as (
+  select doc_id, fingerprint,
+         min(doc_id) over (partition by fingerprint) first_id
+  from fp where doc_id >= {INCR_DEDUP_CUTOFF}
+)
+select b.doc_id, b.fingerprint,
+       case when c.fingerprint is not null then 'dup_of_corpus'
+            when b.doc_id <> b.first_id then 'dup_in_batch'
+            else 'novel' end as status
+from b left join corp c using (fingerprint)
+""",
+        "tfidf_top_terms": r"""
+with tok as (
+  select doc_id, lower(unnest(regexp_extract_all(text, '\S+'))) term from documents
+),
+tf as (select doc_id, term, count(*) tf from tok group by 1, 2),
+dfq as (select term, count(*) df from tf group by 1),
+nd as (select count(distinct doc_id) n from documents),
+scored as (
+  select tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * (select n from nd)::DOUBLE / dfq.df, 6) tfidf_score
+  from tf join dfq using (term)
+),
+ranked as (
+  select *, row_number() over (partition by doc_id order by tfidf_score desc, term) rn
+  from scored
+)
+select doc_id, term, tf, df, tfidf_score, rn::INTEGER as rank
+from ranked where rn <= 3
+""",
+        "sq_encode": f"""
+with {_SQ_CTE.strip()}
+select vec_id,
+       sum(c)::BIGINT as code_sum,
+       md5(string_agg(c::VARCHAR, ',' order by pos)) as code_checksum
+from codes group by vec_id
+""",
+        "sq_knn": f"""
+with {_SQ_CTE.strip()},
+qw as (
+  select e.vec_id query_id, e.pos,
+         floor((g.mx - g.mn) / 255.0 * e.x * 1048576.0 + 0.5)::BIGINT w
+  from expl e join grid g using (pos)
+  where e.vec_id < 4
+),
+scores as (
+  select q.query_id, c.vec_id, sum(q.w * c.c)::BIGINT s
+  from codes c join qw q using (pos)
+  group by 1, 2
+),
+ranked as (
+  select *, row_number() over (partition by query_id order by s desc, vec_id) rn
+  from scores
+)
+select query_id, vec_id, s as qscore from ranked where rn <= 10
 """,
     }

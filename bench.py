@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "similarity_join_lsh",
     "similarity_join_ivf",
     "embed_mean_pool",
+    "contamination_check",
+    "dedup_incremental",
+    "tfidf_top_terms",
+    "sq_knn",
     "stream_sessionize",
     "sessionize",
     "range_join",

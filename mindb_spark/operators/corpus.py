@@ -1,0 +1,175 @@
+"""Corpus-construction operators: benchmark decontamination, incremental
+dedup, and term weighting.
+
+Beyond-reference capability (the reference is a vector store; these are the
+remaining standard passes a pre-training data pipeline runs before
+tokenization), built Spark-first and defined purely by portable primitives
+(md5 / regexp / arithmetic) so a DuckDB SQL oracle replays them exactly.
+
+Scale notes
+-----------
+- ``ngram_contamination`` broadcasts the DISTINCT benchmark shingle set —
+  eval benchmarks are tiny (thousands of docs) next to a 100 TB corpus, so
+  the corpus side is a single broadcast-hash-join pass with no shuffle of
+  corpus rows at all; the per-doc aggregate shuffles one (doc, counts) row
+  per document.
+- ``incremental_dedup`` is the production dedup shape: a new batch arrives
+  and must be checked against the (already-deduplicated) corpus without
+  re-scanning corpus text — the corpus contributes only its 16-byte
+  fingerprint column (pruned scan), and the join shuffles fingerprints,
+  not documents. Within-batch duplicates resolve by min-id in the same
+  aggregation.
+- ``tfidf_top_terms`` is explode → two hash aggregations → one ranked
+  window bounded by WindowGroupLimit; shuffle bytes are bounded by
+  distinct (doc, term) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mindb_spark.functions.text import fingerprint, tokens, word_shingles
+from mindb_spark.session import widen
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
+        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination scan: for each corpus document, how many of
+    its distinct word-``k``-shingles also appear in the benchmark set.
+
+    The standard eval-leakage check (the n-gram-overlap family used to
+    decontaminate pre-training corpora against held-out benchmarks).
+
+    Returns (id, n_shingles, n_contaminated, contamination_rate) for every
+    corpus document — downstream filters cut at a rate threshold.
+
+    Plan: the benchmark side collapses to DISTINCT shingles and is
+    broadcast (benchmarks are small by construction); the corpus side is
+    one pass — explode distinct shingles, broadcast-join, count hits per
+    doc. Docs shorter than ``k`` tokens have no shingles and report a rate
+    of 0.
+    """
+    corp = _distinct_shingles(corpus, id_col, text_col, k)
+    bench = (
+        _distinct_shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    per_doc = corp.join(
+        F.broadcast(bench).withColumn("_hit", F.lit(1)), "shingle", "left"
+    ).groupBy("_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    out = corpus.select(F.col(id_col)).join(
+        per_doc.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_sh.cast("long").alias("n_shingles"),
+        n_hit.cast("long").alias("n_contaminated"),
+        F.round(n_hit / F.greatest(n_sh, F.lit(1)), 6).alias("contamination_rate"),
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify each batch document against an existing corpus:
+
+    - ``dup_of_corpus``  — canonical fingerprint already present in corpus
+    - ``dup_in_batch``   — novel vs corpus, but a lower-id batch doc has
+      the same fingerprint (that doc is the survivor)
+    - ``novel``          — first occurrence anywhere; would be ingested
+
+    Returns (id, fingerprint, status). Corpus precedence is checked first:
+    a batch group whose fingerprint exists in the corpus is ENTIRELY
+    ``dup_of_corpus`` (no batch survivor — the corpus copy survives),
+    matching how a production ingest treats the corpus as ground truth.
+
+    Plan: corpus scan prunes to the fingerprint expression only; one
+    left-join on the 32-char key + one min-id window per fingerprint group
+    within the batch (bounded by batch size, not corpus size).
+    """
+    corp_fp = (
+        existing.select(fingerprint(text_col).alias("fingerprint"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    b = batch.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+    first_in_batch = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    joined = b.join(corp_fp, "fingerprint", "left").withColumn(
+        "_first", first_in_batch
+    )
+    status = (
+        F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col(id_col) != F.col("_first"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return joined.select(F.col(id_col), "fingerprint", status.alias("status"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by tf-idf (linear idf variant).
+
+    Weighting: ``score = tf * N / df`` — rank-equivalent to classic
+    tf-idf's ``tf * (N/df)`` inside a document and, unlike ``ln(N/df)``,
+    reproducible bit-for-bit by any IEEE SQL engine (libm ``log`` differs
+    in the last ulp across engines; a single divide and multiply do not).
+    Terms are lowercased whitespace tokens. Ties break by term ascending.
+
+    Returns (id, term, tf, df, tfidf_score, rank).
+
+    Plan: one explode feeds two codegen'd hash aggregations — (doc, term)
+    tf then term df — re-joined on term; the final per-doc rank is a
+    ranked window that Spark bounds with WindowGroupLimit (partial top-n
+    before the shuffle).
+    """
+    tok = widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", F.explode(tokens(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf_score",
+        F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("tfidf_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            "tfidf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,181 @@
+"""Corpus-construction operators: contamination, incremental dedup, tf-idf,
+and SQ8 scalar quantization."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindb_spark.operators.corpus import (
+    incremental_dedup,
+    ngram_contamination,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------ contamination
+def test_contamination_detects_benchmark_ngrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon"),   # fully inside benchmark
+            (1, "completely unrelated words here now"),
+            (2, "alpha beta gamma something else entirely"),  # partial
+            (3, "a b"),  # too short for any shingle
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, k=3).collect()
+    }
+    assert out[0].n_shingles == 3 and out[0].n_contaminated == 3
+    assert out[0].contamination_rate == 1.0
+    assert out[1].n_contaminated == 0
+    assert out[2].n_shingles == 4 and out[2].n_contaminated == 1
+    assert out[3].n_shingles == 0 and out[3].contamination_rate == 0.0
+    # total row per corpus doc, even shingle-less ones
+    assert set(out) == {0, 1, 2, 3}
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    corpus = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)])
+    bench = _docs(spark, [(0, "w1 w2 w3 w4")])
+    plan = ngram_contamination(corpus, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# -------------------------------------------------------- incremental dedup
+def test_incremental_dedup_statuses(spark):
+    existing = _docs(spark, [(0, "the corpus copy"), (1, "another old doc")])
+    batch = _docs(
+        spark,
+        [
+            (10, "THE   corpus copy"),      # dup of corpus (canonicalized)
+            (11, "a brand new document"),   # novel
+            (12, "a brand new document"),   # dup within batch (11 survives)
+            (13, "a brand  NEW document"),  # same canonical text -> dup too
+            (14, "something else again"),   # novel
+        ],
+    )
+    out = {r.doc_id: r.status for r in incremental_dedup(existing, batch).collect()}
+    assert out == {
+        10: "dup_of_corpus",
+        11: "novel",
+        12: "dup_in_batch",
+        13: "dup_in_batch",
+        14: "novel",
+    }
+
+
+def test_incremental_dedup_corpus_precedence_over_batch_survivor(spark):
+    # when the fingerprint exists in the corpus, NO batch doc survives
+    existing = _docs(spark, [(0, "shared text")])
+    batch = _docs(spark, [(10, "shared text"), (11, "shared text")])
+    out = {r.doc_id: r.status for r in incremental_dedup(existing, batch).collect()}
+    assert out == {10: "dup_of_corpus", 11: "dup_of_corpus"}
+
+
+# ------------------------------------------------------------------- tf-idf
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "common common zebra"),
+            (1, "common common yak yak yak"),
+            (2, "common xylophone"),
+        ],
+    )
+    out = tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc's rank-1 term is its distinctive one, not 'common'
+    assert by_doc[0][0].term == "zebra"
+    assert by_doc[1][0].term == "yak"
+    assert by_doc[2][0].term == "xylophone"
+    # score = tf * N / df: zebra tf=1, N=3, df=1 -> 3.0; common tf=2 df=3 -> 2.0
+    assert by_doc[0][0].tfidf_score == 3.0
+    assert [r.term for r in by_doc[0]] == ["zebra", "common"]
+    for rows in by_doc.values():
+        assert [r.rank for r in rows] == sorted(r.rank for r in rows)
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    docs = _docs(spark, [(0, "bb aa"), (1, "cc dd")])
+    out = [r.term for r in tfidf_top_terms(docs, top_n=2).collect() if r.doc_id == 0]
+    assert out == ["aa", "bb"]  # equal scores -> alphabetical
+
+
+# ---------------------------------------------------------------------- SQ8
+def test_sq8_roundtrip_and_search_recall(spark):
+    from mindb_spark.index.sq import encode_query, sq_encode, sq_search, sq_train
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(400, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    vdf = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)],
+        "id long, vector array<double>",
+    )
+    mins, maxs = sq_train(vdf, "vector")
+    assert len(mins) == 16 and all(m1 < m2 for m1, m2 in zip(mins, maxs))
+
+    codes_df = sq_encode(vdf, mins, maxs)
+    first = codes_df.orderBy("id").first()
+    assert len(first.codes) == 16
+    assert all(0 <= c <= 255 for c in first.codes)
+    # encode_query reproduces the distributed encoder exactly
+    assert encode_query(mat[0], mins, maxs) == list(first.codes)
+
+    from mindb_spark.index.sq import query_weights
+
+    qfloat = {qi: mat[qi] + 0.01 * rng.normal(size=16) for qi in (0, 7, 42)}
+    queries = [(qi, query_weights(qf, mins, maxs)) for qi, qf in qfloat.items()]
+    got = sq_search(codes_df, queries, k=10, id_col="id")
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 7, 42}
+    # recall@10 vs exact float search: asymmetric SQ8 is near-lossless
+    for qi, _ in queries:
+        q = qfloat[qi]
+        exact = set(np.argsort(-(mat @ q))[:10].tolist())
+        approx = {r.id for r in by_q[qi]}
+        assert len(approx) == 10
+        assert len(exact & approx) >= 9, (qi, exact, approx)
+
+
+def test_sq8_degenerate_dimension_encodes_zero(spark):
+    from mindb_spark.index.sq import encode_query, sq_encode, sq_train
+
+    vdf = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 9.0])], "id long, vector array<double>"
+    )
+    mins, maxs = sq_train(vdf, "vector")
+    assert mins[0] == maxs[0] == 1.0
+    codes = {r.id: r.codes for r in sq_encode(vdf, mins, maxs).collect()}
+    assert codes[0][0] == 0 and codes[1][0] == 0
+    assert codes[0][1] == 0 and codes[1][1] == 255
+    assert encode_query([1.0, 5.0], mins, maxs) == [0, 0]
+
+
+def test_sq8_search_plan_is_window_limited(spark):
+    from mindb_spark.index.sq import sq_encode, sq_search, sq_train
+
+    vdf = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(50)],
+        "id long, vector array<double>",
+    )
+    mins, maxs = sq_train(vdf)
+    codes = sq_encode(vdf, mins, maxs)
+    plan = sq_search(codes, [(0, [255, 0]), (1, [0, 255])], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
