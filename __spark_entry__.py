@@ -868,6 +868,75 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_search(codes, queries, k=10, id_col="vec_id")
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+BM25_TERMS = ("hash", "scan", "table")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel over the event stream."""
+    from mindb_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), list(FUNNEL_STEPS))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-day cohort retention table (integer epoch-day math)."""
+    from mindb_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), max_offset_days=30)
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family keyword search (rational idf) — top 20 documents."""
+    from mindb_spark.operators.search import bm25_scores
+
+    scored = bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_matched_terms", _fl6("score").alias("score"))
+    )
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the exact-cosine vector
+    ranking (query = vec 0) with the BM25 keyword ranking — the modern
+    vector+keyword composition. Both input lists are top-50; output is the
+    fused top-10."""
+    from pyspark.sql import Window
+
+    from mindb_spark.functions.vector import dot_literal
+    from mindb_spark.operators.search import bm25_scores, rrf_fuse
+
+    q = _emb(spark, sf_dir).where(F.col("vec_id") == 0).first().embedding
+    import math
+
+    nrm = math.sqrt(sum(float(x) * float(x) for x in q))
+    vec = _normalized_emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        dot_literal("vector", [float(x) / nrm for x in q]).alias("_s"),
+    )
+    # top-50 via TakeOrderedAndProject, then rank the (bounded) 50 rows
+    vtop = vec.orderBy(F.desc("_s"), "doc_id").limit(50)
+    w = Window.orderBy(F.desc("_s"), "doc_id")
+    vrank = vtop.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    ktop = (
+        bm25_scores(_docs(spark, sf_dir), list(BM25_TERMS))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+    wk = Window.orderBy(F.desc("score"), "doc_id")
+    krank = ktop.select("doc_id", F.row_number().over(wk).alias("rank"))
+
+    fused = rrf_fuse(vrank, krank, k=60)
+    return (
+        fused.orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+        .select("doc_id", _fl6("rrf_score").alias("rrf_score"), "in_both")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_topk": q_knn_topk,
@@ -921,6 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "sq_encode": q_sq_encode,
         "sq_knn": q_sq_knn,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "keyword_search": q_keyword_search,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
     }
 
 
@@ -954,6 +1027,50 @@ inter as (
 ),
 jac as (
   select id_a, id_b, i * 1.0 / (na + nb - i) j from inter
+)
+"""
+
+
+# BM25 scoring replayed with every literal forced to DOUBLE (DuckDB parses
+# bare decimal literals as DECIMAL, whose exact arithmetic diverges from
+# Spark's IEEE doubles in later digits) and the per-term sum applied in
+# sorted-term order, matching operators/search.py::bm25_scores exactly.
+def _bm25_sql(terms: tuple[str, ...]) -> str:
+    ts = sorted(terms)
+    term_list = ", ".join(f"'{t}'" for t in ts)
+    pivots = ",\n         ".join(
+        f"sum(case when term = '{t}' then s end) s{i}" for i, t in enumerate(ts)
+    )
+    total = " + ".join(f"coalesce(s{i}, 0.0::DOUBLE)" for i in range(len(ts)))
+    return rf"""
+tok as (
+  select doc_id, lower(unnest(regexp_extract_all(text, '\S+'))) term from documents
+),
+dl as (select doc_id, count(*) dl from tok group by 1),
+stats as (
+  select (select count(distinct doc_id) from documents)::DOUBLE n,
+         (select sum(dl)::DOUBLE / count(*) from dl) avgdl
+),
+tf as (
+  select doc_id, term, count(*) tf from tok
+  where term in ({term_list}) group by 1, 2
+),
+dfq as (select term, count(*) df from tf group by 1),
+persc as (
+  select tf.doc_id, tf.term,
+         (stats.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)
+           * tf.tf * 2.2::DOUBLE
+           / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+              + 0.75::DOUBLE * dl.dl / stats.avgdl)) s
+  from tf join dfq using (term) join dl using (doc_id) cross join stats
+),
+bm25 as (
+  select doc_id, count(*) n_matched_terms,
+         {pivots}
+  from persc group by doc_id
+),
+bm25s as (
+  select doc_id, n_matched_terms, {total} score from bm25
 )
 """
 
@@ -1655,5 +1772,68 @@ ranked as (
   from scores
 )
 select query_id, vec_id, s as qscore from ranked where rn <= 10
+""",
+        "event_funnel": f"""
+with e as (select user_id u, event_type t, epoch_us(ts) us from events),
+s0 as (select u, min(us) tt from e where t = '{FUNNEL_STEPS[0]}' group by 1),
+s1 as (
+  select e.u, min(e.us) tt from e join s0 on e.u = s0.u
+  where e.t = '{FUNNEL_STEPS[1]}' and e.us > s0.tt group by 1
+),
+s2 as (
+  select e.u, min(e.us) tt from e join s1 on e.u = s1.u
+  where e.t = '{FUNNEL_STEPS[2]}' and e.us > s1.tt group by 1
+)
+select 0 step_no, '{FUNNEL_STEPS[0]}' step, (select count(*) from s0) n_users
+union all
+select 1, '{FUNNEL_STEPS[1]}', (select count(*) from s1)
+union all
+select 2, '{FUNNEL_STEPS[2]}', (select count(*) from s2)
+""",
+        "retention_cohorts": """
+with d as (
+  select distinct user_id u, epoch_us(ts) // 86400000000 ed from events
+),
+c as (select u, min(ed) cohort_day from d group by 1)
+select c.cohort_day, (d.ed - c.cohort_day)::INTEGER day_offset, count(*) n_users
+from d join c using (u)
+where d.ed - c.cohort_day <= 30
+group by 1, 2
+""",
+        "keyword_search": f"""
+with {_bm25_sql(BM25_TERMS).strip()}
+select doc_id, n_matched_terms,
+       floor(score * 1000000 + 0.5) / 1000000 as score
+from bm25s
+order by bm25s.score desc, doc_id
+limit 20
+""",
+        "hybrid_search_rrf": f"""
+with {_NORM_EMB_CTE.strip()},
+{_bm25_sql(BM25_TERMS).strip()},
+q as (select v qv from emb where vec_id = 0),
+vs as (
+  select e.vec_id doc_id, list_dot_product(e.v, q.qv) s from emb e cross join q
+),
+vr as (
+  select doc_id, row_number() over (order by s desc, doc_id) r from vs
+  qualify r <= 50
+),
+kr as (
+  select doc_id, row_number() over (order by score desc, doc_id) r from bm25s
+  qualify r <= 50
+),
+fused as (
+  select doc_id,
+         (case when vr.r is not null
+               then 1.0::DOUBLE / (60.0::DOUBLE + vr.r) else 0.0::DOUBLE end
+          + case when kr.r is not null
+                 then 1.0::DOUBLE / (60.0::DOUBLE + kr.r) else 0.0::DOUBLE end)
+           rrf_score,
+         (vr.r is not null and kr.r is not null) in_both
+  from vr full outer join kr using (doc_id)
+)
+select doc_id, floor(rrf_score * 1000000 + 0.5) / 1000000 as rrf_score, in_both
+from fused order by fused.rrf_score desc, doc_id limit 10
 """,
     }

@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "tfidf_top_terms",
     "sq_knn",
+    "event_funnel",
+    "retention_cohorts",
+    "keyword_search",
+    "hybrid_search_rrf",
     "stream_sessionize",
     "sessionize",
     "range_join",
