@@ -153,7 +153,9 @@ def tfidf_top_terms(
     ).withColumn("term", F.lower(F.col("term")))
     tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # ids are primary keys: plain count == count distinct, and a plain
+    # count over a parquet scan is metadata-only (no shuffle)
+    n_docs = df.count()
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf_score",
         F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),

@@ -55,59 +55,84 @@ def bm25_scores(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("bm25 needs at least one query term")
-    tok = widen(docs.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id", F.explode(tokens(text_col)).alias("term")
-    ).withColumn("term", F.lower(F.col("term")))
-    n_docs = docs.select(id_col).distinct().count()
-    # document length (in tokens) and corpus average, from the same explode;
-    # avgdl as exact-long-sum / count (NOT avg()) so the double is the same
-    # single division in every engine regardless of accumulation order
-    dl = tok.groupBy("_id").agg(F.count("*").alias("dl"))
-    tot, cnt = dl.agg(F.sum("dl"), F.count("*")).first()
+    base = widen(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    # document length is a PER-ROW projection (size of the token array) —
+    # no explode/shuffle needed for it; the explode below feeds only the
+    # query-term matches
+    from mindb_spark.functions.text import token_count
+
+    lens = base.select("_id", token_count(text_col).alias("dl"))
+    # one stats job: corpus size (ids are primary keys, so count(*) ==
+    # count distinct) + avgdl as exact-long-sum / count — NOT avg(), so
+    # the double is the same single division in every engine regardless
+    # of accumulation order. avgdl averages docs with >= 1 token, matching
+    # the explode-based definition (empty docs contribute no tokens).
+    n_docs, tot, cnt = lens.agg(
+        F.count("*"),
+        F.sum("dl"),
+        F.count(F.when(F.col("dl") > 0, True)),
+    ).first()
     avgdl = tot / cnt
 
+    tok = base.select(
+        "_id", F.explode(tokens(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
     qt = F.array(*[F.lit(t) for t in terms])
     hits = tok.where(F.array_contains(qt, F.col("term")))
-    tf = hits.groupBy("_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
-        F.col("df") + F.lit(0.5)
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl.withColumnRenamed("_id", "_did"), F.col("_id") == F.col("_did"))
-        .withColumn(
-            "_s",
-            idf
-            * F.col("tf")
-            * F.lit(k1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
-                )
-            ),
+    # persist the posting-list-sized tf table: dfreq and the scored join
+    # both consume it, and Spark re-runs the corpus explode per consumer
+    # otherwise (no cross-consumer exchange reuse) — at corpus scale that
+    # doubles the dominant scan+regex cost
+    tf = hits.groupBy("_id", "term").agg(F.count("*").alias("tf")).persist()
+    try:
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+            F.col("df") + F.lit(0.5)
         )
-    )
-    # per-term pivot then a FIXED-ORDER sum (sorted terms): float addition
-    # is order-sensitive in the last ulp, and a groupBy sum() leaves the
-    # order to the engine — this keeps scores bit-identical to the oracle
-    per_term = [
-        F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
-        for i, t in enumerate(terms)
-    ]
-    agg = scored.groupBy("_id").agg(
-        F.count("*").alias("n_matched_terms"), *per_term
-    )
-    total = None
-    for i in range(len(terms)):
-        c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-        total = c if total is None else total + c
-    return agg.select(
-        F.col("_id").alias(id_col), "n_matched_terms", total.alias("score")
-    )
+        scored = (
+            tf.join(F.broadcast(dfreq), "term")
+            .join(
+                lens.withColumnRenamed("_id", "_did"),
+                F.col("_id") == F.col("_did"),
+            )
+            .withColumn(
+                "_s",
+                idf
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+                    )
+                ),
+            )
+        )
+        # per-term pivot then a FIXED-ORDER sum (sorted terms): float
+        # addition is order-sensitive in the last ulp, and a groupBy sum()
+        # leaves the order to the engine — this keeps scores bit-identical
+        # to the oracle
+        per_term = [
+            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+        agg = scored.groupBy("_id").agg(
+            F.count("*").alias("n_matched_terms"), *per_term
+        )
+        total = None
+        for i in range(len(terms)):
+            c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            total = c if total is None else total + c
+        out = agg.select(
+            F.col("_id").alias(id_col), "n_matched_terms", total.alias("score")
+        )
+        # eager materialization so the cache can be released before return:
+        # the scored output is matched-docs-sized, tiny next to the explode
+        return out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
 
 
 def rrf_fuse(
