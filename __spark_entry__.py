@@ -870,6 +870,26 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 BM25_TERMS = ("hash", "scan", "table")
+CHUNK_SIZE = 256
+CHUNK_OVERLAP = 32
+QUALITY_BINS = 10
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep document chunking: fixed-size char windows with overlap,
+    zero-shuffle per-row expressions."""
+    from mindb_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality binning (curriculum/mixture lever)."""
+    from mindb_spark.operators.corpus import quality_deciles
+
+    return quality_deciles(_docs(spark, sf_dir), n_bins=QUALITY_BINS)
 
 
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "keyword_search": q_keyword_search,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "chunk_docs": q_chunk_docs,
+        "quality_deciles": q_quality_deciles,
     }
 
 
@@ -1835,5 +1857,56 @@ fused as (
 )
 select doc_id, floor(rrf_score * 1000000 + 0.5) / 1000000 as rrf_score, in_both
 from fused order by fused.rrf_score desc, doc_id limit 10
+""",
+        "chunk_docs": f"""
+with base as (
+  select doc_id, text, length(text) n from documents
+  where length(text) > 0
+),
+st as (
+  select doc_id, text,
+         generate_series(1, greatest(n - {CHUNK_OVERLAP}, 1),
+                         {CHUNK_SIZE - CHUNK_OVERLAP}) ss
+  from base
+),
+e as (
+  select doc_id, text,
+         generate_subscripts(ss, 1) - 1 chunk_no, unnest(ss) stt
+  from st
+)
+select doc_id,
+       chunk_no::INTEGER as chunk_no,
+       stt::INTEGER as "start",
+       substr(text, stt, {CHUNK_SIZE}) as chunk_text,
+       length(substr(text, stt, {CHUNK_SIZE}))::INTEGER as chunk_len
+from e
+""",
+        "quality_deciles": rf"""
+with t as (
+  select doc_id,
+         regexp_extract_all(text, '\S+') toks,
+         length(text) n_chars,
+         len(regexp_extract_all(text, '\S+')) n_tokens
+  from documents
+),
+m as (
+  select doc_id, n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(n_tokens, 1) avg_tok,
+         len(list_filter(toks, s -> list_contains({_STOPWORDS_SQL}, lower(s)))) stop_hits
+  from t
+),
+s as (
+  select doc_id,
+         round(least(n_tokens / 64.0, 1.0)
+               * (case when avg_tok >= 2.0 and avg_tok <= 12.0 then 1.0 else 0.5 end)
+               * (case when stop_hits > 0 then 1.0 else 0.7 end), 6) q
+  from m
+),
+b as (
+  select doc_id, q, ntile({QUALITY_BINS}) over (order by q desc, doc_id) bin
+  from s
+)
+select bin, count(*) n_docs, min(q) min_score, max(q) max_score
+from b group by bin
 """,
     }

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "keyword_search",
     "hybrid_search_rrf",
+    "chunk_docs",
+    "quality_deciles",
     "stream_sessionize",
     "sessionize",
     "range_join",
@@ -146,7 +148,8 @@ def main() -> None:
         vdf = spark.createDataFrame(
             [(i, row.tolist()) for i, row in enumerate(norm)],
             "id long, vector array<double>",
-        )
+        ).localCheckpoint()  # materialize: driver->JVM ship is data prep,
+        # not index-build work — keep it out of build_sec
         params = resolve_index_params(30_000, 64)
         idx_dir = "/tmp/bench_clustered_idx"
         t0 = time.time()

@@ -127,6 +127,87 @@ def incremental_dedup(
     return joined.select(F.col(id_col), "fingerprint", status.alias("status"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap — the
+    standard RAG / embedding-prep pass before vectorization.
+
+    Returns (id, chunk_no, start, chunk_text, chunk_len): ``chunk_no``
+    counts from 0, ``start`` is the 1-based character offset, windows
+    advance by ``chunk_size - overlap``, and the final window is clipped
+    to the text length. Empty texts produce no chunks.
+
+    Plan: pure per-row array expressions (sequence -> transform ->
+    explode) — whole-stage codegen, no shuffle at all; chunk rows land on
+    the partition that held the document, and the Generate carries only
+    the (start, piece) structs, never a copy of the full document per
+    exploded row.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    tcol = F.col(text_col)
+    n = F.length(tcol)
+    empty = F.array().cast("array<struct<start:int,chunk_text:string>>")
+    pieces = F.when(F.coalesce(n, F.lit(0)) <= 0, empty).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
+            ),
+            lambda s: F.struct(
+                s.cast("int").alias("start"),
+                tcol.substr(s, F.lit(chunk_size)).alias("chunk_text"),
+            ),
+        )
+    )
+    chunks = widen(df.select(F.col(id_col), tcol)).select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_no", "_c")
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.col("_c.start").alias("start"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.length("_c.chunk_text").cast("int").alias("chunk_len"),
+    )
+
+
+def quality_deciles(
+    df: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide quality binning: rank documents by the heuristic quality
+    score into ``n_bins`` equal-count bins (curriculum / mixture levers
+    pick from the top bins).
+
+    Returns one row per bin: (bin, n_docs, min_score, max_score).
+    ``ntile`` over a total order (score desc, id) is deterministic and
+    engine-portable. The global sort for ntile is the documented cost —
+    at corpus scale, bin by fixed score thresholds instead; this operator
+    is the exact-count variant mixture specs ask for.
+    """
+    from mindb_spark.operators.textops import quality_columns
+
+    qual = quality_columns(text_col)
+    scored = df.select(
+        F.col(id_col), qual["quality_score"].alias("quality_score")
+    )
+    w = Window.orderBy(F.desc("quality_score"), F.col(id_col))
+    binned = scored.withColumn("bin", F.ntile(n_bins).over(w))
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     top_n: int = 3,

@@ -179,3 +179,67 @@ def test_sq8_search_plan_is_window_limited(spark):
     codes = sq_encode(vdf, mins, maxs)
     plan = sq_search(codes, [(0, [255, 0]), (1, [0, 255])], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------- chunking
+def test_chunking_offsets_and_overlap(spark):
+    from mindb_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(0, "abcdefghij"), (1, "xy"), (2, "")])
+    out = chunk_documents(docs, chunk_size=4, overlap=2)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_no))
+    d0 = [r for r in rows if r.doc_id == 0]
+    # len 10, size 4, step 2 -> starts 1,3,5,7 (stop at len-overlap=8)
+    assert [(r.start, r.chunk_text) for r in d0] == [
+        (1, "abcd"), (3, "cdef"), (5, "efgh"), (7, "ghij"),
+    ]
+    assert [r.chunk_no for r in d0] == [0, 1, 2, 3]
+    # consecutive chunks overlap by exactly `overlap` chars
+    for a, b in zip(d0, d0[1:]):
+        assert a.chunk_text[-2:] == b.chunk_text[:2]
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [(r.start, r.chunk_text, r.chunk_len) for r in d1] == [(1, "xy", 2)]
+    assert not [r for r in rows if r.doc_id == 2]  # empty text -> no chunks
+
+
+def test_chunking_reconstructs_document(spark):
+    from mindb_spark.operators.corpus import chunk_documents
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    docs = _docs(spark, [(0, text)])
+    rows = sorted(chunk_documents(docs, 100, 10).collect(), key=lambda r: r.chunk_no)
+    rebuilt = rows[0].chunk_text
+    for r in rows[1:]:
+        rebuilt += r.chunk_text[10:]
+    assert rebuilt == text
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from mindb_spark.operators.corpus import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(0, "x")]), chunk_size=4, overlap=4)
+
+
+def test_chunking_no_shuffle_plan(spark):
+    from mindb_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(0, "hello world " * 50)])
+    p = chunk_documents(docs, 64, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p
+
+
+# ----------------------------------------------------------------- deciles
+def test_quality_deciles_equal_count_bins(spark):
+    from mindb_spark.operators.corpus import quality_deciles
+
+    docs = _docs(
+        spark,
+        [(i, ("the quick brown fox jumps . " * (1 + i % 7))) for i in range(40)],
+    )
+    out = {r.bin: r for r in quality_deciles(docs, n_bins=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[b].n_docs == 10 for b in out)
+    # bins are ordered best-first: min of bin b >= max of bin b+1
+    for b in (1, 2, 3):
+        assert out[b].min_score >= out[b + 1].max_score
