@@ -79,6 +79,8 @@ class RestServer:
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/train$"), "train_start"),
         ("GET", re.compile(r"^/db/(?P<name>[^/]+)/train$"), "train_status"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/batch_query$"), "batch_query"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/keyword_query$"), "keyword_query"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/hybrid_query$"), "hybrid_query"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/query$"), "query"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/save$"), "save"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/reload$"), "reload"),
@@ -228,6 +230,61 @@ class RestServer:
             metadata_filter=self._validated_filter(body.get("metadata_filter")),
         )
         return {"results": results}
+
+    _FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    def _r_keyword_query(self, body: dict, name: str) -> dict:
+        """Beyond-reference route: BM25 keyword search over a metadata
+        JSON field (the reference can only FILTER metadata; this scores it)."""
+        db = self._db(name)
+        terms = body.get("terms")
+        if not isinstance(terms, list) or not terms or not all(
+            isinstance(t, str) and t for t in terms
+        ):
+            raise _HTTPError(400, "terms must be a non-empty list of strings")
+        field = body.get("field", "text")
+        if not isinstance(field, str) or not self._FIELD_RE.match(field):
+            raise _HTTPError(400, "field must be a simple identifier")
+        rows = db.keyword_query_df(
+            terms,
+            field=field,
+            final_top_k=int(body.get("final_top_k", 100)),
+            metadata_filter=self._validated_filter(body.get("metadata_filter")),
+        ).collect()
+        return {
+            "ids": [r.id for r in rows],
+            "metadata": [json.loads(r.metadata) if r.metadata else {} for r in rows],
+            "score": [r.score for r in rows],
+        }
+
+    def _r_hybrid_query(self, body: dict, name: str) -> dict:
+        """Beyond-reference route: RRF fusion of the vector and keyword
+        rankings — hybrid search over one DB."""
+        db = self._db(name)
+        qv = body.get("query_vector")
+        if not isinstance(qv, list) or not qv:
+            raise _HTTPError(400, "query_vector must be a non-empty list of floats")
+        terms = body.get("terms")
+        if not isinstance(terms, list) or not terms or not all(
+            isinstance(t, str) and t for t in terms
+        ):
+            raise _HTTPError(400, "terms must be a non-empty list of strings")
+        field = body.get("field", "text")
+        if not isinstance(field, str) or not self._FIELD_RE.match(field):
+            raise _HTTPError(400, "field must be a simple identifier")
+        rows = db.hybrid_query_df(
+            qv,
+            terms,
+            field=field,
+            final_top_k=int(body.get("final_top_k", 100)),
+            metadata_filter=self._validated_filter(body.get("metadata_filter")),
+        ).collect()
+        return {
+            "ids": [r.id for r in rows],
+            "metadata": [json.loads(r.metadata) if r.metadata else {} for r in rows],
+            "rrf_score": [r.rrf_score for r in rows],
+            "in_both": [bool(r.in_both) for r in rows],
+        }
 
     def _r_query(self, body: dict, name: str) -> dict:
         db = self._db(name)

@@ -602,6 +602,85 @@ class VectorDB:
             "cosine_similarity": [r.cosine_similarity for r in rows],
         }
 
+    # ------------------------------------------------- keyword / hybrid
+    def keyword_query_df(
+        self,
+        terms: list[str],
+        field: str = "text",
+        final_top_k: int = 100,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """BM25 keyword search over a metadata JSON field.
+
+        Beyond-reference capability: the reference stores metadata but can
+        only filter on it; this scores it. Rows whose metadata lack the
+        field are unmatchable (no tokens). Returns
+        (id, metadata, n_matched_terms, score), top-k by (score desc, id).
+        """
+        from mindb_spark.operators.search import bm25_scores
+
+        vectors = self.vectors()
+        if metadata_filter is not None:
+            vectors = vectors.where(F.expr(metadata_filter))
+        docs = vectors.select(
+            "id",
+            "metadata",
+            F.get_json_object("metadata", f"$.{field}").alias("_text"),
+        ).where(F.col("_text").isNotNull())
+        scored = bm25_scores(docs, terms, id_col="id", text_col="_text")
+        return (
+            scored.join(docs.select("id", "metadata"), "id")
+            .orderBy(F.desc("score"), "id")
+            .limit(final_top_k)
+            .select("id", "metadata", "n_matched_terms", "score")
+        )
+
+    def hybrid_query_df(
+        self,
+        query_vector,
+        terms: list[str],
+        field: str = "text",
+        final_top_k: int = 100,
+        pool_k: int | None = None,
+        rrf_k: int = 60,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """Hybrid retrieval: RRF fusion of the vector ranking (exact or
+        two-stage ANN, whatever the DB would use for ``query``) with the
+        BM25 keyword ranking over a metadata field.
+
+        ``pool_k`` is the per-retriever candidate depth (default
+        ``2 * final_top_k``). Returns (id, metadata, rrf_score, in_both)
+        top-k by (rrf_score desc, id).
+        """
+        from pyspark.sql import Window
+
+        from mindb_spark.operators.search import rrf_fuse
+
+        pool = pool_k or 2 * final_top_k
+        vtop = self.query_df(
+            query_vector, final_top_k=pool, metadata_filter=metadata_filter
+        )
+        wv = Window.orderBy(F.desc("cosine_similarity"), "id")
+        vrank = (
+            vtop.orderBy(F.desc("cosine_similarity"), "id").limit(pool)
+            .select("id", F.row_number().over(wv).alias("rank"))
+        )
+        ktop = self.keyword_query_df(
+            terms, field=field, final_top_k=pool, metadata_filter=metadata_filter
+        )
+        wk = Window.orderBy(F.desc("score"), "id")
+        krank = ktop.select("id", F.row_number().over(wk).alias("rank"))
+        fused = rrf_fuse(vrank, krank, k=rrf_k, id_col="id")
+        meta = self.vectors().select("id", "metadata")
+        return (
+            fused.orderBy(F.desc("rrf_score"), "id")
+            .limit(final_top_k)
+            .join(meta, "id")
+            .select("id", "metadata", "rrf_score", "in_both")
+            .orderBy(F.desc("rrf_score"), "id")
+        )
+
     # ------------------------------------------------------------- admin
     def delete(self) -> None:
         """Drop the database entirely (ref mindb.py:549-551)."""

@@ -72,6 +72,12 @@ def bm25_scores(
         F.sum("dl"),
         F.count(F.when(F.col("dl") > 0, True)),
     ).first()
+    if not cnt:  # no document has a single token: nothing can match
+        return base.select("_id").limit(0).select(
+            F.col("_id").alias(id_col),
+            F.lit(0).cast("long").alias("n_matched_terms"),
+            F.lit(0.0).alias("score"),
+        )
     avgdl = tot / cnt
 
     tok = base.select(

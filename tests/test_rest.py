@@ -284,3 +284,55 @@ def test_rest_metadata_filter_rejects_dangerous_expressions(client):
         )
         assert status == 400 and "disallowed" in out["detail"], bad
     assert client("POST", "/db/fsecdb/delete")[0] == 200
+
+
+def test_rest_keyword_and_hybrid_query(client):
+    client("POST", "/db/create", {"name": "kwdb", "vector_dimension": 4})
+    docs = [
+        ([1.0, 0.0, 0.0, 0.0], {"text": "spark hash join strategies"}),
+        ([0.9, 0.1, 0.0, 0.0], {"text": "hash table implementation notes"}),
+        ([0.0, 1.0, 0.0, 0.0], {"text": "unrelated cooking recipe"}),
+        ([0.0, 0.0, 1.0, 0.0], {"text": "hash hash hash spam"}),
+        ([0.0, 0.0, 0.9, 0.1], {"nottext": "no text field here"}),
+    ]
+    st, _ = client("POST", "/db/kwdb/add", {"add_data": docs})
+    assert st == 200
+
+    # keyword: docs without the field never match; scores rank by BM25
+    st, res = client("POST", "/db/kwdb/keyword_query",
+                     {"terms": ["hash", "join"], "final_top_k": 10})
+    assert st == 200
+    assert 2 not in res["ids"] and 4 not in res["ids"]
+    assert set(res["ids"]) == {0, 1, 3}
+    assert res["ids"][0] == 0  # both terms -> top
+    assert res["score"] == sorted(res["score"], reverse=True)
+
+    # hybrid: vector close to doc 1, keywords favor doc 0 -> both surface
+    st, res = client("POST", "/db/kwdb/hybrid_query",
+                     {"query_vector": [1.0, 0.05, 0.0, 0.0],
+                      "terms": ["hash", "join"], "final_top_k": 3})
+    assert st == 200
+    assert set(res["ids"][:2]) == {0, 1}
+    assert all(isinstance(b, bool) for b in res["in_both"])
+
+    # metadata filter composes with keyword search
+    st, res = client("POST", "/db/kwdb/keyword_query",
+                     {"terms": ["hash"],
+                      "metadata_filter":
+                          "get_json_object(metadata, '$.text') like '%table%'"})
+    assert st == 200
+    assert res["ids"] == [1]
+
+    # validation errors
+    st, _ = client("POST", "/db/kwdb/keyword_query", {"terms": []})
+    assert st == 400
+    st, _ = client("POST", "/db/kwdb/keyword_query",
+                   {"terms": ["x"], "field": "bad; drop"})
+    assert st == 400
+    st, _ = client("POST", "/db/kwdb/hybrid_query",
+                   {"query_vector": [1.0, 0.0, 0.0, 0.0], "terms": "hash"})
+    assert st == 400
+    st, _ = client("POST", "/db/missing/keyword_query", {"terms": ["x"]})
+    assert st == 404
+
+    client("POST", "/db/kwdb/delete", {})
