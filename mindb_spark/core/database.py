@@ -643,6 +643,7 @@ class VectorDB:
         final_top_k: int = 100,
         pool_k: int | None = None,
         rrf_k: int = 60,
+        preliminary_top_k: int | None = None,
         metadata_filter: str | None = None,
     ) -> DataFrame:
         """Hybrid retrieval: RRF fusion of the vector ranking (exact or
@@ -650,16 +651,24 @@ class VectorDB:
         BM25 keyword ranking over a metadata field.
 
         ``pool_k`` is the per-retriever candidate depth (default
-        ``2 * final_top_k``). Returns (id, metadata, rrf_score, in_both)
-        top-k by (rrf_score desc, id).
+        ``2 * final_top_k``); on a trained index the ANN preliminary
+        candidate stage is automatically deepened to cover the pool
+        (``preliminary_top_k`` defaults to ``max(500, 2 * pool)``) so the
+        vector list is never silently truncated below ``pool_k``.
+        Returns (id, metadata, rrf_score, in_both) top-k by
+        (rrf_score desc, id).
         """
         from pyspark.sql import Window
 
         from mindb_spark.operators.search import rrf_fuse
 
         pool = pool_k or 2 * final_top_k
+        prelim = preliminary_top_k or max(500, 2 * pool)
         vtop = self.query_df(
-            query_vector, final_top_k=pool, metadata_filter=metadata_filter
+            query_vector,
+            preliminary_top_k=prelim,
+            final_top_k=pool,
+            metadata_filter=metadata_filter,
         )
         wv = Window.orderBy(F.desc("cosine_similarity"), "id")
         vrank = (

@@ -160,17 +160,24 @@ def sq_search(
     product (see :func:`query_weights`). Ties break by id ascending,
     deterministic across engines.
     """
+    if not queries:
+        raise ValueError("sq_search needs at least one query")
+    qids = [int(qid) for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("sq_search query ids must be unique")
+    # score columns are aliased by POSITION (not by qid) so negative ids
+    # can't parse as arithmetic and the stack literals carry the real ids
     scored = codes_df.select(
         F.col(id_col),
         *[
-            _int_dot(F.col(code_col), q).alias(f"_s{qid}")
-            for qid, q in queries
+            _int_dot(F.col(code_col), q).alias(f"_s{i}")
+            for i, (_, q) in enumerate(queries)
         ],
     )
     # unpivot the per-query score columns to (query_id, qscore) rows, then
     # rank within query — Catalyst bounds the ranked window with
     # WindowGroupLimit (partial top-k before the exchange)
-    pairs = ", ".join(f"{int(qid)}L, _s{qid}" for qid, _ in queries)
+    pairs = ", ".join(f"{qid}L, _s{i}" for i, qid in enumerate(qids))
     long_df = scored.select(
         F.col(id_col),
         F.expr(f"stack({len(queries)}, {pairs}) as (query_id, qscore)"),

@@ -7,9 +7,11 @@ aggregation/join plans so Catalyst handles pushdown and AQE handles skew.
 Scale notes
 -----------
 - ``funnel_counts`` is K-1 user-key equi-joins for a K-step funnel, each
-  against a per-user single-row aggregate — every join key is ``user_id``,
-  so all stages hash-partition the same way and AQE reuses the exchange;
-  per-stage state is one (user, ts) row, never the raw events.
+  against a per-user single-row aggregate. Each stage is eagerly
+  checkpointed — per-stage state is one (user, ts) row, never the raw
+  events — so the event source is scanned once per step (K scans), not
+  re-derived per downstream consumer (O(K^2); Spark does not reuse plan
+  subtrees across separate count branches).
 - ``retention_cohorts`` reduces events to distinct (user, day) first —
   the shuffle is bounded by active user-days, not events — then joins the
   per-user cohort day (a per-user aggregate, broadcastable when the user
@@ -52,8 +54,15 @@ def funnel_counts(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
     )
     # stage 0: first occurrence of the entry event per user
-    reached = ev.where(F.col("_t") == steps[0]).groupBy("_u").agg(
-        F.min("_us").alias("_at")
+    # each stage is EAGERLY materialized (localCheckpoint): stage frames
+    # are one (user, ts) row per converted user — tiny next to the events
+    # source — and without it every step's count re-derives all prior
+    # stages, turning K scans of the event source into O(K^2)
+    reached = (
+        ev.where(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_at"))
+        .localCheckpoint(eager=True)
     )
     counts = [(0, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=1):
@@ -63,10 +72,10 @@ def funnel_counts(
             .where(F.col("_us") > F.col("_prev"))
             .groupBy("_u")
             .agg(F.min("_us").alias("_at"))
+            .localCheckpoint(eager=True)
         )
         counts.append((i, step, nxt))
         reached = nxt
-    spark = events.sparkSession
     out = None
     for i, step, df in counts:
         row = df.agg(F.count("*").alias("n_users")).select(

@@ -224,35 +224,43 @@ def tfidf_top_terms(
 
     Returns (id, term, tf, df, tfidf_score, rank).
 
-    Plan: one explode feeds two codegen'd hash aggregations — (doc, term)
-    tf then term df — re-joined on term; the final per-doc rank is a
-    ranked window that Spark bounds with WindowGroupLimit (partial top-n
-    before the shuffle).
+    Plan: the corpus tokenize+explode runs ONCE — the (doc, term) tf table
+    is persisted because its two consumers (term document-frequency and
+    the scoring join) would otherwise each re-run the whole explode
+    (Spark does not reuse plan subtrees across consumers). The final
+    per-doc rank is a ranked window that Spark bounds with
+    WindowGroupLimit (partial top-n before the shuffle); the result is
+    eagerly checkpointed (top_n x docs rows) so the cache can be
+    released before return.
     """
     tok = widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
         "_id", F.explode(tokens(text_col)).alias("term")
     ).withColumn("term", F.lower(F.col("term")))
-    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # ids are primary keys: plain count == count distinct, and a plain
-    # count over a parquet scan is metadata-only (no shuffle)
-    n_docs = df.count()
-    scored = tf.join(dfreq, "term").withColumn(
-        "tfidf_score",
-        F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),
-    )
-    w = Window.partitionBy("_id").orderBy(
-        F.desc("tfidf_score"), F.asc("term")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
-        .select(
-            F.col("_id").alias(id_col),
-            "term",
-            "tf",
-            "df",
+    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf")).persist()
+    try:
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        # ids are primary keys: plain count == count distinct, and a plain
+        # count over a parquet scan is metadata-only (no shuffle)
+        n_docs = df.count()
+        scored = tf.join(dfreq, "term").withColumn(
             "tfidf_score",
-            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),
         )
-    )
+        w = Window.partitionBy("_id").orderBy(
+            F.desc("tfidf_score"), F.asc("term")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select(
+                F.col("_id").alias(id_col),
+                "term",
+                "tf",
+                "df",
+                "tfidf_score",
+                F.col("rank").cast("int").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        tf.unpersist()

@@ -243,3 +243,21 @@ def test_quality_deciles_equal_count_bins(spark):
     # bins are ordered best-first: min of bin b >= max of bin b+1
     for b in (1, 2, 3):
         assert out[b].min_score >= out[b + 1].max_score
+
+
+def test_sq8_search_rejects_bad_query_sets_and_allows_negative_ids(spark):
+    from mindb_spark.index.sq import sq_encode, sq_search, sq_train
+
+    vdf = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i]) for i in range(10)],
+        "id long, vector array<double>",
+    )
+    mins, maxs = sq_train(vdf)
+    codes = sq_encode(vdf, mins, maxs)
+    with pytest.raises(ValueError):
+        sq_search(codes, [], k=3)
+    with pytest.raises(ValueError):
+        sq_search(codes, [(1, [1, 2]), (1, [3, 4])], k=3)
+    # negative query ids must survive the generated plan (positional alias)
+    out = sq_search(codes, [(-5, [255, 0])], k=3).collect()
+    assert {r.query_id for r in out} == {-5} and len(out) == 3
