@@ -6,6 +6,7 @@ from mindb_spark.sources.readers import (
     read_vectors_json,
     read_vectors_parquet,
 )
+from mindb_spark.sources.sinks import write_table
 
 __all__ = [
     "ingest_file",
@@ -14,4 +15,5 @@ __all__ = [
     "read_vectors_csv",
     "read_vectors_json",
     "read_vectors_parquet",
+    "write_table",
 ]

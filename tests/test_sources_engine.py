@@ -113,3 +113,67 @@ def test_engine_auto_train_queue(spark, tmpdir, monkeypatch):
     eng.add("big", [(rng.normal(size=4).tolist(), {}) for _ in range(60)])
     assert eng.initial_training_queue() == ["big"]
     assert eng.find_indexes_to_train() == ["big"]
+
+
+# ------------------------------------------------------------------ sinks
+def test_write_table_partition_layout_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mindb_spark.sources import write_table
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)], "id long, grp int, v double"
+    )
+    path = str(tmp_path / "laid_out")
+    write_table(df, path, partition_by=["grp"], sort_by=["id"])
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("grp="))
+    assert dirs == ["grp=0", "grp=1", "grp=2"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # equality filter on the partition column prunes at plan time
+    plan = back.where(F.col("grp") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "grp" in plan.split("PartitionFilters")[-1].split("]")[0]
+
+
+def test_write_table_sorted_row_groups_tighten_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mindb_spark.sources import write_table
+
+    df = spark.createDataFrame(
+        [((i * 7919) % 1000, "x" * 10) for i in range(1000)], "k long, pad string"
+    ).repartition(2)
+    path = str(tmp_path / "sorted")
+    write_table(df, path, sort_by=["k"])
+    # row-group/file min-max stats must be tight (sorted): per file,
+    # observed min == stats min and max == stats max, and files written by
+    # one task cover non-degenerate sorted ranges
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("k")
+        vals = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        st = md.row_group(0).column(col_idx).statistics
+        assert st.min == min(vals) and md.row_group(md.num_row_groups - 1).column(col_idx).statistics.max == max(vals)
+        assert vals == sorted(vals)
+
+
+def test_write_table_csv_json_and_validation(spark, tmp_path):
+    import pytest
+
+    from mindb_spark.sources import write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_table(df, str(tmp_path / "t.csv"), fmt="csv")
+    assert spark.read.option("header", True).csv(str(tmp_path / "t.csv")).count() == 2
+    write_table(df, str(tmp_path / "t.json"), fmt="json")
+    assert spark.read.json(str(tmp_path / "t.json")).count() == 2
+    with pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "t.x"), fmt="avro")
