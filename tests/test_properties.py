@@ -137,3 +137,86 @@ def test_decomposed_adc_identity_property(mat, m_pick):
           + (centroids**2).sum(axis=1)[None, :])
     got = PQ.adc_scan_multi(codes, A) + bterm[:, None] + d2.T[cid].astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-2)
+
+
+# ------------------------------------------------------- corpus properties
+TEXTS = st.text(
+    alphabet=st.sampled_from(list("ab c\ndef")), min_size=0, max_size=120
+)
+
+
+@given(
+    texts=st.lists(TEXTS, min_size=1, max_size=8),
+    size=st.integers(2, 40),
+    overlap=st.integers(0, 20),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_reconstruction_property(spark, texts, size, overlap):
+    """For ANY text/size/overlap (overlap < size): concatenating chunks
+    minus the overlapped prefixes reproduces the document exactly, chunk
+    offsets are the arithmetic sequence, and empty texts emit nothing."""
+    from mindb_spark.operators.corpus import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc
+            continue
+        cs = sorted(by_doc[i], key=lambda r: r.chunk_no)
+        assert [c.start for c in cs] == [
+            1 + j * (size - overlap) for j in range(len(cs))
+        ]
+        rebuilt = cs[0].chunk_text
+        for c in cs[1:]:
+            rebuilt += c.chunk_text[overlap:]
+        assert rebuilt == t, (i, size, overlap)
+
+
+@given(
+    old=st.lists(TEXTS, min_size=0, max_size=6),
+    new=st.lists(TEXTS, min_size=1, max_size=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_incremental_dedup_partition_property(spark, old, new):
+    """Statuses partition the batch: every batch doc gets exactly one
+    status; novel docs have unique canonical fingerprints not present in
+    the corpus; dup_in_batch always has a lower-id novel twin."""
+    from mindb_spark.functions.text import normalized_text
+    from mindb_spark.operators.corpus import incremental_dedup
+    from pyspark.sql import functions as F
+
+    existing = spark.createDataFrame(
+        list(enumerate(old)) or [(0, "seed")], "doc_id long, text string"
+    )
+    if not old:
+        existing = existing.where(F.lit(False))
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new)], "doc_id long, text string"
+    )
+    rows = incremental_dedup(existing, batch).collect()
+    assert len(rows) == len(new)
+    by_id = {r.doc_id: r for r in rows}
+    novel_fp = {r.fingerprint for r in rows if r.status == "novel"}
+    corpus_fp = {
+        r.f for r in existing.select(normalized_text("text").alias("t"))
+        .select(F.md5("t").alias("f")).collect()
+    }
+    assert len(novel_fp) == sum(1 for r in rows if r.status == "novel")
+    assert not (novel_fp & corpus_fp)
+    for r in rows:
+        if r.status == "dup_in_batch":
+            twin = [
+                x for x in rows
+                if x.fingerprint == r.fingerprint and x.doc_id < r.doc_id
+            ]
+            assert twin and any(x.status == "novel" for x in twin)
+        if r.status == "dup_of_corpus":
+            assert r.fingerprint in corpus_fp
