@@ -875,6 +875,38 @@ CHUNK_OVERLAP = 32
 QUALITY_BINS = 10
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join: events (5 hot event_type keys —
+    maximal skew) against a per-type dimension. Semantics are exactly the
+    plain join (the oracle); only the physical key distribution differs."""
+    from mindb_spark.operators.joins import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("n_of_type"))
+    return salted_join(ev, dim, "event_type", salt_from="event_id", n_salt=16)
+
+
+def q_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered SQL-function surface (Spark 4 SQL UDFs — pure
+    Catalyst bodies, no Python) driven through spark.sql itself."""
+    from mindb_spark.functions.registry import register_sql_functions
+
+    register_sql_functions(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("entry_docs")
+    _emb(spark, sf_dir).createOrReplaceTempView("entry_emb")
+    return spark.sql(
+        """
+        select d.doc_id,
+               text_fingerprint(d.text) as fp,
+               text_token_count(d.text) as n_tokens,
+               floor(vec_dot(cast(e.embedding as array<double>),
+                             cast(e.embedding as array<double>))
+                     * 1000000 + 0.5) / 1000000 as sq_norm
+        from entry_docs d join entry_emb e on d.doc_id = e.vec_id
+        """
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-prep document chunking: fixed-size char windows with overlap,
     zero-shuffle per-row expressions."""
@@ -1016,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "chunk_docs": q_chunk_docs,
         "quality_deciles": q_quality_deciles,
+        "salted_join": q_salted_join,
+        "sql_functions": q_sql_functions,
     }
 
 
@@ -1908,5 +1942,18 @@ b as (
 )
 select bin, count(*) n_docs, min(q) min_score, max(q) max_score
 from b group by bin
+""",
+        "salted_join": """
+with dim as (select event_type, count(*) n_of_type from events group by 1)
+select e.event_id, e.event_type, d.n_of_type
+from events e join dim d using (event_type)
+""",
+        "sql_functions": r"""
+select d.doc_id,
+       md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))) as fp,
+       len(regexp_extract_all(d.text, '\S+'))::BIGINT as n_tokens,
+       floor(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+             * 1000000 + 0.5) / 1000000 as sq_norm
+from documents d join embeddings e on d.doc_id = e.vec_id
 """,
     }

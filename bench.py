@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "chunk_docs",
     "quality_deciles",
+    "salted_join",
+    "sql_functions",
     "stream_sessionize",
     "sessionize",
     "range_join",
