@@ -875,6 +875,46 @@ CHUNK_OVERLAP = 32
 QUALITY_BINS = 10
 
 
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region -> nation -> customer/supplier ->
+    orders -> lineitem) with the co-nation constraint, revenue per nation.
+    Dimension chain broadcasts; the two fact tables shuffle once each."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_fl2(F.sum(rev)).alias("revenue"))
+    )
+
+
+def q_join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (TPC-H Q22 family): customers with NO order before
+    1996 — left_anti against the date-filtered orders scan (filter pushed
+    down, then one semi-structured hash join, no correlated subquery)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < "1996-01-01"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join: events (5 hot event_type keys —
     maximal skew) against a per-type dimension. Semantics are exactly the
@@ -1050,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "salted_join": q_salted_join,
         "sql_functions": q_sql_functions,
+        "multi_join_revenue": q_multi_join_revenue,
+        "join_anti_customers": q_join_anti_customers,
     }
 
 
@@ -1955,5 +1997,26 @@ select d.doc_id,
        floor(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
              * 1000000 + 0.5) / 1000000 as sq_norm
 from documents d join embeddings e on d.doc_id = e.vec_id
+""",
+        "multi_join_revenue": """
+select n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 as revenue
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'
+group by n_name
+""",
+        "join_anti_customers": """
+select c_custkey, c_name
+from customer c
+where not exists (
+  select 1 from orders o
+  where o.o_custkey = c.c_custkey and o.o_orderdate < '1996-01-01'
+)
 """,
     }

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "quality_deciles",
     "salted_join",
     "sql_functions",
+    "multi_join_revenue",
+    "join_anti_customers",
     "stream_sessionize",
     "sessionize",
     "range_join",

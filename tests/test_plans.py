@@ -202,3 +202,25 @@ def test_hybrid_rrf_no_nested_loop(spark, sf_dir, qs):
     p = plan_of(qs["hybrid_search_rrf"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multi_join_revenue_broadcasts_dimension_chain(spark, sf_dir, qs):
+    """Q5 shape: dims (region/nation/supplier) broadcast; facts never feed
+    a nested-loop join."""
+    p = plan_of(qs["multi_join_revenue"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the date filter reaches the orders scan (any PushedFilters block)
+    assert any(
+        "o_orderdate" in blk.split("ReadSchema")[0]
+        for blk in p.split("PushedFilters")[1:]
+    ), p
+
+
+def test_anti_join_pushes_date_filter(spark, sf_dir, qs):
+    p = plan_of(qs["join_anti_customers"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert any(
+        "o_orderdate" in blk.split("ReadSchema")[0]
+        for blk in p.split("PushedFilters")[1:]
+    ), p
