@@ -3,10 +3,10 @@
 Run from the repo root:  python examples/corpus_pipeline.py [sf_dir]
 
 The full pre-training data flow: quality/language signals -> exact dedup
--> near-dup components -> survivor selection -> PII scrub -> exact
-mixture draw -> token-shard layout. Every step is a declarative
-DataFrame op from `mindb_spark.operators`; chain them and Catalyst
-plans the whole thing.
+-> near-dup components -> survivor selection -> benchmark decontamination
+-> PII scrub -> exact mixture draw -> token-shard layout -> chunking ->
+partitioned parquet layout. Every step is a declarative DataFrame op from
+`mindb_spark.operators`; chain them and Catalyst plans the whole thing.
 """
 
 import sys
@@ -49,6 +49,17 @@ def main() -> None:
     ).where(F.col("q") >= 0.3)
     print(f"after quality gate: {kept.count()}")
 
+    # 2b. benchmark decontamination: drop docs overlapping the held-out set
+    from mindb_spark.operators.corpus import ngram_contamination
+
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    contam = ngram_contamination(kept, bench, k=4)
+    kept = kept.join(
+        contam.where(F.col("contamination_rate") < 0.5).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    print(f"after decontamination: {kept.count()}")
+
     # 3. PII scrub (emails / IPs / phones)
     clean = scrub_pii(kept, text_col="text").join(
         kept.select("doc_id", "lang2", "n_tokens"), "doc_id"
@@ -66,6 +77,21 @@ def main() -> None:
     shards = assign_token_shards(mix.select("doc_id", "n_tokens"), budget=4096)
     print("shards:", shards.agg(F.max("shard_id").alias("last_shard"),
                                 F.sum("n_tokens").alias("total_tokens")).first())
+
+    # 6. chunk the curated docs and write the final layout (partitioned by
+    # language, id-sorted inside files for row-group pruning)
+    import tempfile
+
+    from mindb_spark.operators.corpus import chunk_documents
+    from mindb_spark.sources import write_table
+
+    chunks = chunk_documents(
+        mix.select("doc_id", F.col("clean_text").alias("text")),
+        chunk_size=512, overlap=64,
+    ).join(mix.select("doc_id", "lang2"), "doc_id")
+    out = tempfile.mkdtemp(prefix="corpus_out_") + "/chunks"
+    write_table(chunks, out, partition_by=["lang2"], sort_by=["doc_id", "chunk_no"])
+    print(f"wrote {chunks.count()} chunks to {out}")
 
 
 if __name__ == "__main__":
