@@ -875,6 +875,41 @@ CHUNK_OVERLAP = 32
 QUALITY_BINS = 10
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-user event counts spread across one column per
+    event type (explicit value list — no extra distinct-values job, the
+    form that scales), plus a total."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    total = None
+    for t in EVENT_TYPES:
+        c = F.col(t)
+        total = c if total is None else total + c
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+        total.cast("long").alias("n_total"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (lang, source): all four grouping levels in
+    one pass (the grouping-sets surface; rollup is covered separately)."""
+    docs = _docs(spark, sf_dir)
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join (region -> nation -> customer/supplier ->
     orders -> lineitem) with the co-nation constraint, revenue per nation.
@@ -1092,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_functions": q_sql_functions,
         "multi_join_revenue": q_multi_join_revenue,
         "join_anti_customers": q_join_anti_customers,
+        "pivot_events": q_pivot_events,
+        "agg_cube": q_agg_cube,
     }
 
 
@@ -2018,5 +2055,17 @@ where not exists (
   select 1 from orders o
   where o.o_custkey = c.c_custkey and o.o_orderdate < '1996-01-01'
 )
+""",
+        "pivot_events": f"""
+select user_id,
+       {", ".join(f"sum(case when event_type = '{t}' then 1 else 0 end)::BIGINT as n_{t}" for t in EVENT_TYPES)},
+       ({" + ".join(f"sum(case when event_type = '{t}' then 1 else 0 end)" for t in EVENT_TYPES)})::BIGINT as n_total
+from events
+group by user_id
+""",
+        "agg_cube": """
+select lang, source, count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
+from documents
+group by cube(lang, source)
 """,
     }

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "sql_functions",
     "multi_join_revenue",
     "join_anti_customers",
+    "pivot_events",
+    "agg_cube",
     "stream_sessionize",
     "sessionize",
     "range_join",
