@@ -91,7 +91,10 @@ def main() -> None:
     ).join(mix.select("doc_id", "lang2"), "doc_id")
     out = tempfile.mkdtemp(prefix="corpus_out_") + "/chunks"
     write_table(chunks, out, partition_by=["lang2"], sort_by=["doc_id", "chunk_no"])
-    print(f"wrote {chunks.count()} chunks to {out}")
+    # count the WRITTEN files — re-counting `chunks` would re-run the
+    # whole curation pipeline a second time
+    n_written = spark.read.parquet(out).count()
+    print(f"wrote {n_written} chunks to {out}")
 
 
 if __name__ == "__main__":

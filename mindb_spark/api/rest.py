@@ -231,20 +231,28 @@ class RestServer:
         )
         return {"results": results}
 
-    _FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    # \Z (not $): '$' matches before a trailing newline, letting
+    # "text\n" through to get_json_object as a silent zero-result path
+    _FIELD_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*\Z")
+
+    def _validated_terms(self, terms) -> list[str]:
+        if not isinstance(terms, list) or not terms or not all(
+            isinstance(t, str) and t for t in terms
+        ):
+            raise _HTTPError(400, "terms must be a non-empty list of strings")
+        return terms
+
+    def _validated_field(self, field) -> str:
+        if not isinstance(field, str) or not self._FIELD_RE.match(field):
+            raise _HTTPError(400, "field must be a simple identifier")
+        return field
 
     def _r_keyword_query(self, body: dict, name: str) -> dict:
         """Beyond-reference route: BM25 keyword search over a metadata
         JSON field (the reference can only FILTER metadata; this scores it)."""
         db = self._db(name)
-        terms = body.get("terms")
-        if not isinstance(terms, list) or not terms or not all(
-            isinstance(t, str) and t for t in terms
-        ):
-            raise _HTTPError(400, "terms must be a non-empty list of strings")
-        field = body.get("field", "text")
-        if not isinstance(field, str) or not self._FIELD_RE.match(field):
-            raise _HTTPError(400, "field must be a simple identifier")
+        terms = self._validated_terms(body.get("terms"))
+        field = self._validated_field(body.get("field", "text"))
         rows = db.keyword_query_df(
             terms,
             field=field,
@@ -264,14 +272,8 @@ class RestServer:
         qv = body.get("query_vector")
         if not isinstance(qv, list) or not qv:
             raise _HTTPError(400, "query_vector must be a non-empty list of floats")
-        terms = body.get("terms")
-        if not isinstance(terms, list) or not terms or not all(
-            isinstance(t, str) and t for t in terms
-        ):
-            raise _HTTPError(400, "terms must be a non-empty list of strings")
-        field = body.get("field", "text")
-        if not isinstance(field, str) or not self._FIELD_RE.match(field):
-            raise _HTTPError(400, "field must be a simple identifier")
+        terms = self._validated_terms(body.get("terms"))
+        field = self._validated_field(body.get("field", "text"))
         rows = db.hybrid_query_df(
             qv,
             terms,

@@ -664,6 +664,10 @@ class VectorDB:
 
         pool = pool_k or 2 * final_top_k
         prelim = preliminary_top_k or max(500, 2 * pool)
+        # both retrievers already return <= pool rows AND carry metadata —
+        # rank them and coalesce metadata from whichever side saw the row,
+        # so the vectors table is scanned exactly twice (once per
+        # retriever), never a third time for a metadata re-join
         vtop = self.query_df(
             query_vector,
             preliminary_top_k=prelim,
@@ -671,17 +675,33 @@ class VectorDB:
             metadata_filter=metadata_filter,
         )
         wv = Window.orderBy(F.desc("cosine_similarity"), "id")
-        vrank = (
-            vtop.orderBy(F.desc("cosine_similarity"), "id").limit(pool)
-            .select("id", F.row_number().over(wv).alias("rank"))
-        )
+        # eagerly materialized (<= pool rows each): fused ranks AND the
+        # metadata coalesce both read these, and without pinning them each
+        # consumer would re-run its whole retriever
+        vrank = vtop.select(
+            "id",
+            F.row_number().over(wv).alias("rank"),
+            F.col("metadata").alias("_vm"),
+        ).localCheckpoint(eager=True)
         ktop = self.keyword_query_df(
             terms, field=field, final_top_k=pool, metadata_filter=metadata_filter
         )
         wk = Window.orderBy(F.desc("score"), "id")
-        krank = ktop.select("id", F.row_number().over(wk).alias("rank"))
-        fused = rrf_fuse(vrank, krank, k=rrf_k, id_col="id")
-        meta = self.vectors().select("id", "metadata")
+        krank = ktop.select(
+            "id",
+            F.row_number().over(wk).alias("rank"),
+            F.col("metadata").alias("_km"),
+        ).localCheckpoint(eager=True)
+        fused = rrf_fuse(
+            vrank.select("id", "rank"), krank.select("id", "rank"),
+            k=rrf_k, id_col="id",
+        )
+        meta = (
+            vrank.select("id", F.col("_vm").alias("_m"))
+            .unionAll(krank.select("id", F.col("_km").alias("_m")))
+            .groupBy("id")
+            .agg(F.first("_m").alias("metadata"))
+        )
         return (
             fused.orderBy(F.desc("rrf_score"), "id")
             .limit(final_top_k)

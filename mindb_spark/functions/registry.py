@@ -22,15 +22,23 @@ _FUNCTIONS: dict[str, str] = {
         "sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
     ),
     # zero vectors normalize to themselves (validation rejects them at
-    # ingest; this mirrors functions/vector.py::l2_normalize's guard)
+    # ingest; this mirrors functions/vector.py::l2_normalize's guard).
+    # CAVEAT: the norm expression sits inside the transform lambda after
+    # SQL-UDF inlining and Catalyst does not hoist it, so this evaluates
+    # the O(d) norm per element — a convenience for small d; bulk
+    # normalization should use functions.vector.l2_normalize (Python
+    # Column builder, norm evaluated once).
     "vec_normalize": (
         "(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN "
         "transform(a, x -> x / (CASE WHEN vec_l2_norm(a) = 0.0 THEN 1.0 "
         "ELSE vec_l2_norm(a) END))"
     ),
+    # dot/(na*nb) form: every norm reference sits at TOP level (not inside
+    # a lambda), so the whole call is O(d) — never normalize-then-dot here
     "vec_cosine": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
-        "vec_dot(vec_normalize(a), vec_normalize(b))"
+        "vec_dot(a, b) / (CASE WHEN vec_l2_norm(a) * vec_l2_norm(b) = 0.0 "
+        "THEN 1.0 ELSE vec_l2_norm(a) * vec_l2_norm(b) END)"
     ),
     # canonical text fingerprint (functions/text.py::fingerprint)
     "text_fingerprint": (

@@ -36,6 +36,7 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    materialize: bool = True,
 ) -> DataFrame:
     """Strict-order funnel: a user converts step ``i`` when an event of
     ``steps[i]`` occurs STRICTLY AFTER their step ``i-1`` conversion time
@@ -43,6 +44,13 @@ def funnel_counts(
 
     Returns one row per step: (step_no, step, n_users) where ``n_users``
     is how many users reached that step — the classic funnel table.
+
+    ``materialize`` (default) eagerly checkpoints each stage so the event
+    source is scanned once per step; checkpointed partitions live on
+    executor storage (lineage truncated — rerun the funnel on executor
+    loss). ``materialize=False`` returns the fully lazy plan — composable
+    and fault-tolerant, but each step's count re-derives all prior stages
+    (O(K^2) source scans).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -54,25 +62,24 @@ def funnel_counts(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
     )
     # stage 0: first occurrence of the entry event per user
-    # each stage is EAGERLY materialized (localCheckpoint): stage frames
-    # are one (user, ts) row per converted user — tiny next to the events
-    # source — and without it every step's count re-derives all prior
-    # stages, turning K scans of the event source into O(K^2)
-    reached = (
+    # stage frames are one (user, ts) row per converted user — tiny next
+    # to the events source; see the materialize note in the docstring
+    def _stage(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    reached = _stage(
         ev.where(F.col("_t") == steps[0])
         .groupBy("_u")
         .agg(F.min("_us").alias("_at"))
-        .localCheckpoint(eager=True)
     )
     counts = [(0, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=1):
-        nxt = (
+        nxt = _stage(
             ev.where(F.col("_t") == step)
             .join(reached.select("_u", F.col("_at").alias("_prev")), "_u")
             .where(F.col("_us") > F.col("_prev"))
             .groupBy("_u")
             .agg(F.min("_us").alias("_at"))
-            .localCheckpoint(eager=True)
         )
         counts.append((i, step, nxt))
         reached = nxt
