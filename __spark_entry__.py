@@ -878,6 +878,25 @@ QUALITY_BINS = 10
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_window_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window surface: per-user inter-event gaps and value deltas
+    over a (ts, event_id)-total-ordered stream — the session-feature /
+    time-series-diff shape. One hash shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
+        _fl6(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot surface: per-user event counts spread across one column per
     event type (explicit value list — no extra distinct-values job, the
@@ -1129,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti_customers": q_join_anti_customers,
         "pivot_events": q_pivot_events,
         "agg_cube": q_agg_cube,
+        "window_lag_deltas": q_window_lag_deltas,
     }
 
 
@@ -2067,5 +2087,14 @@ group by user_id
 select lang, source, count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
 from documents
 group by cube(lang, source)
+""",
+        "window_lag_deltas": """
+with e as (select event_id, user_id, value, epoch_us(ts) us from events)
+select event_id, user_id,
+       lag(event_id) over w as prev_event_id,
+       (us - lag(us) over w)::BIGINT as gap_us,
+       floor((value - lag(value) over w) * 1000000 + 0.5) / 1000000 as value_delta
+from e
+window w as (partition by user_id order by us, event_id)
 """,
     }

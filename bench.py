@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "join_anti_customers",
     "pivot_events",
     "agg_cube",
+    "window_lag_deltas",
     "stream_sessionize",
     "sessionize",
     "range_join",

@@ -220,3 +220,82 @@ def test_incremental_dedup_partition_property(spark, old, new):
             assert twin and any(x.status == "novel" for x in twin)
         if r.status == "dup_of_corpus":
             assert r.fingerprint in corpus_fp
+
+
+@given(
+    n_rows=st.integers(5, 60),
+    n_keys=st.integers(1, 4),
+    n_salt=st.integers(1, 8),
+)
+@settings(max_examples=10, deadline=None)
+def test_salted_join_equals_plain_join_property(spark, n_rows, n_keys, n_salt):
+    """For ANY fact/dim shape and salt factor, the salted join returns
+    exactly the plain inner join's rows."""
+    from mindb_spark.operators.joins import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, i % (n_keys + 1)) for i in range(n_rows)], "row_id long, k int"
+    )
+    dims = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(n_keys)], "k int, name string"
+    )
+    plain = {(r.row_id, r.name) for r in facts.join(dims, "k").collect()}
+    salted = {
+        (r.row_id, r.name)
+        for r in salted_join(facts, dims, "k", "row_id", n_salt=n_salt).collect()
+    }
+    assert salted == plain
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc def")), min_size=0, max_size=40),
+        min_size=1, max_size=6,
+    ),
+    terms=st.lists(st.sampled_from(["abc", "def", "a", "zzz"]),
+                   min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=8, deadline=None)
+def test_bm25_matches_pure_python_oracle(spark, texts, terms):
+    """bm25_scores equals an independent pure-Python BM25 with the same
+    rational idf, for arbitrary corpora and query term sets."""
+    from mindb_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_matched_terms, r.score)
+           for r in bm25_scores(docs, list(terms)).collect()}
+
+    # independent implementation
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    lens = {i: len(v) for i, v in toks.items()}
+    with_tokens = [l for l in lens.values() if l > 0]
+    if not with_tokens:
+        assert got == {}
+        return
+    avgdl = sum(with_tokens) / len(with_tokens)
+    N = len(texts)
+    tset = sorted({t.lower() for t in terms})
+    dfreq = {t: sum(1 for v in toks.values()
+                    if t in [x.lower() for x in v]) for t in tset}
+    expect = {}
+    for i, v in toks.items():
+        low = [x.lower() for x in v]
+        total, matched = 0.0, 0
+        for t in tset:
+            tf = low.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            total += idf * tf * (k1 + 1.0) / (
+                tf + k1 * ((1.0 - b) + b * lens[i] / avgdl)
+            )
+        if matched:
+            expect[i] = (matched, total)
+    assert set(got) == set(expect)
+    for i in got:
+        assert got[i][0] == expect[i][0]
+        assert abs(got[i][1] - expect[i][1]) < 1e-9, (i, got[i], expect[i])
