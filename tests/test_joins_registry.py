@@ -99,3 +99,21 @@ def test_sql_registry_zero_vector_normalize(spark):
     register_sql_functions(spark)
     row = spark.sql("select vec_normalize(array(0.0D, 0.0D)) z").first()
     assert row.z == [0.0, 0.0]
+
+
+def test_salted_join_null_keys_match_plain_join_semantics(spark):
+    # null join keys never match (SQL equality), salted or not; left join
+    # keeps them with null dim columns — identical to the plain join
+    facts = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10)], "row_id long, k int"
+    )
+    dims = spark.createDataFrame([(10, "x")], "k int, name string")
+    plain_inner = {(r.row_id, r.name) for r in facts.join(dims, "k").collect()}
+    salted_inner = {(r.row_id, r.name) for r in
+                    salted_join(facts, dims, "k", "row_id", n_salt=4).collect()}
+    assert salted_inner == plain_inner == {(1, "x"), (3, "x")}
+    plain_left = {(r.row_id, r.name) for r in
+                  facts.join(dims, "k", "left").collect()}
+    salted_left = {(r.row_id, r.name) for r in
+                   salted_join(facts, dims, "k", "row_id", n_salt=4, how="left").collect()}
+    assert salted_left == plain_left == {(1, "x"), (2, None), (3, "x")}
