@@ -181,11 +181,17 @@ class VectorDB:
         }
 
     # ------------------------------------------------------------- ingest
-    def add(self, data: list) -> list[int]:
+    def add(self, data: list, add_to_index: bool = False) -> list[int]:
         """Add ``[(vector, metadata_dict), ...]``; returns assigned ids.
 
         Driver-side batch API for reference parity (``mindb.py:162-229``).
         Bulk ingest should use :meth:`add_dataframe`.
+
+        ``add_to_index`` mirrors the reference's ``add_to_new_faiss_index``
+        flag (``mindb.py:162``, dual-write at ``:220-221``): when the DB is
+        trained, the new rows are immediately PQ-encoded into the live
+        index (see :meth:`index_tail`) instead of waiting in the
+        exactly-searched tail.
         """
         vectors, metadata = V.validate_and_normalize_add(data, self.vector_dimension)
         n = vectors.shape[0]
@@ -204,6 +210,8 @@ class VectorDB:
             self._manifest["max_id"] = ids[-1]
             self._manifest["num_new_vectors"] += n  # counter rule, ref mindb.py:529-546
             self._save_manifest()
+        if add_to_index and self.is_trained:
+            self.index_tail()
         return ids
 
     def add_dataframe(
@@ -502,6 +510,58 @@ class VectorDB:
         self._manifest["num_new_vectors"] = live_new
         self._manifest["num_trained_vectors_removed"] = n_trained - live_old
         self._save_manifest()
+
+    def index_tail(self) -> int:
+        """Fold the unindexed tail into the trained index with the
+        EXISTING artifacts — the reference's add-to-live-index path
+        (``add(..., add_to_new_faiss_index)`` dual-write, mindb.py:220-221,
+        batched add train.py:112-133): rows above the training watermark
+        are assigned to the current centroids and PQ-encoded, moving them
+        from the exactly-searched tail into the ANN path without a
+        retrain. As in faiss, distribution drift since training degrades
+        their cell fit; the coverage-ratio/auto-retrain policy still
+        fires on delete churn, and a full retrain re-fits everything.
+
+        One shuffle-free encode pass + a partitioned parquet append.
+        Returns the number of rows indexed (0 when nothing postdates the
+        watermark).
+        """
+        if not self.is_trained:
+            raise V.ValidationError("index_tail requires a trained index")
+        from mindb_spark.index.build import IndexArtifacts, encode_all
+
+        with self._lock:
+            old_wm = self._manifest["max_trained_id"]
+            new_wm = self.max_id
+        if new_wm <= old_wm:
+            return 0
+        tail = self.vectors().where(
+            (F.col("id") > old_wm) & (F.col("id") <= new_wm)
+        )
+        n_tail = tail.count()
+        if n_tail:
+            artifacts = IndexArtifacts.load(
+                os.path.join(self._index_dir, "artifacts.npz")
+            )
+            codes = encode_all(
+                tail, artifacts, id_col="id", vector_col="vector",
+                n_buckets=self._manifest["n_buckets"],
+            )
+            codes.write.mode("append").partitionBy("cluster_bucket").parquet(
+                os.path.join(self._index_dir, "codes")
+            )
+        with self._lock:
+            # everything up to new_wm is now indexed; rows added after the
+            # snapshot (concurrent adds) form the new tail
+            live_new = (
+                self.vectors().where(F.col("id") > new_wm).count()
+                if self._has_data() else 0
+            )
+            self._manifest["max_trained_id"] = new_wm
+            self._manifest["num_vectors_trained_on"] += n_tail
+            self._manifest["num_new_vectors"] = live_new
+            self._save_manifest()
+        return n_tail
 
     def maybe_auto_train(self, **train_kwargs) -> bool:
         """Auto-train policy check (ref training_utils.py:148-188); returns

@@ -329,3 +329,47 @@ def test_hybrid_query_on_trained_index(spark, tmp_path, clustered_corpus):
     expect = {i for i in range(mat.shape[0]) if i % 40 == 5}
     assert {r.id for r in kw} == expect
     db.delete()
+
+
+def test_index_tail_folds_new_rows_into_live_index(spark, tmp_path, clustered_corpus):
+    """The reference's add_to_new_faiss_index path: tail rows get encoded
+    with the existing artifacts and leave the exactly-searched tail."""
+    mat = clustered_corpus
+    db = VectorDB(spark, "taildb", base_path=str(tmp_path))
+    db.add([(v.tolist(), {"i": i}) for i, v in enumerate(mat[:5500])])
+    db.train()
+    assert db.is_trained and db.coverage_ratio() == 1.0
+
+    # tail: 300 more rows drawn from the same clusters
+    tail_vecs = mat[5500:5800]
+    ids = db.add([(v.tolist(), {"i": 5500 + i}) for i, v in enumerate(tail_vecs)])
+    assert db.coverage_ratio() < 1.0
+    probe = tail_vecs[7]
+    res = db.query(probe, final_top_k=5)
+    assert ids[7] in res["ids"]  # found via the exact tail path
+
+    wm_before = db.info()["max_trained_id"]
+    n = db.index_tail()
+    assert n == 300
+    assert db.coverage_ratio() == 1.0
+    assert db.info()["max_trained_id"] == ids[-1] > wm_before
+
+    # still found, now through the ANN path (no tail remains)
+    res2 = db.query(probe, final_top_k=5)
+    assert ids[7] in res2["ids"]
+    # idempotent
+    assert db.index_tail() == 0
+
+    # dual-write flag: rows are indexed as part of add()
+    more = db.add([(mat[5900].tolist(), {"i": 5900})], add_to_index=True)
+    assert db.info()["max_trained_id"] == more[-1]
+    assert db.coverage_ratio() == 1.0
+    db.delete()
+
+
+def test_index_tail_requires_training(spark, tmp_path):
+    db = VectorDB(spark, "flat_tail", base_path=str(tmp_path))
+    db.add([([1.0, 0.0], {})])
+    with pytest.raises(ValidationError):
+        db.index_tail()
+    db.delete()
