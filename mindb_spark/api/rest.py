@@ -155,7 +155,13 @@ class RestServer:
         add_data = body.get("add_data")
         if not isinstance(add_data, list):
             raise _HTTPError(400, "add_data must be a list of (vector, metadata) pairs")
-        db.add([(v, m) for v, m in add_data])
+        # reference request model carries add_to_new_faiss_index
+        # (fastapi.py:32-64); trained DBs fold the rows into the live
+        # index in the same call (see VectorDB.index_tail)
+        db.add(
+            [(v, m) for v, m in add_data],
+            add_to_index=bool(body.get("add_to_new_faiss_index", False)),
+        )
         # reference semantics (fastapi.py:173-186): adding may trip the
         # auto-train policy; training runs on a background thread and the
         # add response is not delayed

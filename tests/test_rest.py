@@ -336,3 +336,16 @@ def test_rest_keyword_and_hybrid_query(client):
     assert st == 404
 
     client("POST", "/db/kwdb/delete", {})
+
+
+def test_rest_add_to_new_faiss_index_flag(client, spark, tmp_path):
+    # flat DB: flag is accepted and harmless
+    client("POST", "/db/create", {"name": "fidx"})
+    st, _ = client("POST", "/db/fidx/add",
+                   {"add_data": [([1.0, 0.0], {}), ([0.0, 1.0], {})],
+                    "add_to_new_faiss_index": True})
+    assert st == 200
+    st, res = client("POST", "/db/fidx/query",
+                     {"query_vector": [1.0, 0.0], "final_top_k": 1})
+    assert st == 200 and res["ids"] == [0]
+    client("POST", "/db/fidx/delete", {})
