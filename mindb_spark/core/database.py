@@ -235,11 +235,19 @@ class VectorDB:
         from mindb_spark.functions.vector import l2_normalize
 
         dim = self.vector_dimension
-        meta = (
-            F.to_json(F.col(metadata_col))
-            if metadata_col and dict(df.dtypes)[metadata_col].startswith(("map", "struct"))
-            else (F.col(metadata_col).cast("string") if metadata_col else F.lit("{}"))
-        )
+        # metadata is stored as a JSON object string (query() decodes it):
+        # map/struct columns encode directly; a string column literally
+        # named "metadata" is treated as pre-encoded JSON (the
+        # sources.ingest_file contract); any other scalar column wraps as
+        # {"<colname>": value}, matching the file readers' convention
+        if metadata_col is None:
+            meta = F.lit("{}")
+        elif dict(df.dtypes)[metadata_col].startswith(("map", "struct")):
+            meta = F.to_json(F.col(metadata_col))
+        elif metadata_col == "metadata":
+            meta = F.col(metadata_col).cast("string")
+        else:
+            meta = F.to_json(F.struct(F.col(metadata_col)))
         src = df.select(
             F.col(vector_col).alias("_vec"),
             meta.alias("metadata"),

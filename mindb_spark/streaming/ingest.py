@@ -45,6 +45,7 @@ def make_ingest_batch_fn(
     vector_col: str = "vector",
     metadata_col: str | None = None,
     auto_train: bool = False,
+    index_tail_per_batch: bool = False,
 ):
     """The ``foreachBatch`` sink function for vector ingest, idempotent.
 
@@ -54,6 +55,13 @@ def make_ingest_batch_fn(
     the last successfully ingested ``batch_id`` (keyed by checkpoint
     location, since batch ids are per-query) in the db manifest and drops
     replays. Module-level so tests can drive replay scenarios directly.
+
+    ``index_tail_per_batch`` keeps a TRAINED index live between retrains:
+    after each ingested micro-batch the new rows are PQ-encoded into the
+    codes table with the existing artifacts (``VectorDB.index_tail`` —
+    the streaming twin of the reference's ``add_to_new_faiss_index``
+    dual-write). Runs after the auto-train check, so a batch that trips
+    retraining is folded by the retrain itself, not encoded twice.
     """
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,6 +72,8 @@ def make_ingest_batch_fn(
         db.set_stream_progress(checkpoint_dir, int(batch_id))
         if auto_train:
             db.maybe_auto_train()
+        if index_tail_per_batch and db.is_trained:
+            db.index_tail()
 
     return _ingest_batch
 
@@ -75,6 +85,7 @@ def stream_ingest_vectors(
     vector_col: str = "vector",
     metadata_col: str | None = None,
     auto_train: bool = False,
+    index_tail_per_batch: bool = False,
     available_now: bool = True,
 ):
     """Continuously ingest a streaming DataFrame of vectors into ``db``.
@@ -83,8 +94,13 @@ def stream_ingest_vectors(
     (array<float/double>) and an optional metadata column. Returns the
     started ``StreamingQuery``; with ``available_now`` the query drains
     what exists and stops (deterministic for tests/backfills).
+    ``index_tail_per_batch`` keeps a trained index covering every
+    ingested row (see :func:`make_ingest_batch_fn`).
     """
-    fn = make_ingest_batch_fn(db, checkpoint_dir, vector_col, metadata_col, auto_train)
+    fn = make_ingest_batch_fn(
+        db, checkpoint_dir, vector_col, metadata_col, auto_train,
+        index_tail_per_batch,
+    )
     writer = (
         stream_df.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)

@@ -254,3 +254,47 @@ def test_watermark_drops_late_events_after_eviction(spark, tmpdir):
     ]
     assert len(rows) == 1          # emitted exactly once, never re-emitted
     assert rows[0].n_events == 2   # the late row did not resurrect the window
+
+
+def test_stream_ingest_index_tail_per_batch(spark, tmpdir):
+    """index_tail_per_batch keeps a trained index covering every streamed
+    row: after the drain, the watermark equals max_id and no
+    exactly-searched tail remains."""
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(12, 8)) * 3.0
+    base_mat = (centers[rng.integers(0, 12, size=5200)]
+                + rng.normal(size=(5200, 8))).astype("float64")
+
+    db = VectorDB(spark, "tailstream", base_path=os.path.join(tmpdir, "dbs"))
+    db.add_dataframe(
+        spark.createDataFrame(
+            [([float(x) for x in r],) for r in base_mat], "vector array<double>"
+        ),
+        vector_col="vector",
+    )
+    db.train()
+    assert db.is_trained
+
+    src = os.path.join(tmpdir, "incoming_tail")
+    _write_vector_files(spark, src, batches=2, rows=30, dim=8)
+    stream = (
+        spark.readStream.schema("vector array<double>, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_vectors(
+        db, stream, os.path.join(tmpdir, "ckpt_tail"), metadata_col="tag",
+        index_tail_per_batch=True,
+    )
+    q.awaitTermination()
+
+    assert db.num_vectors == 5260
+    info = db.info()
+    assert info["max_trained_id"] == db.max_id  # everything indexed
+    assert info["num_new_vectors"] == 0
+    assert db.coverage_ratio() == 1.0
+    # streamed rows are findable through the ANN path
+    probe = db.vectors().where(F.col("id") == 5210).first().vector
+    res = db.query(list(probe), final_top_k=3)
+    assert res["ids"][0] == 5210
+    db.delete()
