@@ -69,6 +69,10 @@ class VectorDB:
         # fastapi.py:219-241, collapsed to a two-line dir pin)
         self._pins: set[str] = set()
         self._deferred_rm: list[str] = []
+        # serializes index MAINTENANCE (train vs index_tail): train blocks
+        # on it (tail appends are seconds); index_tail acquires it
+        # non-blocking and no-ops when a build already holds it
+        self._index_mutex = threading.Lock()
         self._manifest: dict[str, Any] = {}
         if os.path.exists(self._manifest_path):
             self._load_manifest()
@@ -215,7 +219,11 @@ class VectorDB:
         return ids
 
     def add_dataframe(
-        self, df: DataFrame, vector_col: str = "vector", metadata_col: str | None = None
+        self,
+        df: DataFrame,
+        vector_col: str = "vector",
+        metadata_col: str | None = None,
+        metadata_is_json: bool = False,
     ) -> int:
         """Distributed ingest: validate/normalize/assign-ids/append in one job.
 
@@ -236,16 +244,18 @@ class VectorDB:
 
         dim = self.vector_dimension
         # metadata is stored as a JSON object string (query() decodes it):
-        # map/struct columns encode directly; a string column literally
-        # named "metadata" is treated as pre-encoded JSON (the
-        # sources.ingest_file contract); any other scalar column wraps as
-        # {"<colname>": value}, matching the file readers' convention
+        # map/struct columns encode directly; scalar columns wrap as
+        # {"<colname>": value}, matching the file readers' convention;
+        # metadata_is_json=True declares the column already holds encoded
+        # JSON (the sources.ingest_file contract) and stores it verbatim —
+        # explicit, so a free-text column can never silently poison the
+        # table and crash every later query()'s decode
         if metadata_col is None:
             meta = F.lit("{}")
+        elif metadata_is_json:
+            meta = F.col(metadata_col).cast("string")
         elif dict(df.dtypes)[metadata_col].startswith(("map", "struct")):
             meta = F.to_json(F.col(metadata_col))
-        elif metadata_col == "metadata":
-            meta = F.col(metadata_col).cast("string")
         else:
             meta = F.to_json(F.struct(F.col(metadata_col)))
         src = df.select(
@@ -431,6 +441,9 @@ class VectorDB:
         if dim is None:
             raise V.ValidationError("No vectors have been added to the database")
 
+        # serialize against index_tail appends (see _index_mutex): a tail
+        # append racing the version swap would encode with stale artifacts
+        self._index_mutex.acquire()
         # pin the snapshot: explicit file list + dir pin against delete-swap
         with self._lock:
             snap_dir = self._data_dir
@@ -495,6 +508,7 @@ class VectorDB:
                 if entry != f"v{next_version}":
                     shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)
         finally:
+            self._index_mutex.release()
             with self._lock:
                 self._pins.discard(snap_dir)
                 deferred, self._deferred_rm = self._deferred_rm, []
@@ -530,46 +544,91 @@ class VectorDB:
         their cell fit; the coverage-ratio/auto-retrain policy still
         fires on delete churn, and a full retrain re-fits everything.
 
-        One shuffle-free encode pass + a partitioned parquet append.
+        One shuffle-free encode pass + a partitioned parquet append,
+        serialized against retrains (a concurrent build — or another
+        in-flight ``index_tail`` — makes this call a no-op returning 0;
+        the retrain's own watermark recomputation covers the rows).
+        The data snapshot is pinned like ``train()``'s, so concurrent
+        remove/compact version swaps defer their directory deletion.
         Returns the number of rows indexed (0 when nothing postdates the
-        watermark).
+        watermark or the index is busy).
         """
         if not self.is_trained:
             raise V.ValidationError("index_tail requires a trained index")
         from mindb_spark.index.build import IndexArtifacts, encode_all
 
-        with self._lock:
-            old_wm = self._manifest["max_trained_id"]
-            new_wm = self.max_id
-        if new_wm <= old_wm:
+        # non-blocking: a concurrent retrain (or another index_tail) owns
+        # the index — skip; the retrain's watermark recomputation covers
+        # these rows itself, and callers can simply retry later
+        if not self._index_mutex.acquire(blocking=False):
             return 0
-        tail = self.vectors().where(
-            (F.col("id") > old_wm) & (F.col("id") <= new_wm)
-        )
-        n_tail = tail.count()
-        if n_tail:
-            artifacts = IndexArtifacts.load(
-                os.path.join(self._index_dir, "artifacts.npz")
+        snap_dir = None
+        tail = None
+        try:
+            # pin the data snapshot (explicit file list + dir pin) so a
+            # concurrent remove()/compact() version swap defers its rmtree
+            # instead of deleting the files mid-encode — same discipline
+            # as train()
+            with self._lock:
+                old_wm = self._manifest["max_trained_id"]
+                new_wm = self.max_id
+                if new_wm <= old_wm:
+                    return 0
+                snap_dir = self._data_dir
+                files = sorted(
+                    os.path.join(snap_dir, f)
+                    for f in os.listdir(snap_dir)
+                    if f.endswith(".parquet")
+                ) if os.path.isdir(snap_dir) else []
+                self._pins.add(snap_dir)
+                idx_dir = self._index_dir
+                n_buckets = self._manifest["n_buckets"]
+            if not files:
+                return 0
+            tail = (
+                self.spark.read.schema(VECTOR_SCHEMA).parquet(*files)
+                .where((F.col("id") > old_wm) & (F.col("id") <= new_wm))
+                .persist()  # ONE scan feeds both the count and the encode
             )
-            codes = encode_all(
-                tail, artifacts, id_col="id", vector_col="vector",
-                n_buckets=self._manifest["n_buckets"],
-            )
-            codes.write.mode("append").partitionBy("cluster_bucket").parquet(
-                os.path.join(self._index_dir, "codes")
-            )
-        with self._lock:
-            # everything up to new_wm is now indexed; rows added after the
-            # snapshot (concurrent adds) form the new tail
-            live_new = (
-                self.vectors().where(F.col("id") > new_wm).count()
-                if self._has_data() else 0
-            )
-            self._manifest["max_trained_id"] = new_wm
-            self._manifest["num_vectors_trained_on"] += n_tail
-            self._manifest["num_new_vectors"] = live_new
-            self._save_manifest()
-        return n_tail
+            n_tail = tail.count()
+            if n_tail:
+                artifacts = IndexArtifacts.load(
+                    os.path.join(idx_dir, "artifacts.npz")
+                )
+                codes = encode_all(
+                    tail, artifacts, id_col="id", vector_col="vector",
+                    n_buckets=n_buckets,
+                )
+                # bound output files: a small tail writes ONE file per
+                # touched bucket, not one per task x bucket (the codes
+                # table has no compaction path short of a retrain)
+                codes.coalesce(
+                    max(1, min(32, n_tail // 500_000 + 1))
+                ).write.mode("append").partitionBy("cluster_bucket").parquet(
+                    os.path.join(idx_dir, "codes")
+                )
+            with self._lock:
+                # everything up to new_wm is now indexed; rows added after
+                # the snapshot (concurrent adds) form the new tail
+                live_new = (
+                    self.vectors().where(F.col("id") > new_wm).count()
+                    if self._has_data() else 0
+                )
+                self._manifest["max_trained_id"] = new_wm
+                self._manifest["num_vectors_trained_on"] += n_tail
+                self._manifest["num_new_vectors"] = live_new
+                self._save_manifest()
+            return n_tail
+        finally:
+            if tail is not None:
+                tail.unpersist()
+            self._index_mutex.release()
+            if snap_dir is not None:
+                with self._lock:
+                    self._pins.discard(snap_dir)
+                    deferred, self._deferred_rm = self._deferred_rm, []
+                for d in deferred:
+                    shutil.rmtree(d, ignore_errors=True)
 
     def maybe_auto_train(self, **train_kwargs) -> bool:
         """Auto-train policy check (ref training_utils.py:148-188); returns

@@ -172,4 +172,6 @@ def ingest_file(
     df = readers[fmt](
         db.spark, path, vector_col=vector_col, metadata_cols=metadata_cols, **reader_kwargs
     )
-    return db.add_dataframe(df, vector_col="vector", metadata_col="metadata")
+    return db.add_dataframe(
+        df, vector_col="vector", metadata_col="metadata", metadata_is_json=True
+    )

@@ -373,3 +373,47 @@ def test_index_tail_requires_training(spark, tmp_path):
     with pytest.raises(ValidationError):
         db.index_tail()
     db.delete()
+
+
+def test_index_tail_skips_when_index_busy(spark, tmp_path):
+    """A held index mutex (concurrent retrain / another tail append) makes
+    index_tail a safe no-op instead of racing the version swap."""
+    rng = np.random.default_rng(8)
+    db = VectorDB(spark, "busytail", base_path=str(tmp_path))
+    db.add([(v.tolist(), {}) for v in _mk(rng, 5100, 8)])
+    db.train()
+    db.add([(v.tolist(), {}) for v in _mk(rng, 10, 8)])
+    assert db._index_mutex.acquire(blocking=False)
+    try:
+        assert db.index_tail() == 0  # busy -> no-op, counters untouched
+        assert db.info()["num_new_vectors"] == 10
+    finally:
+        db._index_mutex.release()
+    assert db.index_tail() == 10  # and works once released
+    db.delete()
+
+
+def test_add_dataframe_metadata_encoding_modes(spark, tmp_path):
+    db = VectorDB(spark, "metamodes", base_path=str(tmp_path))
+    # scalar column wraps as {"name": value}
+    db.add_dataframe(
+        spark.createDataFrame([([1.0, 0.0], "hello")], "vector array<double>, note string"),
+        metadata_col="note",
+    )
+    # pre-encoded JSON passes through verbatim only with the explicit flag
+    db.add_dataframe(
+        spark.createDataFrame([([0.0, 1.0], '{"k": 3}')], "vector array<double>, metadata string"),
+        metadata_col="metadata", metadata_is_json=True,
+    )
+    res = db.query([1.0, 0.0], final_top_k=2)
+    metas = {tuple(sorted(m.items())) for m in res["metadata"]}
+    assert (("note", "hello"),) in metas and (("k", 3),) in metas
+    # WITHOUT the flag, even a column named 'metadata' is wrapped (no
+    # name-based magic): free text can never break query()'s decode
+    db.add_dataframe(
+        spark.createDataFrame([([1.0, 1.0], "free text")], "vector array<double>, metadata string"),
+        metadata_col="metadata",
+    )
+    res2 = db.query([1.0, 1.0], final_top_k=1)
+    assert res2["metadata"][0] == {"metadata": "free text"}
+    db.delete()
