@@ -25,7 +25,7 @@ mirror the reference's pydantic models (``fastapi.py:32-64``):
 | /db/get_initial_training_queue       | GET    | :442           |
 | /db/view_cache                       | GET    | :448           |
 | /db/{name}/remove_from_cache         | POST   | :461           |
-| /db/update_max_memory_usage          | POST   | :467 (no-op)   |
+| /db/update_max_memory_usage          | POST   | :467           |
 
 Scale note: this is a control-plane surface (DDL + point queries), not the
 data plane — bulk ingest and batch analytics go through the DataFrame API.
@@ -335,19 +335,22 @@ class RestServer:
         return {"initial_training_queue": self.engine.initial_training_queue()}
 
     def _r_view_cache(self, body: dict) -> dict:
-        # memory numbers are Spark's concern (block manager), not tracked here
-        return {
-            "cache_keys": self.engine.open_databases(),
-            "current_memory_usage": None,
-            "max_memory_usage": None,
-        }
+        # keys + estimate-based memory accounting (ref fastapi.py:448-459)
+        return self.engine.cache_info()
 
     def _r_remove_from_cache(self, body: dict, name: str) -> dict:
         self.engine.close(name)
         return {"message": "Database removed from cache"}
 
     def _r_update_max_memory(self, body: dict) -> dict:
-        # accepted for wire parity; Spark's block manager owns memory
+        # shrinks the open-handle budget and evicts LRU-first; in-flight
+        # trains pin their DB (ref fastapi.py:467-469 + cache.py:11-28)
+        if "max_memory_usage" not in body:
+            raise ValidationError("max_memory_usage is required")
+        mm = body["max_memory_usage"]
+        if mm is not None and (isinstance(mm, bool) or not isinstance(mm, int) or mm < 0):
+            raise ValidationError("max_memory_usage must be a non-negative int")
+        self.engine.update_max_memory_usage(mm)
         return {"message": "Max memory usage updated successfully"}
 
     # ------------------------------------------------------------- server

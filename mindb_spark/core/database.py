@@ -73,6 +73,10 @@ class VectorDB:
         # on it (tail appends are seconds); index_tail acquires it
         # non-blocking and no-ops when a build already holds it
         self._index_mutex = threading.Lock()
+        # driver-memoized dense index artifacts, keyed by index version —
+        # the per-handle footprint the LRU registry (core/cache.py) tracks
+        # and releases on eviction
+        self._artifacts_memo: tuple[int, Any] | None = None
         self._manifest: dict[str, Any] = {}
         if os.path.exists(self._manifest_path):
             self._load_manifest()
@@ -130,6 +134,39 @@ class VectorDB:
     @property
     def is_trained(self) -> bool:
         return self._manifest["index_version"] is not None
+
+    @property
+    def index_params(self) -> dict[str, Any] | None:
+        """Resolved training params of the live index (None if untrained)."""
+        return self._manifest["index_params"]
+
+    def _load_artifacts(self):
+        """Memoized load of the trained index's dense artifacts.
+
+        The npz is small (centroids + codebooks + projection) but loading
+        it per query is wasted I/O; the memo is keyed by index version so
+        a retrain naturally invalidates it. ``release()`` — called by the
+        LRU registry on eviction (core/cache.py) — drops the memo, which
+        is the driver-side footprint an open handle actually pins.
+        """
+        from mindb_spark.index.build import IndexArtifacts
+
+        with self._lock:
+            v = self._manifest["index_version"]
+            if self._artifacts_memo is not None and self._artifacts_memo[0] == v:
+                return self._artifacts_memo[1]
+            idx_dir = self._index_dir
+        art = IndexArtifacts.load(os.path.join(idx_dir, "artifacts.npz"))
+        with self._lock:
+            if self._manifest["index_version"] == v:
+                self._artifacts_memo = (v, art)
+        return art
+
+    def release(self) -> None:
+        """Drop driver-held index state (LRU-eviction hook; reference
+        eviction closes the Faiss index, cache.py:27-28)."""
+        with self._lock:
+            self._artifacts_memo = None
 
     @property
     def num_vectors(self) -> int:
@@ -684,10 +721,9 @@ class VectorDB:
                 .select("query_id", "id", "metadata", "cosine_similarity")
             )
 
-        from mindb_spark.index.build import IndexArtifacts
         from mindb_spark.index import ivf
 
-        artifacts = IndexArtifacts.load(os.path.join(self._index_dir, "artifacts.npz"))
+        artifacts = self._load_artifacts()
         codes = self.spark.read.parquet(os.path.join(self._index_dir, "codes"))
         out = ivf.search(
             codes, vectors, artifacts, queries,

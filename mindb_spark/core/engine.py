@@ -19,16 +19,16 @@ deliberately out of the analytics-engine core):
 | GET  /db/get_initial_training_queue| ``initial_training_queue``        |
 | GET  /db/view_cache                | ``open_databases``                |
 | POST /db/{name}/remove_from_cache  | ``close``                         |
-| POST /db/update_max_memory_usage   | dropped (Spark block manager owns |
-|                                    | memory; ref cache.py:105-138 est. |
-|                                    | formulas kept as docs only)       |
+| POST /db/update_max_memory_usage   | ``update_max_memory_usage``       |
 
 The reference's LRU cache with memory-estimate eviction
 (``mindb/cache/cache.py``) exists because each open DB pins a Faiss index
-in RAM. Here an "open database" is a manifest dict plus lazily-read
-DataFrames — executors cache/evict blocks on their own — so the registry
-is a plain dict of handles; ``close`` exists for API parity and to drop
-references to index artifacts held on the driver.
+in RAM. Here executors cache/evict data blocks on their own (Spark block
+manager), but each open handle still pins driver state — the manifest
+plus memoized dense index artifacts — so the registry is the same
+memory-bounded LRU (``core/cache.py``) with the reference's estimate
+formulas as eviction weights; eviction releases the artifact memo and
+``close`` drops a handle explicitly.
 
 Training lifecycle (reference ``fastapi.py:245-330``): ``train`` runs the
 Spark build either synchronously (``block=True``, default) or on a
@@ -52,6 +52,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from mindb_spark.core import validation as V
+from mindb_spark.core.cache import LRUCache
 from mindb_spark.core.database import DEFAULT_BASE, VectorDB
 from mindb_spark.core.heuristics import needs_initial_training, needs_retraining
 
@@ -62,10 +63,18 @@ class TrainingInProgressError(RuntimeError):
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, base_path: str = DEFAULT_BASE):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str = DEFAULT_BASE,
+        max_memory_usage: int | None = None,
+    ):
         self.spark = spark
         self.base_path = base_path
-        self._open: dict[str, VectorDB] = {}
+        # memory-bounded LRU of open handles (ref cache.py; O23). None =
+        # unbounded, the embedded default; the REST server passes the
+        # reference's 1 GiB server default (fastapi.py:21).
+        self._open = LRUCache(max_memory_usage)
         # training state machine (ref fastapi.py `operations` dict)
         self._train_ops: dict[str, str] = {}
         self._train_errors: dict[str, str] = {}
@@ -79,9 +88,16 @@ class Engine:
         return self.get_db(name)
 
     def get_db(self, name: str) -> VectorDB:
-        if name not in self._open:
-            self._open[name] = VectorDB(self.spark, name, base_path=self.base_path)
-        return self._open[name]
+        db = self._open.get(name)
+        if db is None:
+            db = VectorDB(self.spark, name, base_path=self.base_path)
+            self._open.put(name, db, operations=self._ops_snapshot())
+        return db
+
+    def _ops_snapshot(self) -> dict[str, str]:
+        """Training states for eviction pinning (in-flight trains pin)."""
+        with self._train_lock:
+            return dict(self._train_ops)
 
     def list_dbs(self) -> list[str]:
         if not os.path.isdir(self.base_path):
@@ -94,11 +110,27 @@ class Engine:
 
     def open_databases(self) -> list[str]:
         """Parity with GET /db/view_cache."""
-        return sorted(self._open)
+        return sorted(self._open.keys())
+
+    def cache_info(self) -> dict[str, Any]:
+        """view_cache payload parity (ref fastapi.py:448-459)."""
+        return {
+            "cache_keys": self.open_databases(),
+            "current_memory_usage": self._open.current_memory_usage,
+            "max_memory_usage": self._open.max_memory_usage,
+        }
+
+    def update_max_memory_usage(self, max_memory_usage: int | None) -> None:
+        """POST /db/update_max_memory_usage (ref fastapi.py:467-469):
+        shrink the handle budget and evict LRU-first, skipping databases
+        with an in-flight training run."""
+        self._open.update_max_memory_usage(
+            max_memory_usage, operations=self._ops_snapshot()
+        )
 
     def close(self, name: str) -> bool:
         """Parity with remove_from_cache: drop the driver-side handle."""
-        return self._open.pop(name, None) is not None
+        return self._open.remove(name)
 
     def reload(self, name: str) -> VectorDB:
         self.close(name)
@@ -116,6 +148,9 @@ class Engine:
 
     def add(self, name: str, data: list) -> list[int]:
         ids = self.get_db(name).add(data)
+        # re-weigh + evict on the non-latency-sensitive mutation paths
+        # only (ref cache.py:36-41: check_memory_usage on add/remove)
+        self._open.check_memory_usage(self._ops_snapshot())
         return ids
 
     def maybe_auto_train_async(self, name: str) -> bool:
@@ -142,7 +177,9 @@ class Engine:
         return True
 
     def remove(self, name: str, ids) -> list[int]:
-        return self.get_db(name).remove(ids)
+        out = self.get_db(name).remove(ids)
+        self._open.check_memory_usage(self._ops_snapshot())
+        return out
 
     def query(self, name: str, query_vector, preliminary_top_k: int = 500, final_top_k: int = 100):
         return self.get_db(name).query(

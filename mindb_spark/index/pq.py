@@ -220,7 +220,7 @@ def adc_scan_multi_t(codes: np.ndarray, tables_t: np.ndarray) -> np.ndarray:
 
 
 def adc_query_tables(queries_proj: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
-    """Cell-INDEPENDENT ADC component (faiss's precomputed-table trick).
+    r"""Cell-INDEPENDENT ADC component (faiss's precomputed-table trick).
 
     For IVF-PQ over residuals, the per-(query, cell) lookup table decomposes
     exactly (expand the square):
