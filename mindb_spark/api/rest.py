@@ -130,6 +130,7 @@ class RestServer:
             "vector_dimension": info["vector_dimension"],
             "num_vectors": info["num_vectors"],
             "trained_index_coverage_ratio": info["trained_index_coverage_ratio"],
+            "max_memory_usage": info["max_memory_usage"],
             "n_total": info["num_vectors"],
             "max_id": info["max_id"],
             "max_trained_id": info["max_trained_id"],
@@ -145,7 +146,12 @@ class RestServer:
         if not isinstance(name, str) or not name:
             raise _HTTPError(400, "name is required")
         try:
-            self.engine.create_db(name)
+            # optional create params, reference CreateDBInput (fastapi.py:50-53)
+            self.engine.create_db(
+                name,
+                vector_dimension=body.get("vector_dimension"),
+                max_memory_usage=body.get("max_memory_usage"),
+            )
         except ValidationError as e:
             raise _HTTPError(400, str(e)) from e
         return {"message": "Database created successfully"}

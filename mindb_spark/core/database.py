@@ -54,7 +54,22 @@ VECTOR_SCHEMA = "id long, vector array<float>, metadata string"
 
 
 class VectorDB:
-    def __init__(self, spark: SparkSession, name: str, base_path: str = DEFAULT_BASE):
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        base_path: str = DEFAULT_BASE,
+        vector_dimension: int | None = None,
+        max_memory_usage: int | None = None,
+    ):
+        """``vector_dimension`` / ``max_memory_usage`` mirror the reference
+        create params (``mindb.py:42``): the dimension pre-pins validation
+        before the first add (otherwise inferred from it); the per-DB
+        memory cap feeds training-strategy selection
+        (``training_utils.py:75-88``). Default None = no driver cap, the
+        Spark-native stance (the build is distributed; see
+        ``heuristics.use_two_level_clustering``). Both are create-time
+        settings: ignored when opening an existing database."""
         V.validate_database_name(name)
         self.spark = spark
         self.name = name
@@ -81,9 +96,19 @@ class VectorDB:
         if os.path.exists(self._manifest_path):
             self._load_manifest()
         else:
+            if vector_dimension is not None and (
+                isinstance(vector_dimension, bool)
+                or not isinstance(vector_dimension, int)
+                or vector_dimension <= 0
+            ):
+                raise V.ValidationError(
+                    "vector_dimension must be a positive int, got "
+                    f"{vector_dimension!r}"
+                )
             self._manifest = {
                 "name": name,
-                "vector_dimension": None,
+                "vector_dimension": vector_dimension,
+                "max_memory_usage": max_memory_usage,
                 "max_id": -1,
                 "data_version": 0,
                 "index_version": None,
@@ -139,6 +164,12 @@ class VectorDB:
     def index_params(self) -> dict[str, Any] | None:
         """Resolved training params of the live index (None if untrained)."""
         return self._manifest["index_params"]
+
+    @property
+    def max_memory_usage(self) -> int | None:
+        """Per-DB memory cap for training-strategy selection (ref
+        ``mindb.py:42``); None = uncapped (Spark-native default)."""
+        return self._manifest.get("max_memory_usage")
 
     def _load_artifacts(self):
         """Memoized load of the trained index's dense artifacts.
@@ -218,6 +249,7 @@ class VectorDB:
             "num_new_vectors": self._manifest["num_new_vectors"],
             "num_trained_vectors_removed": self._manifest["num_trained_vectors_removed"],
             "trained_index_coverage_ratio": self.coverage_ratio(),
+            "max_memory_usage": self.max_memory_usage,
             "index_params": self._manifest["index_params"],
         }
 
@@ -515,7 +547,7 @@ class VectorDB:
             two_level = (
                 use_two_level_clustering
                 if use_two_level_clustering is not None
-                else H.use_two_level_clustering(n, dim, None)
+                else H.use_two_level_clustering(n, dim, self.max_memory_usage)
             )
             from mindb_spark.index.build import build_index
 

@@ -82,10 +82,23 @@ class Engine:
         self._train_lock = threading.Lock()
 
     # ------------------------------------------------------------ registry
-    def create_db(self, name: str) -> VectorDB:
+    def create_db(
+        self,
+        name: str,
+        vector_dimension: int | None = None,
+        max_memory_usage: int | None = None,
+    ) -> VectorDB:
         if VectorDB.exists(name, self.base_path):
             raise V.ValidationError(f"database {name!r} already exists")
-        return self.get_db(name)
+        db = VectorDB(
+            self.spark,
+            name,
+            base_path=self.base_path,
+            vector_dimension=vector_dimension,
+            max_memory_usage=max_memory_usage,
+        )
+        self._open.put(name, db, operations=self._ops_snapshot())
+        return db
 
     def get_db(self, name: str) -> VectorDB:
         db = self._open.get(name)

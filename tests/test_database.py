@@ -417,3 +417,32 @@ def test_add_dataframe_metadata_encoding_modes(spark, tmp_path):
     res2 = db.query([1.0, 1.0], final_top_k=1)
     assert res2["metadata"][0] == {"metadata": "free text"}
     db.delete()
+
+
+def test_create_params_pin_dimension_and_memory_cap(spark, tmp_path):
+    """Reference create params (mindb.py:42): vector_dimension pre-pins
+    validation before any add; max_memory_usage persists in the manifest
+    and surfaces in info()."""
+    db = VectorDB(
+        spark, "pinned", base_path=str(tmp_path),
+        vector_dimension=16, max_memory_usage=1 << 30,
+    )
+    try:
+        assert db.vector_dimension == 16
+        assert db.max_memory_usage == 1 << 30
+        rng = np.random.default_rng(3)
+        with pytest.raises(ValidationError):
+            db.add([(v, {}) for v in _mk(rng, 2, 8)])  # 8-d into a 16-d DB
+        db.add([(v, {}) for v in _mk(rng, 2, 16)])
+        # create-time settings survive a reopen (manifest write-through)
+        reopened = VectorDB(spark, "pinned", base_path=str(tmp_path))
+        assert reopened.vector_dimension == 16
+        assert reopened.info()["max_memory_usage"] == 1 << 30
+    finally:
+        db.delete()
+
+
+def test_create_rejects_bad_dimension(spark, tmp_path):
+    for i, bad in enumerate((0, -4, 2.5, True, "8")):
+        with pytest.raises(ValidationError, match="vector_dimension"):
+            VectorDB(spark, f"bad_{i}", base_path=str(tmp_path), vector_dimension=bad)
