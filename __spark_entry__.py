@@ -826,6 +826,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
 
 
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM document scoring (pseudo-perplexity filter)."""
+    from mindb_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _sq_grid(spark: SparkSession, sf_dir: str):
     from mindb_spark.index.sq import sq_train
 
@@ -1134,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "dedup_incremental": q_dedup_incremental,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "text_logprob": q_text_logprob,
         "sq_encode": q_sq_encode,
         "sq_knn": q_sq_knn,
         "event_funnel": q_event_funnel,
@@ -1901,6 +1909,20 @@ ranked as (
 )
 select doc_id, term, tf, df, tfidf_score, rn::INTEGER as rank
 from ranked where rn <= 3
+""",
+        "text_logprob": r"""
+with tok as (
+  select doc_id, lower(unnest(regexp_extract_all(text, '\S+'))) term from documents
+),
+tf as (select doc_id, term, count(*) tf from tok group by 1, 2),
+tc as (select term, sum(tf) c from tf group by 1),
+tot as (select sum(c) t from tc)
+select tf.doc_id,
+       sum(tf.tf)::BIGINT as n_tokens,
+       round(sum(tf.tf * ln(tc.c::DOUBLE)) / sum(tf.tf)
+             - ln((select t from tot)::DOUBLE), 6) as avg_logprob
+from tf join tc using (term)
+group by tf.doc_id
 """,
         "sq_encode": f"""
 with {_SQ_CTE.strip()}

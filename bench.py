@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "text_langid",
     "text_repetition",
     "text_pii_scrub",
+    "text_logprob",
     "pipeline_curation",
     "sample_mixture",
     "pack_shards",

@@ -272,3 +272,62 @@ def tfidf_top_terms(
     finally:
         if materialize:
             tf.unpersist()
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Corpus-unigram-LM document scoring (pseudo-perplexity).
+
+    The cheap LM-quality pass a pre-training pipeline runs before paying
+    for a real LM: score each document by the mean log-probability of its
+    tokens under the corpus's own unigram distribution,
+
+        avg_logprob(doc) = (1/n) * sum_instances ln p(t),
+        p(t) = c(t) / T,
+
+    so rare-token-heavy documents (OCR noise, gibberish, wrong-charset)
+    score very negative and boilerplate scores near the top — the same
+    signal family as CCNet's LM-perplexity filter, self-contained (no
+    external model). Equivalently computed from the (doc, term, tf)
+    table: ``sum(tf*ln c)/sum(tf) - ln T``.
+
+    Plan: ONE tokenize+explode pass persisted as (doc, term, tf); term
+    totals are a vocab-bounded hash agg over it; the scoring join+agg
+    shuffles distinct (doc, term) pairs, never corpus bytes. No float
+    enters an ordering (unlike tf-idf's rank there is nothing to flip on
+    a last-ulp ``ln`` difference), so rounding the final score to 6 dp
+    makes it engine-portable.
+
+    Returns (id, n_tokens, avg_logprob).
+    """
+    tok = widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", F.explode(tokens(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    if materialize:
+        tf = tf.persist()
+    try:
+        termc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+        total = termc.agg(F.sum("c").alias("t")).first()["t"] or 0
+        out = (
+            tf.join(termc, "term")
+            .groupBy("_id")
+            .agg(
+                F.sum("tf").cast("long").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("tf") * F.log(F.col("c").cast("double")))
+                    / F.sum("tf")
+                    - F.log(F.lit(float(max(total, 1)))),
+                    6,
+                ).alias("avg_logprob"),
+            )
+            .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
+        )
+        return out.localCheckpoint(eager=True) if materialize else out
+    finally:
+        if materialize:
+            tf.unpersist()

@@ -261,3 +261,40 @@ def test_sq8_search_rejects_bad_query_sets_and_allows_negative_ids(spark):
     # negative query ids must survive the generated plan (positional alias)
     out = sq_search(codes, [(-5, [255, 0])], k=3).collect()
     assert {r.query_id for r in out} == {-5} and len(out) == 3
+
+
+# ---------------------------------------------------------- unigram logprob
+def test_unigram_logprob_hand_math(spark):
+    from mindb_spark.operators.corpus import unigram_logprob
+
+    df = _docs(spark, [(0, "a a b"), (1, "a c")])
+    # corpus counts: a=3, b=1, c=1; T=5
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    exp0 = (2 * math.log(3) + math.log(1)) / 3 - math.log(5)
+    exp1 = (math.log(3) + math.log(1)) / 2 - math.log(5)
+    assert rows[0].n_tokens == 3 and rows[0].avg_logprob == round(exp0, 6)
+    assert rows[1].n_tokens == 2 and rows[1].avg_logprob == round(exp1, 6)
+
+
+def test_unigram_logprob_ranks_gibberish_below_common_text(spark):
+    from mindb_spark.operators.corpus import unigram_logprob
+
+    common = "the cat sat on the mat " * 5
+    df = _docs(
+        spark,
+        [(i, common) for i in range(20)]
+        + [(99, "qzxv jkwpf mlurt zzyqo qzxv")],  # rare-token doc
+    )
+    rows = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert rows[99] < min(v for k, v in rows.items() if k != 99)
+
+
+def test_unigram_logprob_case_folds_and_lazy_variant(spark):
+    from mindb_spark.operators.corpus import unigram_logprob
+
+    df = _docs(spark, [(0, "The THE the"), (1, "the")])
+    out = unigram_logprob(df, materialize=False)
+    rows = {r.doc_id: r for r in out.collect()}
+    # single term "the", p=1 -> logprob 0 for both docs
+    assert rows[0].avg_logprob == 0.0 and rows[1].avg_logprob == 0.0
+    assert rows[0].n_tokens == 3
