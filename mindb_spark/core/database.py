@@ -485,6 +485,7 @@ class VectorDB:
         compressed_vector_bytes: int | None = None,
         use_two_level_clustering: bool | None = None,
         omit_opq: bool = True,  # reference default (training_params.py:7)
+        num_clusters: int | None = None,  # heuristic override (ref mindb.py:231)
         force_flat: bool = False,
         seed: int = 42,
     ) -> None:
@@ -540,9 +541,17 @@ class VectorDB:
                     self._finalize_watermark(n, snap_max_id)
                 return
 
+            if num_clusters is not None and (
+                isinstance(num_clusters, bool)
+                or not isinstance(num_clusters, int)
+                or num_clusters <= 0
+            ):
+                raise V.ValidationError(
+                    f"num_clusters must be a positive int, got {num_clusters!r}"
+                )
             params = H.resolve_index_params(
                 n, dim, pca_dimension, opq_dimension, compressed_vector_bytes,
-                omit_opq=omit_opq,
+                omit_opq=omit_opq, num_clusters=num_clusters,
             )
             two_level = (
                 use_two_level_clustering

@@ -178,8 +178,13 @@ def resolve_index_params(
     opq_dimension: int | None = None,
     compressed_vector_bytes: int | None = None,
     omit_opq: bool = True,
+    num_clusters: int | None = None,
 ) -> IndexParams:
-    """Fill unset knobs from the per-dimension defaults and size heuristics."""
+    """Fill unset knobs from the per-dimension defaults and size heuristics.
+
+    ``num_clusters`` overrides the size heuristic (reference
+    ``mindb.py:231`` exposes the same knob on train); n_probe always
+    follows the resolved cluster count."""
     defaults = get_default_index_params(vector_dimension)
     pca = pca_dimension if pca_dimension is not None else min(defaults["pca_dimension"], vector_dimension)
     opq = opq_dimension if opq_dimension is not None else defaults["opq_dimension"]
@@ -188,7 +193,7 @@ def resolve_index_params(
         if compressed_vector_bytes is not None
         else defaults["compressed_vector_bytes"]
     )
-    k = max(1, get_num_clusters(num_vectors))
+    k = max(1, num_clusters if num_clusters is not None else get_num_clusters(num_vectors))
     return IndexParams(
         num_clusters=k,
         n_probe=max(1, get_n_probe(k)),

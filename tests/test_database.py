@@ -446,3 +446,19 @@ def test_create_rejects_bad_dimension(spark, tmp_path):
     for i, bad in enumerate((0, -4, 2.5, True, "8")):
         with pytest.raises(ValidationError, match="vector_dimension"):
             VectorDB(spark, f"bad_{i}", base_path=str(tmp_path), vector_dimension=bad)
+
+
+def test_train_num_clusters_override(spark, tmp_path):
+    """train(num_clusters=...) pins the IVF cluster count end-to-end."""
+    db = VectorDB(spark, "pinned_k", base_path=str(tmp_path))
+    try:
+        rng = np.random.default_rng(11)
+        db.add([(v, {}) for v in _mk(rng, 6000, 16)])
+        db.train(num_clusters=7)
+        assert db.index_params["num_clusters"] == 7
+        res = db.query(_mk(rng, 1, 16)[0], final_top_k=5)
+        assert len(res["ids"]) == 5
+        with pytest.raises(ValidationError, match="num_clusters"):
+            db.train(num_clusters=0)
+    finally:
+        db.delete()

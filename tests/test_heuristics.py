@@ -85,3 +85,14 @@ def test_resolve_index_params():
     assert p.n_probe == 100
     assert p.pca_dimension == 64
     assert p.compressed_vector_bytes == 16
+
+
+def test_resolve_index_params_num_clusters_override():
+    """train(num_clusters=...) pins k and n_probe follows it (ref mindb.py:231)."""
+    from mindb_spark.core.heuristics import get_n_probe, resolve_index_params
+
+    p = resolve_index_params(50_000, 64, num_clusters=123)
+    assert p.num_clusters == 123
+    assert p.n_probe == max(1, get_n_probe(123))
+    # unset still follows the size heuristic
+    assert resolve_index_params(50_000, 64).num_clusters != 123
