@@ -833,6 +833,14 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (seeded md5 permutation,
+    two-phase prefix sum — no single-task global window)."""
+    from mindb_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir).select("doc_id"), seed=42)
+
+
 def _sq_grid(spark: SparkSession, sf_dir: str):
     from mindb_spark.index.sq import sq_train
 
@@ -1142,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_logprob": q_text_logprob,
+        "shuffle_order": q_shuffle_order,
         "sq_encode": q_sq_encode,
         "sq_knn": q_sq_knn,
         "event_funnel": q_event_funnel,
@@ -1923,6 +1932,11 @@ select tf.doc_id,
              - ln((select t from tot)::DOUBLE), 6) as avg_logprob
 from tf join tc using (term)
 group by tf.doc_id
+""",
+        "shuffle_order": r"""
+select doc_id,
+       (row_number() over (order by md5('42:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT as pos
+from documents
 """,
         "sq_encode": f"""
 with {_SQ_CTE.strip()}

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "pipeline_curation",
     "sample_mixture",
     "pack_shards",
+    "shuffle_order",
     "top_tokens",
     "multimodal_frames",
     "agg_pricing_summary",

@@ -107,3 +107,60 @@ def assign_token_shards(
             .alias("shard_id"),
         )
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle.
+
+    A pre-training run wants documents in uniform-random order, decoupled
+    from ingest order (otherwise whole crawls/domains sit adjacent in the
+    token stream). Orders rows by the seeded, engine-portable hash
+    ``md5(seed:id)`` and assigns each its global position ``pos`` — a
+    total, reproducible permutation any engine can replay for the same
+    seed.
+
+    Scale shape: the naive ``row_number() over (order by key)`` computes
+    the permutation in ONE task. Here (same two-phase shape as
+    ``assign_token_shards`` and the engine's gapless id allocation):
+    range-partition on the hash key (ascending partition ids <=> ascending
+    key ranges), per-partition row counts to the driver (one number per
+    partition), cumulate into base offsets, broadcast them back, and rank
+    WITHIN each partition — every stage parallel, one range shuffle.
+    Callers should pass the narrow (id) projection and join payloads back
+    by id afterwards, so corpus bytes are never globally sorted.
+
+    Returns the input columns plus ``pos`` (0-based).
+    """
+    spark = df.sparkSession
+    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    parted = (
+        df.withColumn("_k", key)
+        .repartitionByRange(P, F.col("_k"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(counts):
+        base[pid] = acc
+        acc += int(counts[pid])
+    base_df = F.broadcast(
+        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    )
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    return (
+        parted.join(base_df, "_pid")
+        .withColumn("pos", (F.col("_base") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_base", "_k")
+    )

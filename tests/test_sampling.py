@@ -49,3 +49,42 @@ def test_assign_token_shards_partition_invariance(corpus):
 def test_assign_token_shards_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert assign_token_shards(empty, budget=10).count() == 0
+
+
+# ------------------------------------------------------------ global shuffle
+def test_global_shuffle_is_a_deterministic_permutation(spark):
+    from mindb_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id long")
+    out1 = {r.doc_id: r.pos for r in global_shuffle(df, seed=7, n_ranges=5).collect()}
+    # bijection onto 0..n-1
+    assert sorted(out1.values()) == list(range(257))
+    # reproducible for the same seed, including across range widths
+    out2 = {r.doc_id: r.pos for r in global_shuffle(df, seed=7, n_ranges=3).collect()}
+    assert out1 == out2
+    # a different seed is a different permutation
+    out3 = {r.doc_id: r.pos for r in global_shuffle(df, seed=8, n_ranges=5).collect()}
+    assert out3 != out1
+
+
+def test_global_shuffle_decorelates_ingest_order(spark):
+    from mindb_spark.operators.sampling import global_shuffle
+
+    n = 1000
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pos = {r.doc_id: r.pos for r in global_shuffle(df, seed=1).collect()}
+    # Spearman-ish check: correlation between id order and shuffled order
+    # should be near zero for a random permutation
+    import numpy as np
+
+    xs = np.arange(n, dtype=np.float64)
+    ys = np.array([pos[i] for i in range(n)], dtype=np.float64)
+    rho = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(rho) < 0.1, rho
+
+
+def test_global_shuffle_empty_input(spark):
+    from mindb_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([], "doc_id long")
+    assert global_shuffle(df).count() == 0
