@@ -224,3 +224,19 @@ def test_anti_join_pushes_date_filter(spark, sf_dir, qs):
         "o_orderdate" in blk.split("ReadSchema")[0]
         for blk in p.split("PushedFilters")[1:]
     ), p
+
+
+def test_shuffle_order_avoids_single_partition_window(spark, sf_dir, qs):
+    p = plan_of(qs["shuffle_order"](spark, sf_dir))
+    # a naive global row_number plans as Exchange SinglePartition; the
+    # two-phase permutation must rank within range partitions only
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastHashJoin" in p  # base offsets join, never shuffled
+
+
+def test_text_logprob_no_python_and_bounded_shuffles(spark, sf_dir, qs):
+    p = plan_of(qs["text_logprob"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # shuffles are keyed on (doc, term) / term / doc — never a global sort
+    assert "Exchange rangepartitioning" not in p
+    assert "Exchange SinglePartition" not in p
