@@ -157,14 +157,16 @@ class RestServer:
         return {"message": "Database created successfully"}
 
     def _r_add(self, body: dict, name: str) -> dict:
-        db = self._db(name)
+        self._db(name)
         add_data = body.get("add_data")
         if not isinstance(add_data, list):
             raise _HTTPError(400, "add_data must be a list of (vector, metadata) pairs")
         # reference request model carries add_to_new_faiss_index
         # (fastapi.py:32-64); trained DBs fold the rows into the live
-        # index in the same call (see VectorDB.index_tail)
-        db.add(
+        # index in the same call (see VectorDB.index_tail). Routed through
+        # Engine.add so the cache budget is re-weighed on mutation.
+        self.engine.add(
+            name,
             [(v, m) for v, m in add_data],
             add_to_index=bool(body.get("add_to_new_faiss_index", False)),
         )
@@ -175,11 +177,11 @@ class RestServer:
         return {"message": "Vectors and text added successfully"}
 
     def _r_remove(self, body: dict, name: str) -> dict:
-        db = self._db(name)
+        self._db(name)
         ids = body.get("ids")
         if not isinstance(ids, list):
             raise _HTTPError(400, "ids must be a list of ints")
-        db.remove(ids)
+        self.engine.remove(name, ids)
         return {"message": f"{len(ids)} vectors removed successfully"}
 
     def _r_train_start(self, body: dict, name: str) -> dict:

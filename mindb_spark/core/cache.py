@@ -75,10 +75,10 @@ class LRUCache:
     """LRU of open database handles with memory-estimate eviction.
 
     ``max_memory_usage=None`` means unbounded (a plain recency-ordered
-    registry — the default for embedded use; the REST server passes the
-    reference's 1 GiB default, ``fastapi.py:21``). All methods are
-    thread-safe; eviction calls ``release()`` on the evicted handle so
-    memoized index artifacts are dropped with it.
+    registry — the default; pass the reference's 1 GiB server default,
+    ``fastapi.py:21``, when hosting many databases behind REST). All
+    methods are thread-safe; eviction calls ``release()`` on the evicted
+    handle so memoized index artifacts are dropped with it.
     """
 
     def __init__(self, max_memory_usage: int | None = None):
@@ -96,24 +96,30 @@ class LRUCache:
                 self._cache.move_to_end(key)
             return db
 
-    def put(self, key: str, db, operations: dict | None = None) -> None:
+    def put(self, key: str, db, operations: dict | None = None):
         """Insert a handle, evicting LRU entries to fit the budget.
 
-        Like the reference's ``put`` (``cache.py:69-94``), insertion
-        happens even if the budget cannot be met by evicting (every
-        remaining entry pinned): correctness first, the cap is advisory
-        under contention.
+        Returns the handle NOW CACHED under ``key`` — when two threads
+        race a cold ``get``-then-``put``, the loser's handle is discarded
+        and both callers must share the winner's (two live handles for one
+        database would each hold a private in-memory max_id and allocate
+        duplicate ids). Like the reference's ``put`` (``cache.py:69-94``),
+        insertion happens even if the budget cannot be met by evicting
+        (every remaining entry pinned): correctness first, the cap is
+        advisory under contention.
         """
         with self._lock:
-            if key in self._cache:
+            existing = self._cache.get(key)
+            if existing is not None:
                 self._cache.move_to_end(key)
-                return
+                return existing
             self._refresh_usage()
             incoming = estimate_memory_usage(db)
             if self.max_memory_usage is not None:
                 self._evict_until(self.max_memory_usage - incoming, operations)
             self._cache[key] = db
             self.current_memory_usage += incoming
+            return db
 
     def remove(self, key: str) -> bool:
         with self._lock:

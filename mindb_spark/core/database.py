@@ -53,6 +53,47 @@ DEFAULT_BASE = os.path.expanduser("~/.mindb_spark")
 VECTOR_SCHEMA = "id long, vector array<float>, metadata string"
 
 
+class _PathState:
+    """Process-wide concurrency state, one per database path.
+
+    Several handles may exist for one database in one process (cold-get
+    races in the registry, reopen after LRU eviction) — if each held a
+    PRIVATE lock/pin-set, two handles could reserve overlapping id
+    ranges or rmtree a snapshot another handle's build had pinned. All
+    handles for a path therefore share this object; combined with
+    re-reading the manifest from disk at mutation entry, any number of
+    handles behave exactly like one.
+    """
+
+    def __init__(self):
+        # serializes manifest read-modify-write sections (id reservation,
+        # counter updates) against concurrent threads / handles
+        self.lock = threading.RLock()
+        # serializes index MAINTENANCE (train vs index_tail): train blocks
+        # on it; index_tail acquires it non-blocking and no-ops when a
+        # build already holds it
+        self.index_mutex = threading.Lock()
+        # snapshot dirs pinned by an in-flight training build: remove()
+        # must not rmtree a pinned dir mid-build — removal is deferred
+        # until the build releases the pin (the reference's deferred-
+        # delete machinery, fastapi.py:219-241, collapsed to a dir pin)
+        self.pins: set[str] = set()
+        self.deferred_rm: list[str] = []
+
+
+_PATH_STATES: dict[str, _PathState] = {}
+_PATH_STATES_GUARD = threading.Lock()
+
+
+def _state_for(path: str) -> _PathState:
+    key = os.path.abspath(path)
+    with _PATH_STATES_GUARD:
+        st = _PATH_STATES.get(key)
+        if st is None:
+            st = _PATH_STATES[key] = _PathState()
+        return st
+
+
 class VectorDB:
     def __init__(
         self,
@@ -74,20 +115,11 @@ class VectorDB:
         self.spark = spark
         self.name = name
         self.path = os.path.join(base_path, name)
-        # serializes manifest read-modify-write sections (id reservation,
-        # counter updates) against a concurrent background training thread;
-        # Spark supports concurrent job submission from multiple threads
-        self._lock = threading.RLock()
-        # snapshot dirs pinned by an in-flight training build: remove() must
-        # not rmtree a pinned dir mid-build — removal is deferred until the
-        # build releases the pin (the reference's deferred-delete machinery,
-        # fastapi.py:219-241, collapsed to a two-line dir pin)
-        self._pins: set[str] = set()
-        self._deferred_rm: list[str] = []
-        # serializes index MAINTENANCE (train vs index_tail): train blocks
-        # on it (tail appends are seconds); index_tail acquires it
-        # non-blocking and no-ops when a build already holds it
-        self._index_mutex = threading.Lock()
+        # concurrency state shared by EVERY handle for this path (see
+        # _PathState): lock, index mutex, snapshot pins
+        self._pstate = _state_for(self.path)
+        self._lock = self._pstate.lock
+        self._index_mutex = self._pstate.index_mutex
         # driver-memoized dense index artifacts, keyed by index version —
         # the per-handle footprint the LRU registry (core/cache.py) tracks
         # and releases on eviction
@@ -104,6 +136,15 @@ class VectorDB:
                 raise V.ValidationError(
                     "vector_dimension must be a positive int, got "
                     f"{vector_dimension!r}"
+                )
+            if max_memory_usage is not None and (
+                isinstance(max_memory_usage, bool)
+                or not isinstance(max_memory_usage, int)
+                or max_memory_usage < 0
+            ):
+                raise V.ValidationError(
+                    "max_memory_usage must be a non-negative int, got "
+                    f"{max_memory_usage!r}"
                 )
             self._manifest = {
                 "name": name,
@@ -122,6 +163,21 @@ class VectorDB:
             os.makedirs(self._data_dir, exist_ok=True)
             self._save_manifest()
 
+    # shared pin state: plain delegation so existing call sites (including
+    # the `deferred, self._deferred_rm = self._deferred_rm, []` swap)
+    # operate on the per-path object, not a per-handle copy
+    @property
+    def _pins(self) -> set:
+        return self._pstate.pins
+
+    @property
+    def _deferred_rm(self) -> list:
+        return self._pstate.deferred_rm
+
+    @_deferred_rm.setter
+    def _deferred_rm(self, value: list) -> None:
+        self._pstate.deferred_rm = value
+
     # ------------------------------------------------------------- paths
     @property
     def _manifest_path(self) -> str:
@@ -139,6 +195,16 @@ class VectorDB:
     def _load_manifest(self) -> None:
         with open(self._manifest_path) as f:
             self._manifest = json.load(f)
+
+    def _refresh_manifest(self) -> None:
+        """Re-read the manifest from disk. Call at MUTATION entry, under
+        the shared path lock: handles are cheap and write-through, so
+        several may exist for one database (cold-get races, reopen after
+        LRU eviction) — disk is the single authority for id allocation
+        and counters, and a stale in-memory copy here would re-issue ids
+        another handle already wrote."""
+        if os.path.exists(self._manifest_path):
+            self._load_manifest()
 
     def _save_manifest(self) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -271,6 +337,7 @@ class VectorDB:
         # the lock makes id reservation + append + manifest update atomic
         # w.r.t. concurrent adds and a background training thread
         with self._lock:
+            self._refresh_manifest()  # disk is the id-allocation authority
             start = self.max_id + 1
             ids = list(range(start, start + n))
             rows = [
@@ -361,6 +428,7 @@ class VectorDB:
                 .collect()
             )
             with self._lock:  # id-range reservation + append + manifest, atomic
+                self._refresh_manifest()  # disk is the id-allocation authority
                 start = self.max_id + 1
                 offsets, base = [], start
                 for r in counts:
@@ -395,6 +463,7 @@ class VectorDB:
 
     def set_stream_progress(self, key: str, batch_id: int) -> None:
         with self._lock:
+            self._refresh_manifest()
             self._manifest.setdefault("stream_progress", {})[key] = int(batch_id)
             self._save_manifest()
 
@@ -412,6 +481,7 @@ class VectorDB:
         ids = V.validate_remove_ids(ids)
         id_list = [int(x) for x in ids]
         with self._lock:
+            self._refresh_manifest()
             current = self.vectors()
             existing = [
                 r.id for r in current.where(F.col("id").isin(id_list)).select("id").collect()
@@ -453,6 +523,7 @@ class VectorDB:
         everything.
         """
         with self._lock:
+            self._refresh_manifest()
             current = self.vectors()
             # manifest-counter count (exact under the counter invariants):
             # sizing output files must not cost an extra full-table scan
@@ -508,6 +579,16 @@ class VectorDB:
         dim = self.vector_dimension
         if pca_dimension is not None or opq_dimension is not None or compressed_vector_bytes is not None:
             V.validate_train_params(dim, pca_dimension, opq_dimension, compressed_vector_bytes)
+        # validate the override up-front, before the flat early-return, so a
+        # bad value fails identically regardless of corpus size
+        if num_clusters is not None and (
+            isinstance(num_clusters, bool)
+            or not isinstance(num_clusters, int)
+            or num_clusters <= 0
+        ):
+            raise V.ValidationError(
+                f"num_clusters must be a positive int, got {num_clusters!r}"
+            )
         if dim is None:
             raise V.ValidationError("No vectors have been added to the database")
 
@@ -516,6 +597,7 @@ class VectorDB:
         self._index_mutex.acquire()
         # pin the snapshot: explicit file list + dir pin against delete-swap
         with self._lock:
+            self._refresh_manifest()
             snap_dir = self._data_dir
             files = sorted(
                 os.path.join(snap_dir, f)
@@ -536,19 +618,12 @@ class VectorDB:
 
             if force_flat or n < H.FLAT_INDEX_CUTOFF:  # ref mindb.py:276
                 with self._lock:
+                    self._refresh_manifest()
                     self._manifest["index_version"] = None
                     self._manifest["index_params"] = None
                     self._finalize_watermark(n, snap_max_id)
                 return
 
-            if num_clusters is not None and (
-                isinstance(num_clusters, bool)
-                or not isinstance(num_clusters, int)
-                or num_clusters <= 0
-            ):
-                raise V.ValidationError(
-                    f"num_clusters must be a positive int, got {num_clusters!r}"
-                )
             params = H.resolve_index_params(
                 n, dim, pca_dimension, opq_dimension, compressed_vector_bytes,
                 omit_opq=omit_opq, num_clusters=num_clusters,
@@ -568,6 +643,7 @@ class VectorDB:
                 use_two_level=two_level, seed=seed, n_buckets=n_buckets,
             )
             with self._lock:
+                self._refresh_manifest()
                 self._manifest["index_version"] = next_version
                 self._manifest["n_buckets"] = n_buckets
                 self._manifest["index_params"] = {
@@ -648,6 +724,7 @@ class VectorDB:
             # instead of deleting the files mid-encode — same discipline
             # as train()
             with self._lock:
+                self._refresh_manifest()
                 old_wm = self._manifest["max_trained_id"]
                 new_wm = self.max_id
                 if new_wm <= old_wm:
@@ -686,6 +763,7 @@ class VectorDB:
                     os.path.join(idx_dir, "codes")
                 )
             with self._lock:
+                self._refresh_manifest()
                 # everything up to new_wm is now indexed; rows added after
                 # the snapshot (concurrent adds) form the new tail
                 live_new = (

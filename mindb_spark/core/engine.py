@@ -72,8 +72,10 @@ class Engine:
         self.spark = spark
         self.base_path = base_path
         # memory-bounded LRU of open handles (ref cache.py; O23). None =
-        # unbounded, the embedded default; the REST server passes the
-        # reference's 1 GiB server default (fastapi.py:21).
+        # unbounded (the embedded default — Spark owns data memory, so a
+        # bound only matters when many DBs pin driver artifacts). For
+        # reference-server parity construct the serving engine with
+        # max_memory_usage=1 << 30 (fastapi.py:21 hard-codes 1 GiB).
         self._open = LRUCache(max_memory_usage)
         # training state machine (ref fastapi.py `operations` dict)
         self._train_ops: dict[str, str] = {}
@@ -97,14 +99,15 @@ class Engine:
             vector_dimension=vector_dimension,
             max_memory_usage=max_memory_usage,
         )
-        self._open.put(name, db, operations=self._ops_snapshot())
-        return db
+        return self._open.put(name, db, operations=self._ops_snapshot())
 
     def get_db(self, name: str) -> VectorDB:
         db = self._open.get(name)
         if db is None:
             db = VectorDB(self.spark, name, base_path=self.base_path)
-            self._open.put(name, db, operations=self._ops_snapshot())
+            # put returns the cached handle — under a cold-get race both
+            # callers must share one handle (duplicate-id hazard otherwise)
+            db = self._open.put(name, db, operations=self._ops_snapshot())
         return db
 
     def _ops_snapshot(self) -> dict[str, str]:
@@ -159,8 +162,8 @@ class Engine:
     def info(self, name: str) -> dict[str, Any]:
         return self.get_db(name).info()
 
-    def add(self, name: str, data: list) -> list[int]:
-        ids = self.get_db(name).add(data)
+    def add(self, name: str, data: list, add_to_index: bool = False) -> list[int]:
+        ids = self.get_db(name).add(data, add_to_index=add_to_index)
         # re-weigh + evict on the non-latency-sensitive mutation paths
         # only (ref cache.py:36-41: check_memory_usage on add/remove)
         self._open.check_memory_usage(self._ops_snapshot())

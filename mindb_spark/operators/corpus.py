@@ -312,16 +312,21 @@ def unigram_logprob(
         tf = tf.persist()
     try:
         termc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-        total = termc.agg(F.sum("c").alias("t")).first()["t"] or 0
+        # corpus total stays IN-PLAN (1-row aggregate broadcast into the
+        # scoring join): no eager driver round-trip, and the lazy variant
+        # really is lazy — no hidden second corpus pass at build time
+        total = termc.agg(F.sum("c").alias("_t"))
         out = (
             tf.join(termc, "term")
+            .crossJoin(F.broadcast(total))
             .groupBy("_id")
             .agg(
                 F.sum("tf").cast("long").alias("n_tokens"),
                 F.round(
                     F.sum(F.col("tf") * F.log(F.col("c").cast("double")))
                     / F.sum("tf")
-                    - F.log(F.lit(float(max(total, 1)))),
+                    # _t is constant across the group; max() just carries it
+                    - F.max(F.log(F.col("_t").cast("double"))),
                     6,
                 ).alias("avg_logprob"),
             )

@@ -53,6 +53,51 @@ def stratified_sample_exact(
     return ranked.where(cond).drop("_rn")
 
 
+def _ranged_base_offsets(
+    df: DataFrame,
+    range_cols: list,
+    weight_col: str | None,
+    n_ranges: int | None,
+) -> DataFrame:
+    """Two-phase distributed prefix-sum scaffold (shared by the sharding
+    and shuffle operators; same shape as the engine's gapless id
+    allocation).
+
+    Range-partitions on ``range_cols`` (ascending partition ids <=>
+    ascending key ranges), sends ONE per-partition total to the driver
+    (row count, or the sum of ``weight_col``), cumulates those into
+    exclusive partition base offsets, and broadcast-joins them back.
+    Returns the range-partitioned rows with ``_pid`` (pinned via eager
+    localCheckpoint — partition ids must not be recomputed differently by
+    a later job) and ``_base`` columns; the caller finishes the prefix
+    sum with a WITHIN-partition window. Every stage is parallel; the only
+    wide exchange is the one range shuffle.
+    """
+    spark = df.sparkSession
+    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(P, *[F.col(c) for c in range_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids
+    )
+    agg = (
+        F.sum(weight_col).alias("_tot")
+        if weight_col is not None
+        else F.count("*").alias("_tot")
+    )
+    totals = {
+        r["_pid"]: r["_tot"] for r in parted.groupBy("_pid").agg(agg).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += int(totals[pid] or 0)
+    base_df = F.broadcast(
+        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    )
+    return parted.join(base_df, "_pid")
+
+
 def assign_token_shards(
     df: DataFrame,
     budget: int,
@@ -75,29 +120,16 @@ def assign_token_shards(
     offsets, broadcast-join them back, and run the prefix-sum window
     WITHIN each partition — every stage parallel, one range shuffle.
     """
-    spark = df.sparkSession
-    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
-    parted = (
-        df.select(F.col(id_col), F.col(tokens_col))
-        .repartitionByRange(P, F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    parted = parted.localCheckpoint(eager=True)  # pin partition ids
-    totals = {
-        r["_pid"]: r["tot"]
-        for r in parted.groupBy("_pid").agg(F.sum(tokens_col).alias("tot")).collect()
-    }
-    base, acc = {}, 0
-    for pid in sorted(totals):
-        base[pid] = acc
-        acc += int(totals[pid] or 0)
-    base_df = F.broadcast(
-        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    based = _ranged_base_offsets(
+        df.select(F.col(id_col), F.col(tokens_col)),
+        [id_col],
+        weight_col=tokens_col,
+        n_ranges=n_ranges,
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
     local_prefix = F.sum(tokens_col).over(w) - F.col(tokens_col)
     return (
-        parted.join(base_df, "_pid")
+        based
         .select(
             F.col(id_col),
             F.col(tokens_col),
@@ -136,31 +168,15 @@ def global_shuffle(
 
     Returns the input columns plus ``pos`` (0-based).
     """
-    spark = df.sparkSession
-    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
     key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
-    parted = (
-        df.withColumn("_k", key)
-        .repartitionByRange(P, F.col("_k"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin partition ids
-    )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    base, acc = {}, 0
-    for pid in sorted(counts):
-        base[pid] = acc
-        acc += int(counts[pid])
-    base_df = F.broadcast(
-        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    based = _ranged_base_offsets(
+        df.withColumn("_k", key), ["_k"], weight_col=None, n_ranges=n_ranges
     )
     w = Window.partitionBy("_pid").orderBy("_k", id_col)
     return (
-        parted.join(base_df, "_pid")
+        based
         .withColumn("pos", (F.col("_base") + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid", "_base", "_k")
     )

@@ -462,3 +462,43 @@ def test_train_num_clusters_override(spark, tmp_path):
             db.train(num_clusters=0)
     finally:
         db.delete()
+
+
+def test_two_handles_share_id_authority(spark, tmp_path):
+    """Handles are cheap and may coexist (registry races, LRU eviction +
+    reopen). Id allocation must stay gapless-unique across handles: the
+    path lock is process-wide and the manifest is re-read from disk at
+    mutation entry."""
+    rng = np.random.default_rng(21)
+    h1 = VectorDB(spark, "shared", base_path=str(tmp_path))
+    h1.add([(v, {}) for v in _mk(rng, 3, 8)])
+    # second handle opened BEFORE h1's next write; its in-memory manifest
+    # is stale by the time it allocates
+    h2 = VectorDB(spark, "shared", base_path=str(tmp_path))
+    h1.add([(v, {}) for v in _mk(rng, 2, 8)])   # ids 3, 4
+    ids = h2.add([(v, {}) for v in _mk(rng, 2, 8)])  # must be 5, 6 — not 3, 4
+    assert ids == [5, 6]
+    rows = h1.vectors().select("id").collect()
+    assert sorted(r.id for r in rows) == list(range(7))
+    # and both handles share one lock object (no private-lock interleaving)
+    assert h1._lock is h2._lock
+    h1.delete()
+
+
+def test_eviction_then_readd_allocates_fresh_ids(spark, tmp_path):
+    """LRU eviction mid-lifecycle must never lead to duplicate ids."""
+    from mindb_spark.core.engine import Engine
+
+    rng = np.random.default_rng(22)
+    eng = Engine(spark, base_path=str(tmp_path))
+    eng.create_db("evict_ids")
+    first = eng.add("evict_ids", [(v, {}) for v in _mk(rng, 4, 8)])
+    stale = eng.get_db("evict_ids")  # hold a reference across eviction
+    eng.update_max_memory_usage(0)   # evict everything idle
+    eng.update_max_memory_usage(None)
+    second = eng.add("evict_ids", [(v, {}) for v in _mk(rng, 4, 8)])
+    # the stale handle's next mutation must also see the disk authority
+    third = stale.add([(v, {}) for v in _mk(rng, 2, 8)])
+    allocated = first + second + third
+    assert len(allocated) == len(set(allocated)) == 10
+    assert sorted(allocated) == list(range(10))
