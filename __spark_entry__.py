@@ -763,6 +763,39 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: click -> purchase
+    attribution per user within 30 minutes. Both sides carry event-time
+    watermarks so join state expires (bounded memory on an unbounded
+    stream); unified semantics make the identical batch join the oracle."""
+    import tempfile
+
+    from mindb_spark.sources import normalize_ts
+    from mindb_spark.streaming import interval_join_attribution, run_stream_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+
+    def _stream() -> DataFrame:
+        return normalize_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    out = interval_join_attribution(
+        _stream().where(F.col("event_type") == "click"),
+        _stream().where(F.col("event_type") == "purchase"),
+        window="30 minutes",
+        watermark="1 hour",
+    )
+    name = "interval_join_entry"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(out, name, ckpt, output_mode="append")
+    return spark.table(name).localCheckpoint()
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization via built-in session windows,
     drained with availableNow (complete mode). Unified batch/stream
@@ -1134,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantiles": q_agg_quantiles,
         "stream_window_agg": q_stream_window_agg,
         "stream_sessionize": q_stream_sessionize,
+        "stream_interval_join": q_stream_interval_join,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1848,6 +1882,17 @@ select user_id,
        floor(sum(value) * 1000000 + 0.5) / 1000000 as sum_value
 from s
 group by user_id, sid
+""",
+        "stream_interval_join": """
+select c.user_id,
+       c.event_id as click_id,
+       p.event_id as purchase_id,
+       (floor(epoch(p.ts)) - floor(epoch(c.ts)))::BIGINT as lag_seconds
+from events c
+join events p
+  on c.user_id = p.user_id
+ and c.event_type = 'click' and p.event_type = 'purchase'
+ and p.ts > c.ts and p.ts <= c.ts + interval 30 minute
 """,
         "window_top_events": """
 with ranked as (

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "window_top_events",
     "window_rolling",
     "stream_window_agg",
+    "stream_interval_join",
     "filtered_knn",
     "asof_join",
     "agg_rollup",

