@@ -791,8 +791,17 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     name = "interval_join_entry"
-    with tempfile.TemporaryDirectory() as ckpt:
-        run_stream_to_memory(out, name, ckpt, output_mode="append")
+    # a stateful stream-stream join materializes one state store per
+    # shuffle partition PER SIDE; at this volume 32 partitions are pure
+    # checkpoint overhead. The partition count is baked into the (fresh)
+    # checkpoint, so narrowing it here never affects other queries.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            run_stream_to_memory(out, name, ckpt, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).localCheckpoint()
 
 
