@@ -304,9 +304,13 @@ class VectorDB:
         )
 
     def info(self) -> dict[str, Any]:
+        # counter-derived count: info must stay O(1) like the reference's
+        # in-memory bookkeeping (a REST /info poll loop must not schedule
+        # a Spark job per call); the counters are exact under the add/
+        # remove/train invariants — see num_vectors_fast
         return {
             "name": self.name,
-            "num_vectors": self.num_vectors,
+            "num_vectors": self.num_vectors_fast,
             "vector_dimension": self.vector_dimension,
             "trained": self.is_trained,
             "max_id": self.max_id,
