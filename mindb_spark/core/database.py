@@ -793,8 +793,10 @@ class VectorDB:
     def maybe_auto_train(self, **train_kwargs) -> bool:
         """Auto-train policy check (ref training_utils.py:148-188); returns
         True if a (re)train ran. Call after ingest batches — the Structured
-        Streaming hook does exactly this in foreachBatch."""
-        n = self.num_vectors
+        Streaming hook does exactly this in foreachBatch. Counter-derived
+        count: the per-micro-batch policy check must not cost a Spark job
+        (the reference's check is an in-memory dict lookup)."""
+        n = self.num_vectors_fast
         if not self.is_trained:
             if H.needs_initial_training(n, self.is_trained, False):
                 self.train(**train_kwargs)

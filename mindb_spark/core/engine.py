@@ -304,7 +304,7 @@ class Engine:
         out = []
         for name in self.list_dbs():
             db = self.get_db(name)
-            if needs_initial_training(db.num_vectors, db.is_trained, False):
+            if needs_initial_training(db.num_vectors_fast, db.is_trained, False):
                 out.append(name)
         return out
 
@@ -313,8 +313,9 @@ class Engine:
         out = []
         for name in self.list_dbs():
             db = self.get_db(name)
-            if needs_initial_training(db.num_vectors, db.is_trained, False) or (
-                db.is_trained and needs_retraining(db.num_vectors, db.coverage_ratio(), False)
+            if needs_initial_training(db.num_vectors_fast, db.is_trained, False) or (
+                db.is_trained
+                and needs_retraining(db.num_vectors_fast, db.coverage_ratio(), False)
             ):
                 out.append(name)
         return out
