@@ -157,26 +157,47 @@ def global_shuffle(
     seed.
 
     Scale shape: the naive ``row_number() over (order by key)`` computes
-    the permutation in ONE task. Here (same two-phase shape as
-    ``assign_token_shards`` and the engine's gapless id allocation):
-    range-partition on the hash key (ascending partition ids <=> ascending
-    key ranges), per-partition row counts to the driver (one number per
-    partition), cumulate into base offsets, broadcast them back, and rank
-    WITHIN each partition — every stage parallel, one range shuffle.
-    Callers should pass the narrow (id) projection and join payloads back
-    by id afterwards, so corpus bytes are never globally sorted.
+    the permutation in ONE task. md5 keys are UNIFORM, so the range
+    bucket is a pure monotone EXPRESSION — ``floor(prefix(_k) / 16^13 *
+    P)`` (uniform-width buckets over the 13-hex-char prefix; bucket
+    boundaries can only split prefix TIES, which land in one bucket by
+    construction, and within-bucket rank orders by the FULL key). That
+    removes both the range-partition shuffle and the eager checkpoint
+    the generic scaffold needs to pin partition ids (at corpus scale
+    that checkpoint writes the whole projection to local disk): one
+    narrow counting aggregate, then ONE hash shuffle for the in-bucket
+    rank window — nothing else moves. Callers should pass the narrow
+    (id) projection and join payloads back by id afterwards, so corpus
+    bytes are never globally sorted.
 
     Returns the input columns plus ``pos`` (0-based).
     """
+    spark = df.sparkSession
+    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
     key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
-    based = _ranged_base_offsets(
-        df.withColumn("_k", key), ["_k"], weight_col=None, n_ranges=n_ranges
+    # 13 hex chars = 52 bits: exact as double; float division/multiply are
+    # monotone (IEEE round-to-nearest), so the bucket is monotone in _k
+    pref = F.conv(F.substring("_k", 1, 13), 16, 10).cast("double")
+    bucket = F.least(
+        F.lit(P - 1), F.floor(pref / F.lit(float(16 ** 13)) * F.lit(P)).cast("int")
+    )
+    keyed = df.withColumn("_k", key).withColumn("_pid", bucket)
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(counts):
+        base[pid] = acc
+        acc += int(counts[pid])
+    base_df = F.broadcast(
+        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
     )
     w = Window.partitionBy("_pid").orderBy("_k", id_col)
     return (
-        based
+        keyed.join(base_df, "_pid")
         .withColumn("pos", (F.col("_base") + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid", "_base", "_k")
     )
