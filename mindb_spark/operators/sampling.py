@@ -53,40 +53,29 @@ def stratified_sample_exact(
     return ranked.where(cond).drop("_rn")
 
 
-def _ranged_base_offsets(
-    df: DataFrame,
-    range_cols: list,
-    weight_col: str | None,
-    n_ranges: int | None,
+def _bucketed_base_offsets(
+    keyed: DataFrame, weight_col: str | None
 ) -> DataFrame:
-    """Two-phase distributed prefix-sum scaffold (shared by the sharding
-    and shuffle operators; same shape as the engine's gapless id
-    allocation).
+    """Two-phase distributed prefix-sum tail (shared by the sharding and
+    shuffle operators; same shape as the engine's gapless id allocation).
 
-    Range-partitions on ``range_cols`` (ascending partition ids <=>
-    ascending key ranges), sends ONE per-partition total to the driver
-    (row count, or the sum of ``weight_col``), cumulates those into
-    exclusive partition base offsets, and broadcast-joins them back.
-    Returns the range-partitioned rows with ``_pid`` (pinned via eager
-    localCheckpoint — partition ids must not be recomputed differently by
-    a later job) and ``_base`` columns; the caller finishes the prefix
-    sum with a WITHIN-partition window. Every stage is parallel; the only
-    wide exchange is the one range shuffle.
+    ``keyed`` carries a ``_pid`` bucket column that is a PURE MONOTONE
+    EXPRESSION of the global order key — a deterministic function of the
+    row, so no partition-id pinning (and no checkpoint materialization)
+    is ever needed. One narrow aggregate sends per-bucket totals (row
+    count, or the sum of ``weight_col``) to the driver; those cumulate
+    into exclusive bucket base offsets which broadcast-join back. The
+    caller finishes the prefix sum with a WITHIN-bucket window — the
+    only wide exchange in the whole plan.
     """
-    spark = df.sparkSession
-    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
-    parted = (
-        df.repartitionByRange(P, *[F.col(c) for c in range_cols])
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin partition ids
-    )
+    spark = keyed.sparkSession
     agg = (
         F.sum(weight_col).alias("_tot")
         if weight_col is not None
         else F.count("*").alias("_tot")
     )
     totals = {
-        r["_pid"]: r["_tot"] for r in parted.groupBy("_pid").agg(agg).collect()
+        r["_pid"]: r["_tot"] for r in keyed.groupBy("_pid").agg(agg).collect()
     }
     base, acc = {}, 0
     for pid in sorted(totals):
@@ -95,7 +84,7 @@ def _ranged_base_offsets(
     base_df = F.broadcast(
         spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
     )
-    return parted.join(base_df, "_pid")
+    return keyed.join(base_df, "_pid")
 
 
 def assign_token_shards(
@@ -115,16 +104,32 @@ def assign_token_shards(
     A naive global ``Window.orderBy(id)`` computes the prefix sum in ONE
     task — the single-node bottleneck that kills this at 100 TB. Instead
     the scale-safe two-phase shape (same as the engine's gapless id
-    allocation): range-partition by id, per-partition token totals to the
-    driver (tiny: one number per partition), cumulate into partition base
-    offsets, broadcast-join them back, and run the prefix-sum window
-    WITHIN each partition — every stage parallel, one range shuffle.
+    allocation): bucket by a MONOTONE EXPRESSION of id (engine ids are
+    sequential, so uniform-width id buckets are balanced), per-bucket
+    token totals to the driver (tiny: one number per bucket), cumulate
+    into base offsets, broadcast-join them back, and run the prefix-sum
+    window WITHIN each bucket — every stage parallel; the window's hash
+    shuffle is the only wide exchange, and nothing is checkpointed.
     """
-    based = _ranged_base_offsets(
-        df.select(F.col(id_col), F.col(tokens_col)),
-        [id_col],
-        weight_col=tokens_col,
-        n_ranges=n_ranges,
+    spark = df.sparkSession
+    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
+    narrow = df.select(F.col(id_col), F.col(tokens_col))
+    stats = narrow.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if stats["lo"] is None:
+        return narrow.withColumn("offset", F.lit(0).cast("long")).withColumn(
+            "shard_id", F.lit(0).cast("long")
+        ).limit(0)
+    lo, span = int(stats["lo"]), int(stats["hi"]) - int(stats["lo"]) + 1
+    # SQL DIV is exact integer division: the bucket is exactly monotone
+    # in id, no float step anywhere
+    bucket = F.least(
+        F.lit(P - 1),
+        F.expr(f"((`{id_col}` - {lo}) * {P}) DIV {span}"),
+    ).cast("int")
+    based = _bucketed_base_offsets(
+        narrow.withColumn("_pid", bucket), weight_col=tokens_col
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
     local_prefix = F.sum(tokens_col).over(w) - F.col(tokens_col)
@@ -183,21 +188,12 @@ def global_shuffle(
     bucket = F.least(
         F.lit(P - 1), F.floor(pref / F.lit(float(16 ** 13)) * F.lit(P)).cast("int")
     )
-    keyed = df.withColumn("_k", key).withColumn("_pid", bucket)
-    counts = {
-        r["_pid"]: r["_n"]
-        for r in keyed.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
-    }
-    base, acc = {}, 0
-    for pid in sorted(counts):
-        base[pid] = acc
-        acc += int(counts[pid])
-    base_df = F.broadcast(
-        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    based = _bucketed_base_offsets(
+        df.withColumn("_k", key).withColumn("_pid", bucket), weight_col=None
     )
     w = Window.partitionBy("_pid").orderBy("_k", id_col)
     return (
-        keyed.join(base_df, "_pid")
+        based
         .withColumn("pos", (F.col("_base") + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid", "_base", "_k")
     )
