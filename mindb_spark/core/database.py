@@ -276,16 +276,21 @@ class VectorDB:
         """Live row count from manifest counters alone — no Spark job.
 
         Exact under the counter invariants (add: new++; remove: removed++/
-        new--; train: counters rebased against the live table), so policy
-        checks on hot paths (the post-add auto-train trigger) stay O(1)
-        like the reference's in-memory bookkeeping.
+        new--; train/tail: counters rebased against the live table), so
+        policy checks on hot paths (the post-add auto-train trigger) stay
+        O(1) like the reference's in-memory bookkeeping. Re-reads the
+        manifest first (a JSON read, still no Spark job): another handle
+        or process may have mutated the database since this one loaded —
+        disk is the counter authority just as it is for id allocation.
         """
-        m = self._manifest
-        return (
-            m["num_vectors_trained_on"]
-            - m["num_trained_vectors_removed"]
-            + m["num_new_vectors"]
-        )
+        with self._lock:
+            self._refresh_manifest()
+            m = self._manifest
+            return (
+                m["num_vectors_trained_on"]
+                - m["num_trained_vectors_removed"]
+                + m["num_new_vectors"]
+            )
 
     def _has_data(self) -> bool:
         d = self._data_dir
@@ -298,19 +303,33 @@ class VectorDB:
         return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_dir)
 
     def coverage_ratio(self) -> float:
-        m = self._manifest
-        return H.coverage_ratio(
-            m["num_vectors_trained_on"], m["num_new_vectors"], m["num_trained_vectors_removed"]
-        )
+        with self._lock:
+            self._refresh_manifest()  # see num_vectors_fast
+            m = self._manifest
+            return H.coverage_ratio(
+                m["num_vectors_trained_on"], m["num_new_vectors"], m["num_trained_vectors_removed"]
+            )
 
     def info(self) -> dict[str, Any]:
         # counter-derived count: info must stay O(1) like the reference's
         # in-memory bookkeeping (a REST /info poll loop must not schedule
         # a Spark job per call); the counters are exact under the add/
-        # remove/train invariants — see num_vectors_fast
+        # remove/train invariants — see num_vectors_fast. One refresh
+        # under the lock keeps every reported field from the same
+        # manifest snapshot.
+        with self._lock:
+            self._refresh_manifest()
+            return self._info_locked()
+
+    def _info_locked(self) -> dict[str, Any]:
+        m = self._manifest
         return {
             "name": self.name,
-            "num_vectors": self.num_vectors_fast,
+            "num_vectors": (
+                m["num_vectors_trained_on"]
+                - m["num_trained_vectors_removed"]
+                + m["num_new_vectors"]
+            ),
             "vector_dimension": self.vector_dimension,
             "trained": self.is_trained,
             "max_id": self.max_id,
@@ -769,13 +788,24 @@ class VectorDB:
             with self._lock:
                 self._refresh_manifest()
                 # everything up to new_wm is now indexed; rows added after
-                # the snapshot (concurrent adds) form the new tail
-                live_new = (
-                    self.vectors().where(F.col("id") > new_wm).count()
-                    if self._has_data() else 0
-                )
+                # the snapshot (concurrent adds) form the new tail. Counters
+                # are recomputed from the LIVE table exactly like a full
+                # train's finalizer — a remove() racing the encode (its
+                # decrement would otherwise be clobbered here) lands in
+                # num_trained_vectors_removed instead of being lost, so
+                # num_vectors_fast stays exact (it is load-bearing for
+                # /info and the auto-train policy).
+                live_old, live_new = 0, 0
+                if self._has_data():
+                    row = self.vectors().agg(
+                        F.count(F.when(F.col("id") <= new_wm, 1)).alias("old"),
+                        F.count(F.when(F.col("id") > new_wm, 1)).alias("new"),
+                    ).first()
+                    live_old, live_new = int(row["old"]), int(row["new"])
+                trained_on = self._manifest["num_vectors_trained_on"] + n_tail
                 self._manifest["max_trained_id"] = new_wm
-                self._manifest["num_vectors_trained_on"] += n_tail
+                self._manifest["num_vectors_trained_on"] = trained_on
+                self._manifest["num_trained_vectors_removed"] = trained_on - live_old
                 self._manifest["num_new_vectors"] = live_new
                 self._save_manifest()
             return n_tail

@@ -37,14 +37,16 @@ def _single_threaded_blas():
     threading. Uses threadpoolctl when present, else the OpenBLAS handle
     numpy itself loaded; silently a no-op when neither is available.
     """
+    # probe separately from the guarded block: an ImportError raised by
+    # the BODY must propagate, not fall through to a second yield
     try:
         from threadpoolctl import threadpool_limits
-
+    except ImportError:
+        threadpool_limits = None
+    if threadpool_limits is not None:
         with threadpool_limits(limits=1, user_api="blas"):
             yield
         return
-    except ImportError:
-        pass
     handles = []
     try:
         import ctypes
@@ -58,8 +60,11 @@ def _single_threaded_blas():
                 ("openblas_set_num_threads64_", "openblas_get_num_threads64_"),
                 ("openblas_set_num_threads", "openblas_get_num_threads"),
             ):
-                if hasattr(h, set_fn):
-                    prev = getattr(h, get_fn)() if hasattr(h, get_fn) else 0
+                # only pin when the matching getter exists too — pinning
+                # without a way to restore would leave the whole process
+                # single-threaded past this block
+                if hasattr(h, set_fn) and hasattr(h, get_fn):
+                    prev = getattr(h, get_fn)()
                     getattr(h, set_fn)(1)
                     handles.append((h, set_fn, prev))
                     break

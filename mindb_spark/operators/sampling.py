@@ -53,6 +53,53 @@ def stratified_sample_exact(
     return ranked.where(cond).drop("_rn")
 
 
+def _ranged_base_offsets(
+    df: DataFrame,
+    range_cols: list,
+    weight_col: str | None,
+    n_ranges: int | None,
+) -> DataFrame:
+    """Two-phase prefix-sum scaffold for ARBITRARY orderable keys.
+
+    Range-partitions on ``range_cols`` (ascending partition ids <=>
+    ascending key ranges — Spark's sampler adapts the boundaries to any
+    key skew and any orderable type), pins the evaluated rows AND their
+    partition ids with an eager localCheckpoint (two later jobs must see
+    identical rows/ids; the checkpoint writes only the narrow projection,
+    about the same bytes the range shuffle itself moved), sends one
+    per-partition total to the driver, cumulates into exclusive base
+    offsets, broadcast-joins them back. The caller finishes with a
+    WITHIN-partition window.
+
+    Use ``_bucketed_base_offsets`` instead when the key is provably
+    uniform (md5) — there the bucket is a pure expression and neither
+    the range shuffle nor the checkpoint is needed.
+    """
+    spark = df.sparkSession
+    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(P, *[F.col(c) for c in range_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin rows + partition ids
+    )
+    agg = (
+        F.sum(weight_col).alias("_tot")
+        if weight_col is not None
+        else F.count("*").alias("_tot")
+    )
+    totals = {
+        r["_pid"]: r["_tot"] for r in parted.groupBy("_pid").agg(agg).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += int(totals[pid] or 0)
+    base_df = F.broadcast(
+        spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
+    )
+    return parted.join(base_df, "_pid")
+
+
 def _bucketed_base_offsets(
     keyed: DataFrame, weight_col: str | None
 ) -> DataFrame:
@@ -104,32 +151,19 @@ def assign_token_shards(
     A naive global ``Window.orderBy(id)`` computes the prefix sum in ONE
     task — the single-node bottleneck that kills this at 100 TB. Instead
     the scale-safe two-phase shape (same as the engine's gapless id
-    allocation): bucket by a MONOTONE EXPRESSION of id (engine ids are
-    sequential, so uniform-width id buckets are balanced), per-bucket
-    token totals to the driver (tiny: one number per bucket), cumulate
-    into base offsets, broadcast-join them back, and run the prefix-sum
-    window WITHIN each bucket — every stage parallel; the window's hash
-    shuffle is the only wide exchange, and nothing is checkpointed.
+    allocation) via ``_ranged_base_offsets``: ids may be arbitrarily
+    sparse/clustered (filtered corpora, merged id spaces) and of any
+    orderable type, so the adaptive range partitioner — not a fixed-
+    width bucket expression — assigns balanced partitions, and the
+    checkpoint pins rows and partition ids so the totals job and the
+    final plan see identical data even over nondeterministic upstreams
+    (samples), while also tokenizing/deriving the weights exactly once.
     """
-    spark = df.sparkSession
-    P = n_ranges or max(2, spark.sparkContext.defaultParallelism)
-    narrow = df.select(F.col(id_col), F.col(tokens_col))
-    stats = narrow.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
-    if stats["lo"] is None:
-        return narrow.withColumn("offset", F.lit(0).cast("long")).withColumn(
-            "shard_id", F.lit(0).cast("long")
-        ).limit(0)
-    lo, span = int(stats["lo"]), int(stats["hi"]) - int(stats["lo"]) + 1
-    # SQL DIV is exact integer division: the bucket is exactly monotone
-    # in id, no float step anywhere
-    bucket = F.least(
-        F.lit(P - 1),
-        F.expr(f"((`{id_col}` - {lo}) * {P}) DIV {span}"),
-    ).cast("int")
-    based = _bucketed_base_offsets(
-        narrow.withColumn("_pid", bucket), weight_col=tokens_col
+    based = _ranged_base_offsets(
+        df.select(F.col(id_col), F.col(tokens_col)),
+        [id_col],
+        weight_col=tokens_col,
+        n_ranges=n_ranges,
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
     local_prefix = F.sum(tokens_col).over(w) - F.col(tokens_col)
@@ -174,6 +208,13 @@ def global_shuffle(
     rank window — nothing else moves. Callers should pass the narrow
     (id) projection and join payloads back by id afterwards, so corpus
     bytes are never globally sorted.
+
+    PRECONDITION: ``df`` must be deterministic across re-evaluation (the
+    counts job and the final plan each evaluate it). A nondeterministic
+    upstream (``.sample`` without a pinned materialization, ``rand()``)
+    would make the base offsets disagree with the ranked rows; persist
+    or checkpoint such inputs first — or use ``assign_token_shards``'s
+    scaffold, which pins rows itself.
 
     Returns the input columns plus ``pos`` (0-based).
     """

@@ -502,3 +502,36 @@ def test_eviction_then_readd_allocates_fresh_ids(spark, tmp_path):
     allocated = first + second + third
     assert len(allocated) == len(set(allocated)) == 10
     assert sorted(allocated) == list(range(10))
+
+
+def test_counters_visible_across_handles(spark, tmp_path):
+    """Counter reads (info / num_vectors_fast / coverage_ratio) must see
+    mutations made through OTHER handles — disk is the counter authority
+    just as it is for id allocation."""
+    rng = np.random.default_rng(31)
+    h1 = VectorDB(spark, "xhandle", base_path=str(tmp_path))
+    h2 = VectorDB(spark, "xhandle", base_path=str(tmp_path))  # opened early
+    h1.add([(v, {}) for v in _mk(rng, 7, 8)])
+    assert h2.num_vectors_fast == 7
+    assert h2.info()["num_vectors"] == 7
+    h1.remove([0, 1])
+    assert h2.num_vectors_fast == 5
+    h1.delete()
+
+
+def test_index_tail_counters_exact_after_interleaved_remove(spark, tmp_path):
+    """num_vectors_fast (load-bearing for /info and auto-train) must stay
+    exactly the live count through tail-indexing interleaved with
+    removes of both trained and tail rows."""
+    rng = np.random.default_rng(32)
+    db = VectorDB(spark, "tailrm", base_path=str(tmp_path))
+    db.add([(v, {}) for v in _mk(rng, 6000, 16)])
+    db.train()
+    db.add([(v, {}) for v in _mk(rng, 50, 16)])   # unindexed tail
+    db.remove([0, 1, 6005])                        # trained + tail rows
+    assert db.index_tail() > 0
+    assert db.num_vectors_fast == db.num_vectors == 6047
+    db.remove([6010])
+    assert db.index_tail() == 0  # nothing new above the watermark
+    assert db.num_vectors_fast == db.num_vectors == 6046
+    db.delete()
