@@ -10,11 +10,13 @@ from __future__ import annotations
 
 import http.client
 import json
+import time
 
 import numpy as np
 import pytest
 
 from mindb_spark.api.rest import serve
+from mindb_spark.core.database import VectorDB
 from mindb_spark.core.engine import Engine
 
 
@@ -349,3 +351,71 @@ def test_rest_add_to_new_faiss_index_flag(client, spark, tmp_path):
                      {"query_vector": [1.0, 0.0], "final_top_k": 1})
     assert st == 200 and res["ids"] == [0]
     client("POST", "/db/fidx/delete", {})
+
+
+def test_rest_concurrent_adds_yield_gapless_unique_ids(spark, tmp_path):
+    """Add storm from multiple HTTP clients racing a background train:
+    every id allocated exactly once, no gaps, counters exact (the
+    reference's threading suite shape, driven through the shared-lock
+    path-state machinery)."""
+    import threading
+
+    import numpy as np
+
+    server = serve(Engine(spark, base_path=str(tmp_path)), port=0)
+    try:
+        def call(method, path, body=None):
+            conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+            try:
+                conn.request(
+                    method, path, body=json.dumps(body) if body is not None else None
+                )
+                r = conn.getresponse()
+                return r.status, json.loads(r.read() or b"{}")
+            finally:
+                conn.close()
+
+        assert call("POST", "/db/create", {"name": "storm"})[0] == 200
+        rng = np.random.default_rng(5)
+        seed_batch = [[v.tolist(), {}] for v in rng.normal(size=(5200, 8)).astype(float)]
+        assert call("POST", "/db/storm/add", {"add_data": seed_batch})[0] == 200
+
+        # background train via REST while clients keep adding
+        assert call("POST", "/db/storm/train", {})[0] == 200
+
+        errors: list = []
+
+        def adder(t):
+            try:
+                r = np.random.default_rng(100 + t)
+                for _ in range(4):
+                    batch = [[v.tolist(), {"t": t}] for v in r.normal(size=(25, 8)).astype(float)]
+                    st, payload = call("POST", "/db/storm/add", {"add_data": batch})
+                    assert st == 200, payload
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=adder, args=(t,)) for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+
+        # wait for the background train to settle
+        for _ in range(600):
+            st, s = call("GET", "/db/storm/train")
+            if s["status"] in ("complete", "failed", "untrained"):
+                break
+            time.sleep(0.5)
+        assert s["status"] == "complete", s
+
+        db = VectorDB(spark, "storm", base_path=str(tmp_path))
+        ids = [r.id for r in db.vectors().select("id").collect()]
+        n_total = 5200 + 4 * 4 * 25
+        assert len(ids) == len(set(ids)) == n_total       # unique
+        assert sorted(ids) == list(range(n_total))        # gapless
+        st, info = call("GET", "/db/storm/info")
+        assert json.loads(info["db_info"])["num_vectors"] == n_total
+    finally:
+        server.stop()
