@@ -85,6 +85,10 @@ def get_spark(
         # tasks and serialize the regex/md5 work. 16k keeps parallelism.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k-row Arrow batches fragment the vectorized ADC/encode
+        # kernels (their per-call setup amortizes over the batch); 64k rows
+        # of codes is ~2 MB — far below executor memory at any width
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )

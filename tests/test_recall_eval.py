@@ -76,3 +76,58 @@ def test_heuristic_nprobe_recall_at_50(spark, tmp_path, eval_corpus):
     # reference contract: > 0.97 @ 50 at the heuristic probe budget
     assert mean_recall > 0.97, f"recall {mean_recall} at n_probe={ip['n_probe']}"
     db.delete()
+
+
+def test_sparse_probe_scan_exact_over_probed_subset(spark, tmp_path):
+    """Probe-aware (sparse) ADC path correctness, pinned EXACTLY.
+
+    With preliminary_top_k >= every probed row, stage 1 passes ALL probed
+    rows to the exact rerank, so the final top-k must equal brute-force
+    cosine over exactly the rows whose cell any given query probes — for
+    every query, bit-for-bit on ids. The scenario forces the sparse path
+    (low probe density: few cells probed of many)."""
+    import os
+
+    from mindb_spark.core.heuristics import resolve_index_params
+    from mindb_spark.index import build as B, ivf
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(48, 16)) * 4.0
+    assign = rng.integers(0, 48, size=3000)
+    mat = (centers[assign] + 0.3 * rng.normal(size=(3000, 16))).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    vdf = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(mat)], "id long, vector array<double>"
+    ).localCheckpoint()
+    params = resolve_index_params(3000, 16)
+    idx = str(tmp_path / "sparse_idx")
+    arts, _ = B.build_index(vdf, params, idx, n_buckets=8)
+    codes_rows = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "id", "cluster_id"
+    ).collect()
+    cell_of = {r.id: r.cluster_id for r in codes_rows}
+
+    n_probe = 5  # of params.num_clusters cells -> low density, sparse path
+    queries_m = mat[rng.integers(0, 3000, size=24)] + 0.05 * rng.normal(size=(24, 16))
+    queries = [(int(i), queries_m[i]) for i in range(24)]
+    probed = ivf.rank_centroids(arts, queries_m, n_probe)
+
+    out = ivf.search(
+        spark.read.parquet(os.path.join(idx, "codes")), vdf, arts, queries,
+        preliminary_top_k=3000, final_top_k=10, n_probe=n_probe,
+        max_trained_id=None, n_buckets=8,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.id, r.cosine_similarity))
+
+    qn = queries_m / np.linalg.norm(queries_m, axis=1, keepdims=True)
+    for qi in range(24):
+        cells = set(int(c) for c in probed[qi])
+        member = np.array([i for i in range(3000) if cell_of[i] in cells])
+        assert member.size > 10
+        sims = mat[member] @ qn[qi]
+        order = np.lexsort((member, -sims))[:10]
+        expect = [int(member[j]) for j in order]
+        got_ids = [i for i, _ in sorted(got[qi], key=lambda t: (-t[1], t[0]))]
+        assert got_ids == expect, f"query {qi}"
