@@ -60,6 +60,17 @@ def main() -> None:
     )
     print(f"after decontamination: {kept.count()}")
 
+    # 2c. corpus-unigram LM gate (CCNet-style pseudo-perplexity): drop the
+    # rare-token tail (OCR noise, gibberish) — bottom 2% by avg logprob
+    from mindb_spark.operators.corpus import unigram_logprob
+
+    lp = unigram_logprob(kept)
+    cut = lp.approxQuantile("avg_logprob", [0.02], 0.001)[0]
+    kept = kept.join(
+        lp.where(F.col("avg_logprob") >= cut).select("doc_id"), "doc_id", "left_semi"
+    )
+    print(f"after LM-quality gate (cut {cut:.3f}): {kept.count()}")
+
     # 3. PII scrub (emails / IPs / phones)
     clean = scrub_pii(kept, text_col="text").join(
         kept.select("doc_id", "lang2", "n_tokens"), "doc_id"
@@ -73,8 +84,15 @@ def main() -> None:
     print("mixture:", {r["lang2"]: r["n"] for r in
                        mix.groupBy("lang2").agg(F.count("*").alias("n")).collect()})
 
-    # 5. token-shard layout for sequence packing
-    shards = assign_token_shards(mix.select("doc_id", "n_tokens"), budget=4096)
+    # 5. deterministic global training-order shuffle, then token-shard
+    # layout for sequence packing over the shuffled order
+    from mindb_spark.operators.sampling import global_shuffle
+
+    order = global_shuffle(mix.select("doc_id"), seed=13)
+    shards = assign_token_shards(
+        mix.select("doc_id", "n_tokens").join(order, "doc_id"),
+        budget=4096, id_col="pos", tokens_col="n_tokens",
+    )
     print("shards:", shards.agg(F.max("shard_id").alias("last_shard"),
                                 F.sum("n_tokens").alias("total_tokens")).first())
 
