@@ -256,14 +256,20 @@ class Engine:
             self._train_ops[name] = "in progress"
             self._train_errors.pop(name, None)
 
-        def _run() -> None:
+        def _run(reraise: bool = True) -> None:
             try:
                 db.train(**kwargs)
             except BaseException as e:  # noqa: BLE001 — state must reflect ANY failure
                 with self._train_lock:
                     self._train_ops[name] = "failed"
                     self._train_errors[name] = f"{type(e).__name__}: {e}"
-                raise
+                # blocking callers get the exception; the background path
+                # records it in the state machine (train_error) instead of
+                # dying as an unhandled thread exception — a delete-while-
+                # training rmtree race is survivable by design (ref
+                # test_delete_while_training.py)
+                if reraise:
+                    raise
             else:
                 with self._train_lock:
                     self._train_ops[name] = "complete"
@@ -271,7 +277,9 @@ class Engine:
         if block:
             _run()
             return
-        t = threading.Thread(target=_run, name=f"mindb-train-{name}", daemon=True)
+        t = threading.Thread(
+            target=_run, args=(False,), name=f"mindb-train-{name}", daemon=True
+        )
         self._train_threads[name] = t
         t.start()
 

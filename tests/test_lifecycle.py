@@ -147,3 +147,27 @@ def test_streaming_ingest_batch_idempotent(spark, tmp_path):
     # progress survives reopen (manifest-backed)
     db2 = VectorDB(spark, "idem", base_path=str(tmp_path))
     assert db2.get_stream_progress("/tmp/ckpt-idem") == 1
+
+
+def test_delete_db_while_training_is_survivable(spark, tmp_path):
+    """Reference scenario (test_delete_while_training.py:54-67): deleting a
+    database while its background build runs must not take the engine
+    down. The build may finish "complete" (it worked from a pinned
+    snapshot) or "failed" (its output dir vanished) — both are fine; the
+    name must be recreatable either way."""
+    eng = Engine(spark, base_path=str(tmp_path))
+    eng.create_db("doomed")
+    db = eng.get_db("doomed")
+    db.add_dataframe(_vec_df(spark, 6000, 16, seed=9))
+    eng.train("doomed", block=False)
+    eng.delete_db("doomed")                      # rmtree races the build
+    status = eng.wait_for_training("doomed", timeout=300)
+    assert status in ("complete", "failed")
+    # engine healthy: the name can be created fresh and used
+    eng.delete_db("doomed")                      # clear any half-written state
+    eng.create_db("doomed")
+    eng.add("doomed", [(np.ones(16, dtype=np.float32), {})])
+    assert eng.info("doomed")["num_vectors"] == 1
+    res = eng.query("doomed", np.ones(16, dtype=np.float32), final_top_k=1)
+    assert res["ids"] == [0]
+    eng.delete_db("doomed")
