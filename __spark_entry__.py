@@ -1026,6 +1026,28 @@ def q_join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q17 family): customers with
+    an account balance above their NATION's average. Decorrelated the
+    Spark-idiomatic way — the per-group average is a window over the same
+    scan (ONE shuffle, no self-join, no per-row subquery); the oracle
+    states the window form directly (engines decorrelate to exactly
+    this)."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("_nav", F.avg("c_acctbal").over(w))
+        .where(F.col("c_acctbal") > F.col("_nav"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            _fl2(F.max("c_acctbal")).alias("max_bal"),
+        )
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join: events (5 hot event_type keys —
     maximal skew) against a per-type dimension. Semantics are exactly the
@@ -1206,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_functions": q_sql_functions,
         "multi_join_revenue": q_multi_join_revenue,
         "join_anti_customers": q_join_anti_customers,
+        "above_avg_balance": q_above_avg_balance,
         "pivot_events": q_pivot_events,
         "agg_cube": q_agg_cube,
         "window_lag_deltas": q_window_lag_deltas,
@@ -2165,6 +2188,18 @@ where not exists (
   select 1 from orders o
   where o.o_custkey = c.c_custkey and o.o_orderdate < '1996-01-01'
 )
+""",
+        "above_avg_balance": """
+with w as (
+  select c_nationkey, c_acctbal,
+         avg(c_acctbal) over (partition by c_nationkey) nav
+  from customer
+)
+select c_nationkey,
+       count(*) as n_above,
+       floor(max(c_acctbal) * 100.0 + 0.5) / 100.0 as max_bal
+from w where c_acctbal > nav
+group by c_nationkey
 """,
         "pivot_events": f"""
 select user_id,

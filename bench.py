@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "sql_functions",
     "multi_join_revenue",
     "join_anti_customers",
+    "above_avg_balance",
     "pivot_events",
     "agg_cube",
     "window_lag_deltas",
