@@ -299,3 +299,56 @@ def test_bm25_matches_pure_python_oracle(spark, texts, terms):
     for i in got:
         assert got[i][0] == expect[i][0]
         assert abs(got[i][1] - expect[i][1]) < 1e-9, (i, got[i], expect[i])
+
+
+@given(
+    st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=60, unique=True),
+    st.integers(0, 5),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_shuffle_permutation_property(spark, ids, seed):
+    """For ANY unique id set (negative, sparse, clustered), global_shuffle
+    assigns a bijection onto 0..n-1 that equals rank by md5(seed:id)."""
+    import hashlib
+
+    from mindb_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.pos for r in global_shuffle(df, seed=seed, n_ranges=4).collect()}
+    key = lambda i: (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i)
+    want = {i: rank for rank, i in enumerate(sorted(ids, key=key))}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=24),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_unigram_logprob_bounds_property(spark, texts):
+    """avg_logprob is always <= 0 (probabilities <= 1), == 0 only when the
+    doc's every token is the corpus's only token type; n_tokens matches
+    the whitespace token count."""
+    from mindb_spark.operators.corpus import unigram_logprob
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    import re
+
+    vocab = set()
+    for _, t in rows:
+        vocab |= {w.lower() for w in re.findall(r"\S+", t)}
+    for i, t in rows:
+        toks = re.findall(r"\S+", t)
+        if not toks:
+            assert i not in out  # token-less docs drop out
+            continue
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert r.avg_logprob <= 0.0
+        if len(vocab) == 1:
+            assert r.avg_logprob == 0.0
