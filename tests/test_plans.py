@@ -251,3 +251,11 @@ def test_text_logprob_no_python_and_bounded_shuffles(spark, sf_dir):
     # 1-row aggregate (map-side partials, one row per partition moves)
     assert p.count("Exchange SinglePartition") == 1
     assert "Exchange hashpartitioning" in p
+
+
+def test_above_avg_balance_single_shuffle(spark, sf_dir, qs):
+    # window avg and the following aggregate share the nationkey
+    # partitioning — exactly one exchange, no scalar-subquery rescan
+    p = plan_of(qs["above_avg_balance"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
