@@ -304,7 +304,13 @@ def rerank_exact(
             mat = mat / norms
         return pd.Series(np.einsum("ij,ij->i", mat, qm[idx]))
 
-    cand = candidates.select("query_id", id_col).dropDuplicates(["query_id", id_col])
+    # (query_id, id) pairs are unique BY CONSTRUCTION — stage 1 scores each
+    # code row once per query and window-cuts on that key, and the exact
+    # tail search covers only ids above the watermark (disjoint from the
+    # codes table) — so no dedup shuffle is spent here. The invariant is
+    # load-bearing (a duplicate pair would repeat an id in the final k);
+    # tests/test_database.py pins result-id uniqueness end to end.
+    cand = candidates.select("query_id", id_col)
     joined = vectors.join(F.broadcast(cand), id_col, "inner")
     scored = joined.select(
         "query_id",
