@@ -188,19 +188,40 @@ def quality_deciles(
     pick from the top bins).
 
     Returns one row per bin: (bin, n_docs, min_score, max_score).
-    ``ntile`` over a total order (score desc, id) is deterministic and
-    engine-portable. The global sort for ntile is the documented cost —
-    at corpus scale, bin by fixed score thresholds instead; this operator
-    is the exact-count variant mixture specs ask for.
+    Semantics are EXACTLY SQL ``ntile(n_bins)`` over (score desc, id) —
+    deterministic and engine-portable — but computed WITHOUT the
+    single-task global sort a window ntile plans: global rank comes from
+    the two-phase prefix-sum scaffold (range-partition on (-score, id),
+    per-partition counts to the driver, broadcast base offsets,
+    in-partition rank), and the ntile bin is closed-form from the rank
+    (the first ``n mod k`` bins get one extra row, like SQL).
     """
+    from mindb_spark.operators.sampling import _ranged_base_offsets
     from mindb_spark.operators.textops import quality_columns
 
+    # parquet-metadata count; the scored projection is evaluated once,
+    # pinned inside the scaffold's checkpoint
+    n = df.count()
+    q_, r_ = divmod(n, n_bins)
+    head = r_ * (q_ + 1)
     qual = quality_columns(text_col)
     scored = df.select(
-        F.col(id_col), qual["quality_score"].alias("quality_score")
+        F.col(id_col),
+        qual["quality_score"].alias("quality_score"),
+    ).withColumn("_ns", -F.col("quality_score"))
+    based = _ranged_base_offsets(
+        scored, ["_ns", id_col], weight_col=None, n_ranges=None
     )
-    w = Window.orderBy(F.desc("quality_score"), F.col(id_col))
-    binned = scored.withColumn("bin", F.ntile(n_bins).over(w))
+    w = Window.partitionBy("_pid").orderBy("_ns", F.col(id_col))
+    pos = (F.col("_base") + F.row_number().over(w) - 1).cast("long")
+    binned = based.withColumn("_pos", pos).withColumn(
+        "bin",
+        F.when(
+            F.col("_pos") < F.lit(head), F.expr(f"_pos DIV {q_ + 1}") + 1
+        )
+        .otherwise(F.lit(r_) + F.expr(f"(_pos - {head}) DIV {max(q_, 1)}") + 1)
+        .cast("int"),
+    )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_docs"),
         F.min("quality_score").alias("min_score"),

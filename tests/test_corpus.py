@@ -298,3 +298,30 @@ def test_unigram_logprob_case_folds_and_lazy_variant(spark):
     # single term "the", p=1 -> logprob 0 for both docs
     assert rows[0].avg_logprob == 0.0 and rows[1].avg_logprob == 0.0
     assert rows[0].n_tokens == 3
+
+
+def test_quality_deciles_matches_sql_ntile(spark):
+    """The two-phase binning must reproduce SQL ntile semantics exactly,
+    including the uneven sizes when n is not a multiple of n_bins."""
+    from pyspark.sql import Window
+
+    from mindb_spark.operators.corpus import quality_deciles
+    from mindb_spark.operators.textops import quality_columns
+
+    for n in (1, 7, 23, 100):
+        df = _docs(
+            spark, [(i, ("word " * ((i % 9) + 1)).strip()) for i in range(n)]
+        )
+        got = {r.bin: (r.n_docs, r.min_score, r.max_score)
+               for r in quality_deciles(df, n_bins=10).collect()}
+        qual = quality_columns("text")
+        scored = df.select("doc_id", qual["quality_score"].alias("s"))
+        w = Window.orderBy(F.desc("s"), F.col("doc_id"))
+        want_rows = (
+            scored.withColumn("bin", F.ntile(10).over(w))
+            .groupBy("bin")
+            .agg(F.count("*").alias("c"), F.min("s").alias("lo"), F.max("s").alias("hi"))
+            .collect()
+        )
+        want = {r.bin: (r.c, r.lo, r.hi) for r in want_rows}
+        assert got == want, (n, got, want)

@@ -259,3 +259,10 @@ def test_above_avg_balance_single_shuffle(spark, sf_dir, qs):
     p = plan_of(qs["above_avg_balance"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
+
+
+def test_quality_deciles_no_global_sort(spark, sf_dir, qs):
+    # exact ntile semantics WITHOUT a single-task global window: the
+    # two-phase rank plans no SinglePartition exchange anywhere
+    p = plan_of(qs["quality_deciles"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
