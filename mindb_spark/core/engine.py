@@ -81,6 +81,8 @@ class Engine:
         self._train_ops: dict[str, str] = {}
         self._train_errors: dict[str, str] = {}
         self._train_threads: dict[str, threading.Thread] = {}
+        # per-name run generation; delete_db bumps it to orphan in-flight runs
+        self._train_gen: dict[str, int] = {}
         self._train_lock = threading.Lock()
 
     # ------------------------------------------------------------ registry
@@ -154,6 +156,16 @@ class Engine:
 
     def delete_db(self, name: str) -> None:
         self.close(name)
+        # drop training state with the database: a recreated same-name DB
+        # must not inherit the doomed run's status — a lingering
+        # "in progress" would reject its first train, and a lingering
+        # "failed"/"complete" would misreport an untrained database
+        with self._train_lock:
+            self._train_ops.pop(name, None)
+            self._train_errors.pop(name, None)
+            self._train_threads.pop(name, None)
+            # orphan any in-flight run: its completion must not write back
+            self._train_gen[name] = self._train_gen.get(name, 0) + 1
         path = os.path.join(self.base_path, name)
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -255,14 +267,19 @@ class Engine:
                 )
             self._train_ops[name] = "in progress"
             self._train_errors.pop(name, None)
+            # generation token: a delete_db bumps it, so a doomed run's
+            # completion cannot resurrect state onto a recreated name
+            gen = self._train_gen.get(name, 0) + 1
+            self._train_gen[name] = gen
 
         def _run(reraise: bool = True) -> None:
             try:
                 db.train(**kwargs)
             except BaseException as e:  # noqa: BLE001 — state must reflect ANY failure
                 with self._train_lock:
-                    self._train_ops[name] = "failed"
-                    self._train_errors[name] = f"{type(e).__name__}: {e}"
+                    if self._train_gen.get(name) == gen:
+                        self._train_ops[name] = "failed"
+                        self._train_errors[name] = f"{type(e).__name__}: {e}"
                 # blocking callers get the exception; the background path
                 # records it in the state machine (train_error) instead of
                 # dying as an unhandled thread exception — a delete-while-
@@ -272,7 +289,8 @@ class Engine:
                     raise
             else:
                 with self._train_lock:
-                    self._train_ops[name] = "complete"
+                    if self._train_gen.get(name) == gen:
+                        self._train_ops[name] = "complete"
 
         if block:
             _run()

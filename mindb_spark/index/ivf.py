@@ -304,13 +304,13 @@ def rerank_exact(
             mat = mat / norms
         return pd.Series(np.einsum("ij,ij->i", mat, qm[idx]))
 
-    # (query_id, id) pairs are unique BY CONSTRUCTION — stage 1 scores each
-    # code row once per query and window-cuts on that key, and the exact
-    # tail search covers only ids above the watermark (disjoint from the
-    # codes table) — so no dedup shuffle is spent here. The invariant is
-    # load-bearing (a duplicate pair would repeat an id in the final k);
-    # tests/test_database.py pins result-id uniqueness end to end.
-    cand = candidates.select("query_id", id_col)
+    # Dedup is cheap insurance, not dead weight: stage 1 and the exact
+    # tail search are *normally* disjoint (codes hold ids <= watermark),
+    # but a tail-index append racing the query's two unsynchronized reads
+    # — or a crash between a codes append and its manifest save — can
+    # put an id in both sources (or twice in the codes table); without
+    # the dedup that id would occupy two of the final_top_k slots.
+    cand = candidates.select("query_id", id_col).dropDuplicates(["query_id", id_col])
     joined = vectors.join(F.broadcast(cand), id_col, "inner")
     scored = joined.select(
         "query_id",
@@ -357,6 +357,14 @@ def search(
     norms[norms == 0] = 1.0
     qnorm = qmat / norms
     n_probe = n_probe or get_n_probe(artifacts.num_clusters)
+
+    if max_trained_id is not None:
+        # codes rows above the watermark (a tail append racing this query,
+        # or one whose manifest save never landed) belong to the exact
+        # tail search below — filtering them here keeps the two candidate
+        # sources disjoint, and the pushed-down id predicate prunes the
+        # scan for free
+        codes = codes.where(F.col(id_col) <= max_trained_id)
 
     cand = adc_candidates(
         codes, artifacts, qids, qnorm, n_probe, preliminary_top_k,

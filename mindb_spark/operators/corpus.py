@@ -199,19 +199,20 @@ def quality_deciles(
     from mindb_spark.operators.sampling import _ranged_base_offsets
     from mindb_spark.operators.textops import quality_columns
 
-    # parquet-metadata count; the scored projection is evaluated once,
-    # pinned inside the scaffold's checkpoint
-    n = df.count()
-    q_, r_ = divmod(n, n_bins)
-    head = r_ * (q_ + 1)
     qual = quality_columns(text_col)
     scored = df.select(
         F.col(id_col),
         qual["quality_score"].alias("quality_score"),
     ).withColumn("_ns", -F.col("quality_score"))
-    based = _ranged_base_offsets(
+    # n comes from the scaffold's own totals — the SAME pinned rows the
+    # offsets cover, so the bin boundaries can never disagree with the
+    # ranked rows (an independent df.count() could, over a
+    # nondeterministic upstream)
+    based, n = _ranged_base_offsets(
         scored, ["_ns", id_col], weight_col=None, n_ranges=None
     )
+    q_, r_ = divmod(n, n_bins)
+    head = r_ * (q_ + 1)
     w = Window.partitionBy("_pid").orderBy("_ns", F.col(id_col))
     pos = (F.col("_base") + F.row_number().over(w) - 1).cast("long")
     binned = based.withColumn("_pos", pos).withColumn(

@@ -58,8 +58,9 @@ def _ranged_base_offsets(
     range_cols: list,
     weight_col: str | None,
     n_ranges: int | None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Two-phase prefix-sum scaffold for ARBITRARY orderable keys.
+    Returns (rows with ``_pid``/``_base`` columns, grand total).
 
     Range-partitions on ``range_cols`` (ascending partition ids <=>
     ascending key ranges — Spark's sampler adapts the boundaries to any
@@ -97,7 +98,10 @@ def _ranged_base_offsets(
     base_df = F.broadcast(
         spark.createDataFrame(sorted(base.items()), "_pid int, _base long")
     )
-    return parted.join(base_df, "_pid")
+    # acc is the grand total over the SAME pinned rows the offsets cover —
+    # callers needing n (bin boundaries, ntile math) must use this, not an
+    # independent re-count of a possibly nondeterministic upstream
+    return parted.join(base_df, "_pid"), acc
 
 
 def _bucketed_base_offsets(
@@ -159,7 +163,7 @@ def assign_token_shards(
     final plan see identical data even over nondeterministic upstreams
     (samples), while also tokenizing/deriving the weights exactly once.
     """
-    based = _ranged_base_offsets(
+    based, _total = _ranged_base_offsets(
         df.select(F.col(id_col), F.col(tokens_col)),
         [id_col],
         weight_col=tokens_col,

@@ -86,9 +86,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 10k-row Arrow batches fragment the vectorized ADC/encode
-        # kernels (their per-call setup amortizes over the batch); 64k rows
-        # of codes is ~2 MB — far below executor memory at any width
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # kernels (per-call setup amortizes over the batch). The setting is
+        # SESSION-WIDE, so it must also be safe for kernels that carry
+        # full-precision vectors (rerank, knn, encode): 16k rows x 1536-d
+        # float64 is ~0.2 GB per task — bounded at wide embedding widths,
+        # while still 1.6x the old default for the narrow codes scans
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )

@@ -160,13 +160,19 @@ def test_delete_db_while_training_is_survivable(spark, tmp_path):
     db = eng.get_db("doomed")
     db.add_dataframe(_vec_df(spark, 6000, 16, seed=9))
     eng.train("doomed", block=False)
+    doomed_thread = eng._train_threads.get("doomed")
     eng.delete_db("doomed")                      # rmtree races the build
-    status = eng.wait_for_training("doomed", timeout=300)
-    assert status in ("complete", "failed")
-    # engine healthy: the name can be created fresh and used
-    eng.delete_db("doomed")                      # clear any half-written state
+    # deleting cleared the state machine: a recreated same-name database
+    # is untrained and trainable immediately — the doomed run's eventual
+    # completion must not resurrect its status onto the new name
     eng.create_db("doomed")
+    assert eng.train_status("doomed") == "untrained"
     eng.add("doomed", [(np.ones(16, dtype=np.float32), {})])
+    eng.train("doomed", block=True, force_flat=True)  # not rejected
+    # let the doomed background thread settle, then recheck no resurrection
+    if doomed_thread is not None:
+        doomed_thread.join(300)
+    assert eng.train_status("doomed") == "complete"  # from OUR train
     assert eng.info("doomed")["num_vectors"] == 1
     res = eng.query("doomed", np.ones(16, dtype=np.float32), final_top_k=1)
     assert res["ids"] == [0]

@@ -110,7 +110,11 @@ def test_sparse_probe_scan_exact_over_probed_subset(spark, tmp_path):
     n_probe = 5  # of params.num_clusters cells -> low density, sparse path
     queries_m = mat[rng.integers(0, 3000, size=24)] + 0.05 * rng.normal(size=(24, 16))
     queries = [(int(i), queries_m[i]) for i in range(24)]
-    probed = ivf.rank_centroids(arts, queries_m, n_probe)
+    # rank on NORMALIZED queries — ivf.search normalizes internally, and
+    # L2 centroid ranking is not scale-invariant, so an unnormalized
+    # oracle could disagree about which cells were actually probed
+    qn = queries_m / np.linalg.norm(queries_m, axis=1, keepdims=True)
+    probed = ivf.rank_centroids(arts, qn, n_probe)
 
     out = ivf.search(
         spark.read.parquet(os.path.join(idx, "codes")), vdf, arts, queries,
@@ -121,7 +125,6 @@ def test_sparse_probe_scan_exact_over_probed_subset(spark, tmp_path):
     for r in out:
         got.setdefault(r.query_id, []).append((r.id, r.cosine_similarity))
 
-    qn = queries_m / np.linalg.norm(queries_m, axis=1, keepdims=True)
     for qi in range(24):
         cells = set(int(c) for c in probed[qi])
         member = np.array([i for i in range(3000) if cell_of[i] in cells])

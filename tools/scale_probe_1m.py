@@ -38,18 +38,23 @@ def main() -> None:
     rng = np.random.default_rng(11)
     centers = (rng.normal(size=(C, D)) * 4.0).astype(np.float32)
     bc = spark.sparkContext.broadcast(centers)
-    per = N // N_PARTS
+    # exact-N split: the first N % N_PARTS partitions carry one extra row
+    base, rem = divmod(N, N_PARTS)
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
             for pid in pdf["id"]:
+                per = base + (1 if pid < rem else 0)
+                if per == 0:
+                    continue
+                start = pid * base + min(pid, rem)
                 r = np.random.default_rng(1000 + pid)
                 a = r.integers(0, C, size=per)
                 m = bc.value[a] + r.normal(size=(per, D)).astype(np.float32)
                 m /= np.linalg.norm(m, axis=1, keepdims=True)
-                ids = np.arange(pid * per, (pid + 1) * per, dtype=np.int64)
+                ids = np.arange(start, start + per, dtype=np.int64)
                 yield pd.DataFrame({"id": ids, "vector": list(m.astype(np.float64))})
 
     t0 = time.time()
