@@ -1026,6 +1026,32 @@ def q_join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup (date-function family): orders per month with
+    revenue. Month emitted as a string key — timezone-free and bit-stable
+    across engines (epoch math on NTZ timestamps is session-tz-dependent)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _fl2(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (bucket = floor(v/50)*50):
+    the one-pass distribution profile a pipeline runs before choosing
+    filter thresholds. Pure arithmetic + one hash aggregate."""
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.col("value") / F.lit(50.0)) * F.lit(50.0)).alias("bucket")
+    return ev.groupBy(bucket).agg(
+        F.count("*").alias("n_events"),
+        _fl6(F.avg("value")).alias("avg_value"),
+    )
+
+
 def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery shape (TPC-H Q17 family): customers with
     an account balance above their NATION's average. Decorrelated the
@@ -1229,6 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_revenue": q_multi_join_revenue,
         "join_anti_customers": q_join_anti_customers,
         "above_avg_balance": q_above_avg_balance,
+        "orders_by_month": q_orders_by_month,
+        "value_histogram": q_value_histogram,
         "pivot_events": q_pivot_events,
         "agg_cube": q_agg_cube,
         "window_lag_deltas": q_window_lag_deltas,
@@ -2200,6 +2228,20 @@ select c_nationkey,
        floor(max(c_acctbal) * 100.0 + 0.5) / 100.0 as max_bal
 from w where c_acctbal > nav
 group by c_nationkey
+""",
+        "orders_by_month": """
+select strftime(o_orderdate, '%Y-%m') as month,
+       count(*) as n_orders,
+       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 as revenue
+from orders
+group by 1
+""",
+        "value_histogram": """
+select floor(value / 50.0) * 50.0 as bucket,
+       count(*) as n_events,
+       floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 as avg_value
+from events
+group by 1
 """,
         "pivot_events": f"""
 select user_id,

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "multi_join_revenue",
     "join_anti_customers",
     "above_avg_balance",
+    "orders_by_month",
+    "value_histogram",
     "pivot_events",
     "agg_cube",
     "window_lag_deltas",
