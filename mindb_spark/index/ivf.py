@@ -191,9 +191,27 @@ def adc_candidates(
                 out_id.append(i_s[sel2])
                 out_d.append(d_s[sel2].astype(np.float64))
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        def rebatched(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            """Coalesce incoming Arrow batches up to CHUNK rows.
+
+            The Arrow transfer size is a session-wide memory knob (sized
+            for wide vector rows); the scan kernel's efficiency wants the
+            larger CHUNK over these ~40-byte code rows — buffering here
+            decouples the two (a CHUNK of codes is a few MB)."""
+            buf: list[pd.DataFrame] = []
+            held = 0
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                buf.append(pdf)
+                held += len(pdf)
+                if held >= CHUNK:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, held = [], 0
+            if buf:
+                yield pd.concat(buf, ignore_index=True)
+
+        for pdf in rebatched(batches):
             n_rows = len(pdf)
             ids_all = pdf[id_col].to_numpy(dtype=np.int64)
             cells_all = pdf["cluster_id"].to_numpy(dtype=np.int64)
