@@ -539,12 +539,18 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped vector aggregation: element-wise mean embedding per label
     (chunk->document pooling shape). Fully oracle-checked including the
-    array payload (6-dp quantized on both sides)."""
+    full array payload, emitted as scalar (label, pos, value) rows —
+    posexploded so the driver's pandas canonicalizer (which cannot hash
+    list cells) can sort/hash it; 6-dp quantized on both sides."""
     from mindb_spark.operators.similarity import mean_pool_vectors
 
     out = mean_pool_vectors(_emb(spark, sf_dir), "label", "embedding")
     return out.select(
-        "label", F.transform("mean_vector", lambda x: _fl6(x)).alias("mean_vector")
+        "label", F.posexplode("mean_vector").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + F.lit(1)).cast("long").alias("pos"),
+        _fl6("v").alias("value"),
     )
 
 
@@ -1747,11 +1753,10 @@ with ex as (
   select label, unnest(range(1, len(embedding) + 1)) as pos, embedding
   from embeddings
 ),
-vals as (select label, pos, embedding[pos]::DOUBLE x from ex),
-pd as (select label, pos, avg(x) m from vals group by 1, 2)
-select label,
-       list(floor(m * 1000000 + 0.5) / 1000000 order by pos) as mean_vector
-from pd group by label
+vals as (select label, pos, embedding[pos]::DOUBLE x from ex)
+select label, pos::BIGINT as pos,
+       floor(avg(x) * 1000000 + 0.5) / 1000000 as value
+from vals group by 1, 2
 """,
         "sample_mixture": """
 with r as (
