@@ -42,17 +42,37 @@ def estimate_memory_usage(db) -> int:
     - untrained (flat serving)  -> n * d * 4 + 240090
     - trained (IVF-PQ serving)  -> n * (pq_bytes + 8) + overhead(d)
 
-    Derived from manifest counters only (``num_vectors_fast``) — O(1),
-    no Spark job, so the cache can re-weigh on every mutation the way
-    the reference does.
+    Derived from manifest counters only — O(1), no Spark job, so the
+    cache can re-weigh on every mutation the way the reference does.
+    Reads the counters LOCK-FREE (``manifest_counters_lockfree``: a
+    plain JSON read, safe because the manifest writer swaps atomically
+    via tmp+rename): the cache-wide lock is held while weighing, and a
+    database's shared path lock can be held across a Spark job
+    (``index_tail``'s counter rebase) — nesting cache lock → path lock
+    here would stall get/put on EVERY database behind one database's
+    job.
     """
-    d = db.vector_dimension
-    n = db.num_vectors_fast
+    snap = getattr(db, "manifest_counters_lockfree", None)
+    if callable(snap):
+        m = snap()
+        d = m.get("vector_dimension")
+        n = (
+            m.get("num_vectors_trained_on", 0)
+            - m.get("num_trained_vectors_removed", 0)
+            + m.get("num_new_vectors", 0)
+        )
+        trained = m.get("index_version") is not None
+        params = m.get("index_params") or {}
+    else:  # plain objects (tests' fakes): attribute protocol
+        d = db.vector_dimension
+        n = db.num_vectors_fast
+        trained = db.is_trained
+        params = db.index_params or {}
     if d is None or n <= 0:
         return _EMPTY_DB_BYTES
-    if not db.is_trained:
+    if not trained:
         return n * d * 4 + _FLAT_OVERHEAD_BYTES
-    pq_bytes = (db.index_params or {}).get("compressed_vector_bytes") or d // 4
+    pq_bytes = params.get("compressed_vector_bytes") or d // 4
     overhead = _TRAINED_OVERHEAD.get(d, d * 4092)
     return n * (pq_bytes + 8) + overhead
 

@@ -79,6 +79,14 @@ class _PathState:
         # delete machinery, fastapi.py:219-241, collapsed to a dir pin)
         self.pins: set[str] = set()
         self.deferred_rm: list[str] = []
+        # deletion epoch, bumped by tombstone_and_remove. Every handle
+        # records the epoch it was created under; a handle whose epoch
+        # is stale belongs to a DELETED incarnation of this name, and
+        # its mutations/manifest write-backs are rejected — a doomed
+        # background build's finalizer must not resurrect the deleted
+        # directory as a zombie, nor clobber a recreated same-name
+        # database's fresh manifest with its stale one
+        self.epoch = 0
 
 
 _PATH_STATES: dict[str, _PathState] = {}
@@ -92,6 +100,67 @@ def _state_for(path: str) -> _PathState:
         if st is None:
             st = _PATH_STATES[key] = _PathState()
         return st
+
+
+def tombstone_and_remove(path: str) -> None:
+    """Delete a database path safely w.r.t. in-flight builds.
+
+    Bumps the path's deletion epoch (so any surviving handle — notably
+    a doomed background build — can no longer mutate or write its stale
+    manifest back; see ``_check_live`` / ``_save_manifest``), then
+    removes the file tree immediately EXCEPT snapshot dirs pinned by an
+    in-flight build: those are deferred to the build's own finalizer
+    drain (the reference's deferred-delete machinery, fastapi.py:
+    219-241, already applied to ``remove()``'s version swaps). The
+    manifest goes first, so ``exists``/``list_dbs`` reflect the
+    deletion at once and the name is immediately recreatable — a
+    recreated database starts at a fresh data_version, never colliding
+    with a deferred pinned snapshot.
+    """
+    root = os.path.abspath(path)
+    st = _state_for(path)
+    with st.lock:
+        st.epoch += 1
+        try:
+            os.remove(os.path.join(path, "manifest.json"))
+        except OSError:
+            pass
+        pinned = {os.path.abspath(p) for p in st.pins}
+        for p in sorted(pinned):
+            if p not in st.deferred_rm:
+                st.deferred_rm.append(p)
+    if not pinned:
+        shutil.rmtree(root, ignore_errors=True)
+        return
+    _remove_tree_keeping(root, pinned)
+
+
+def _remove_tree_keeping(p: str, keep: set[str]) -> bool:
+    """rmtree ``p`` but leave every dir in ``keep`` (and its ancestors)
+    in place; returns True when ``p`` was fully removed."""
+    ap = os.path.abspath(p)
+    if ap in keep:
+        return False
+    if os.path.isdir(ap) and not os.path.islink(ap):
+        if any(k.startswith(ap + os.sep) for k in keep):
+            removed_all = True
+            for child in os.listdir(ap):
+                removed_all &= _remove_tree_keeping(
+                    os.path.join(ap, child), keep
+                )
+            if removed_all:
+                try:
+                    os.rmdir(ap)
+                except OSError:
+                    removed_all = False
+            return removed_all
+        shutil.rmtree(ap, ignore_errors=True)
+        return not os.path.exists(ap)
+    try:
+        os.remove(ap)
+    except OSError:
+        pass
+    return not os.path.exists(ap)
 
 
 class VectorDB:
@@ -120,6 +189,10 @@ class VectorDB:
         self._pstate = _state_for(self.path)
         self._lock = self._pstate.lock
         self._index_mutex = self._pstate.index_mutex
+        # deletion-epoch capture: if tombstone_and_remove later bumps the
+        # path epoch, this handle is recognizably stale (see _check_live)
+        with self._lock:
+            self._epoch = self._pstate.epoch
         # driver-memoized dense index artifacts, keyed by index version —
         # the per-handle footprint the LRU registry (core/cache.py) tracks
         # and releases on eviction
@@ -146,12 +219,27 @@ class VectorDB:
                     "max_memory_usage must be a non-negative int, got "
                     f"{max_memory_usage!r}"
                 )
+            # recreating a name whose previous incarnation was deleted
+            # while a build was in flight: that build's pinned snapshot
+            # dir still exists (its rmtree is deferred to the build's
+            # finalizer) — start at a fresh data_version so this
+            # database's data dir never collides with the doomed one's
+            data_version = 0
+            vecs_root = os.path.join(self.path, "vectors")
+            if os.path.isdir(vecs_root):
+                stale = [
+                    int(d[1:])
+                    for d in os.listdir(vecs_root)
+                    if d.startswith("v") and d[1:].isdigit()
+                ]
+                if stale:
+                    data_version = max(stale) + 1
             self._manifest = {
                 "name": name,
                 "vector_dimension": vector_dimension,
                 "max_memory_usage": max_memory_usage,
                 "max_id": -1,
-                "data_version": 0,
+                "data_version": data_version,
                 "index_version": None,
                 "max_trained_id": -1,
                 "num_vectors_trained_on": 0,
@@ -207,11 +295,52 @@ class VectorDB:
             self._load_manifest()
 
     def _save_manifest(self) -> None:
+        # a deleted database must stay deleted: a background train/tail
+        # finalizer racing delete_db would otherwise os.makedirs the
+        # removed path and write its stale in-memory manifest back —
+        # resurrecting a zombie that list_dbs reports but whose data and
+        # index files are gone, or clobbering a recreated same-name
+        # database's fresh manifest
+        if self._pstate.epoch != self._epoch:
+            return
         os.makedirs(self.path, exist_ok=True)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic manifest swap
+
+    def _check_live(self) -> None:
+        """Mutation-entry guard: reject work against a deleted database.
+
+        A handle that outlives ``Engine.delete_db`` (user kept a
+        reference, or a background thread holds one) must not recreate
+        the path by appending parquet files to it — nor write into a
+        recreated same-name database it no longer owns.
+        """
+        if self._pstate.epoch != self._epoch:
+            raise V.ValidationError(
+                f"database {self.name!r} has been deleted"
+            )
+
+    def manifest_counters_lockfree(self) -> dict:
+        """Manifest snapshot WITHOUT taking the shared path lock.
+
+        ``_save_manifest`` writes tmp + ``os.replace``, so a plain read
+        never sees a torn file — at worst it is one mutation stale,
+        which is fine for advisory consumers (the LRU registry's memory
+        estimate). Crucial property: the LRU cache weighs databases
+        while holding the cache-wide lock, and the path lock can be
+        held across a Spark job (``index_tail``'s counter rebase), so
+        nesting cache lock → path lock would stall every cache
+        operation on every database behind one database's job.
+        """
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            # deleted mid-read or not yet written: fall back to the
+            # in-memory copy (a plain dict read, no lock needed)
+            return dict(self._manifest)
 
     # ------------------------------------------------------------- state
     @property
@@ -355,6 +484,7 @@ class VectorDB:
         index (see :meth:`index_tail`) instead of waiting in the
         exactly-searched tail.
         """
+        self._check_live()
         vectors, metadata = V.validate_and_normalize_add(data, self.vector_dimension)
         n = vectors.shape[0]
         # the lock makes id reservation + append + manifest update atomic
@@ -401,6 +531,7 @@ class VectorDB:
         """
         from mindb_spark.functions.vector import l2_normalize
 
+        self._check_live()
         dim = self.vector_dimension
         # metadata is stored as a JSON object string (query() decodes it):
         # map/struct columns encode directly; scalar columns wrap as
@@ -501,6 +632,7 @@ class VectorDB:
         training watermark bumps ``num_trained_vectors_removed``; removing a
         newer id decrements ``num_new_vectors``.
         """
+        self._check_live()
         ids = V.validate_remove_ids(ids)
         id_list = [int(x) for x in ids]
         with self._lock:
@@ -545,6 +677,7 @@ class VectorDB:
         candidate fetches) prune files and row groups instead of reading
         everything.
         """
+        self._check_live()
         with self._lock:
             self._refresh_manifest()
             current = self.vectors()
@@ -599,6 +732,7 @@ class VectorDB:
           the build are accounted exactly — the reference's
           add-while-training invariant (n=32000 → coverage 30000/32000).
         """
+        self._check_live()
         dim = self.vector_dimension
         if pca_dimension is not None or opq_dimension is not None or compressed_vector_bytes is not None:
             V.validate_train_params(dim, pca_dimension, opq_dimension, compressed_vector_bytes)
@@ -666,6 +800,11 @@ class VectorDB:
                 use_two_level=two_level, seed=seed, n_buckets=n_buckets,
             )
             with self._lock:
+                if self._pstate.epoch != self._epoch:
+                    # database deleted mid-build: discard our output —
+                    # never promote it or write the stale manifest back
+                    shutil.rmtree(index_dir, ignore_errors=True)
+                    return
                 self._refresh_manifest()
                 self._manifest["index_version"] = next_version
                 self._manifest["n_buckets"] = n_buckets
@@ -730,6 +869,7 @@ class VectorDB:
         Returns the number of rows indexed (0 when nothing postdates the
         watermark or the index is busy).
         """
+        self._check_live()
         if not self.is_trained:
             raise V.ValidationError("index_tail requires a trained index")
         from mindb_spark.index.build import IndexArtifacts, encode_all
@@ -769,6 +909,8 @@ class VectorDB:
                 .persist()  # ONE scan feeds both the count and the encode
             )
             n_tail = tail.count()
+            if n_tail and self._pstate.epoch != self._epoch:
+                return 0  # deleted mid-run: don't append orphan codes
             if n_tail:
                 artifacts = IndexArtifacts.load(
                     os.path.join(idx_dir, "artifacts.npz")
@@ -1030,8 +1172,10 @@ class VectorDB:
 
     # ------------------------------------------------------------- admin
     def delete(self) -> None:
-        """Drop the database entirely (ref mindb.py:549-551)."""
-        shutil.rmtree(self.path, ignore_errors=True)
+        """Drop the database entirely (ref mindb.py:549-551); safe
+        against an in-flight background build (see
+        :func:`tombstone_and_remove`)."""
+        tombstone_and_remove(self.path)
 
     @classmethod
     def exists(cls, name: str, base_path: str = DEFAULT_BASE) -> bool:

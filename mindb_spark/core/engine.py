@@ -45,7 +45,6 @@ exactly-searched tail (``id > max_trained_id``) — no replay machinery.
 from __future__ import annotations
 
 import os
-import shutil
 import threading
 from typing import Any
 
@@ -53,7 +52,7 @@ from pyspark.sql import SparkSession
 
 from mindb_spark.core import validation as V
 from mindb_spark.core.cache import LRUCache
-from mindb_spark.core.database import DEFAULT_BASE, VectorDB
+from mindb_spark.core.database import DEFAULT_BASE, VectorDB, tombstone_and_remove
 from mindb_spark.core.heuristics import needs_initial_training, needs_retraining
 
 
@@ -166,9 +165,16 @@ class Engine:
             self._train_threads.pop(name, None)
             # orphan any in-flight run: its completion must not write back
             self._train_gen[name] = self._train_gen.get(name, 0) + 1
+        # tombstone + deferred removal: an in-flight background build
+        # holds snapshot pins / the index mutex on this path — rmtree
+        # under it would race the build's reads, and the build's
+        # finalizer would resurrect the directory by saving its stale
+        # manifest. The tombstone blocks the manifest write-back and
+        # new mutations; the file tree goes now if idle, else when the
+        # build's finalizer drains the deferred list.
         path = os.path.join(self.base_path, name)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            tombstone_and_remove(path)
 
     # ---------------------------------------------------------- operations
     def info(self, name: str) -> dict[str, Any]:

@@ -65,8 +65,13 @@ def _single_threaded_blas():
                 # single-threaded past this block
                 if hasattr(h, set_fn) and hasattr(h, get_fn):
                     prev = getattr(h, get_fn)()
-                    getattr(h, set_fn)(1)
-                    handles.append((h, set_fn, prev))
+                    # pin only when the getter reports a restorable value
+                    # (> 0): pinning on a bogus reading would leave the
+                    # process single-threaded past this block, since the
+                    # finally below can only restore positive counts
+                    if prev > 0:
+                        getattr(h, set_fn)(1)
+                        handles.append((h, set_fn, prev))
                     break
     except OSError:
         pass

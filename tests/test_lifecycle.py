@@ -177,3 +177,66 @@ def test_delete_db_while_training_is_survivable(spark, tmp_path):
     res = eng.query("doomed", np.ones(16, dtype=np.float32), final_top_k=1)
     assert res["ids"] == [0]
     eng.delete_db("doomed")
+
+
+def test_delete_db_leaves_no_zombie_after_background_train(spark, tmp_path):
+    """ADVICE r3: a doomed background build's finalizer must not recreate
+    the deleted directory by writing its stale manifest back (a zombie
+    list_dbs reports but whose data/index files are gone)."""
+    eng = Engine(spark, base_path=str(tmp_path))
+    eng.create_db("ghost")
+    db = eng.get_db("ghost")
+    db.add_dataframe(_vec_df(spark, 6000, 16, seed=3))
+    eng.train("ghost", block=False)
+    t = eng._train_threads.get("ghost")
+    eng.delete_db("ghost")
+    assert "ghost" not in eng.list_dbs()  # immediate
+    if t is not None:
+        t.join(300)
+    # the doomed run settled without resurrecting the name: no manifest,
+    # so no zombie in the registry
+    assert "ghost" not in eng.list_dbs()
+    assert not VectorDB.exists("ghost", str(tmp_path))
+
+
+def test_stale_handle_mutations_rejected_after_delete(spark, tmp_path):
+    """A handle that outlives delete_db cannot write the path back."""
+    eng = Engine(spark, base_path=str(tmp_path))
+    eng.create_db("held")
+    db = eng.get_db("held")
+    db.add([(np.ones(8, dtype=np.float32), {})])
+    eng.delete_db("held")
+    for fn in (
+        lambda: db.add([(np.ones(8, dtype=np.float32), {})]),
+        lambda: db.add_dataframe(_vec_df(spark, 5, 8)),
+        lambda: db.remove([0]),
+        lambda: db.compact(),
+        lambda: db.train(force_flat=True),
+    ):
+        with pytest.raises(ValidationError, match="deleted"):
+            fn()
+    # ...and its in-memory manifest cannot be saved back either
+    db._save_manifest()
+    assert not VectorDB.exists("held", str(tmp_path))
+    # a recreated same-name database is a fresh epoch and fully usable
+    db2 = VectorDB(spark, "held", base_path=str(tmp_path))
+    db2.add([(np.ones(8, dtype=np.float32), {})])
+    assert db2.num_vectors_fast == 1
+    assert db2.max_id == 0  # ids restart: nothing inherited
+    db2.delete()
+
+
+def test_manifest_counters_lockfree_matches_locked(spark, tmp_path):
+    """The cache's lock-free estimate path reads the same counters the
+    locked num_vectors_fast derives (atomic tmp+rename manifest write)."""
+    db = VectorDB(spark, "lockfree", base_path=str(tmp_path))
+    db.add_dataframe(_vec_df(spark, 120, 8, seed=1))
+    db.remove([0, 1, 2])
+    m = db.manifest_counters_lockfree()
+    derived = (
+        m["num_vectors_trained_on"]
+        - m["num_trained_vectors_removed"]
+        + m["num_new_vectors"]
+    )
+    assert derived == db.num_vectors_fast == 117
+    db.delete()
