@@ -208,35 +208,198 @@ def _sf_fallback_probe(spark: SparkSession, sf_dir: str) -> int:
     return max(1, int(0.8 * artifacts.num_clusters))
 
 
+def _assert_exact_cosine_scores(
+    spark: SparkSession, sf_dir: str, rows, id_cols, score_col, tau=None, tol=1e-5
+):
+    """Entry-embedded proof for rows-only entries: every emitted score is
+    the TRUE cosine of the referenced vectors (recomputed driver-side
+    from the raw table), and >= tau when given. Cheap — only the emitted
+    pairs' vectors are fetched (broadcast-style id filter), never the
+    corpus cross product."""
+    import numpy as np
+
+    if not rows:
+        return
+    ids = {int(getattr(r, c)) for r in rows for c in id_cols}
+    fetched = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id").isin(sorted(ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in fetched}
+    for r in rows:
+        a = vecs[int(getattr(r, id_cols[0]))]
+        b = vecs[int(getattr(r, id_cols[1]))]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        got = float(getattr(r, score_col))
+        assert abs(true_cos - got) < tol, (
+            f"score {got} != true cosine {true_cos} for {r}"
+        )
+        if tau is not None:
+            assert got >= tau - tol, f"pair below threshold {tau}: {r}"
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6-O8: two-stage IVF-PQ query (probe + exact rerank).
 
-    Not SQL-expressible (trained index) — driver records rows-only.
+    Not SQL-expressible (trained index) — driver records rows-only, so
+    the entry embeds its own proof: emitted scores are re-verified
+    driver-side as TRUE cosines of the referenced vectors (the stage-2
+    exact-rerank contract), per-query result count == k, no duplicate
+    ids. Recall evidence lives in ann_clustered_query (entry-asserted
+    >= 0.97) and bench's recall probes.
     """
-    return _ann_search(
+    out = _ann_search(
         spark, sf_dir, n_queries=4, n_probe=_sf_fallback_probe(spark, sf_dir)
-    )
+    ).localCheckpoint()
+    rows = out.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 10 for v in by_q.values()), "dup ids or short result"
+    _assert_exact_cosine_scores(spark, sf_dir, rows, ("query_id", "vec_id"), "score")
+    return out
 
 
 def q_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O13-O18: full index build (subsampling strategy); returns the codes
-    table. Rows-only check (one code row per vector)."""
-    _, codes_path, _ = _ann_index(spark, sf_dir, fresh=True)
-    return spark.read.parquet(codes_path).select("vec_id", "cluster_id")
+    table. Rows-only check, so the entry embeds its own invariants: one
+    code row per corpus vector (count equality, distinct ids) and every
+    cluster assignment within [0, num_clusters)."""
+    artifacts, codes_path, _ = _ann_index(spark, sf_dir, fresh=True)
+    codes = spark.read.parquet(codes_path).select("vec_id", "cluster_id")
+    stats = codes.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.min("cluster_id").alias("cmin"),
+        F.max("cluster_id").alias("cmax"),
+    ).first()
+    n_corpus = _emb(spark, sf_dir).count()
+    assert stats["n"] == stats["n_ids"] == n_corpus, (
+        f"codes table {stats} != corpus {n_corpus}"
+    )
+    assert 0 <= stats["cmin"] and stats["cmax"] < artifacts.num_clusters
+    return codes
 
 
 def q_ann_build_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O16: two-level clustering build variant. Rows-only check."""
-    _, codes_path, _ = _ann_index(spark, sf_dir, two_level=True, fresh=True)
-    return spark.read.parquet(codes_path).select("vec_id", "cluster_id")
+    """O16: two-level clustering build variant. Rows-only check with the
+    same embedded invariants as q_ann_build."""
+    artifacts, codes_path, _ = _ann_index(spark, sf_dir, two_level=True, fresh=True)
+    codes = spark.read.parquet(codes_path).select("vec_id", "cluster_id")
+    stats = codes.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.min("cluster_id").alias("cmin"),
+        F.max("cluster_id").alias("cmax"),
+    ).first()
+    n_corpus = _emb(spark, sf_dir).count()
+    assert stats["n"] == stats["n_ids"] == n_corpus, (
+        f"codes table {stats} != corpus {n_corpus}"
+    )
+    assert 0 <= stats["cmin"] and stats["cmax"] < artifacts.num_clusters
+    return codes
 
 
 def q_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state two-stage ANN batch search against the cached index
-    (structureless-sf probe fallback; the heuristic plan is benched on the
-    clustered corpus — see bench.py's clustered_heuristic_probe)."""
-    return _ann_search(
+    (structureless-sf probe fallback; the heuristic selective plan is the
+    first-class ann_clustered_query entry). Rows-only — embedded proof:
+    emitted scores re-verified as true cosines, k results per query."""
+    out = _ann_search(
         spark, sf_dir, n_queries=16, n_probe=_sf_fallback_probe(spark, sf_dir)
+    ).localCheckpoint()
+    rows = out.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 10 for v in by_q.values()), "dup ids or short result"
+    _assert_exact_cosine_scores(spark, sf_dir, rows, ("query_id", "vec_id"), "score")
+    return out
+
+
+_CLUSTERED_CACHE: dict = {}
+
+
+def _clustered_eval_corpus(spark: SparkSession):
+    """Deterministic 30k x 64 clustered eval corpus + trained index at
+    reference heuristics (FIXTURES.md recipe; the reference's own eval
+    scale, test_full_eval.py:75-81). The sf embeddings are structureless
+    by construction, so heuristic-probe recall must be demonstrated on a
+    corpus WITH cluster signal — this is the plan-of-record substrate.
+    Cached in-process: query entries measure steady-state search."""
+    import numpy as np
+
+    from mindb_spark.core.heuristics import resolve_index_params
+    from mindb_spark.index.build import build_index
+
+    if "fixture" in _CLUSTERED_CACHE:
+        return _CLUSTERED_CACHE["fixture"]
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(32, 64)) * 4.0
+    assign = rng.integers(0, 32, size=30_000)
+    mat = (centers[assign] + rng.normal(size=(30_000, 64))).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    vdf = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)],
+        "id long, vector array<double>",
+    ).localCheckpoint()
+    params = resolve_index_params(30_000, 64)
+    idx_dir = "/tmp/mindb_ann_cache/clustered30k"
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    artifacts, _ = build_index(vdf, params, idx_dir, n_buckets=16)
+    codes = spark.read.parquet(os.path.join(idx_dir, "codes"))
+    _CLUSTERED_CACHE["fixture"] = (vdf, mat, codes, artifacts, params)
+    return _CLUSTERED_CACHE["fixture"]
+
+
+def q_ann_clustered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP ANN row: two-stage IVF-PQ search at the HEURISTIC probe
+    budget (``get_n_probe`` — the selective plan that runs at 100x
+    scale) on the clustered 30k x 64 eval corpus, mirroring the
+    reference's recall bar (test_full_eval.py:75-81: recall@50 > 0.97 on
+    a ~30k corpus). The entry ASSERTS recall@50 >= 0.97 against exact
+    numpy brute force before returning, so this row exists in the
+    driver's artifacts only when the recall contract holds; the measured
+    recall is emitted as a column. Independent of sf_dir by design (the
+    sf embeddings carry no cluster signal — FIXTURES.md)."""
+    import numpy as np
+
+    from mindb_spark.index import ivf
+
+    vdf, mat, codes, artifacts, params = _clustered_eval_corpus(spark)
+    rng = np.random.default_rng(17)
+    q_idx = rng.integers(0, mat.shape[0], size=64)
+    qmat = mat[q_idx] + 0.05 * rng.normal(size=(64, 64))
+    queries = [(int(i), qmat[i]) for i in range(64)]
+    out = ivf.search(
+        codes, vdf, artifacts, queries,
+        preliminary_top_k=500, final_top_k=50,
+        n_probe=params.n_probe,  # the reference heuristic — NOT a fallback
+        max_trained_id=None, n_buckets=16,
+    ).localCheckpoint()
+    rows = out.collect()
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    gt = np.argsort(-(mat @ qn.T), axis=0)[:50].T
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    recall = float(
+        np.mean([len(by_q.get(i, set()) & set(gt[i].tolist())) / 50 for i in range(64)])
+    )
+    assert recall >= 0.97, (
+        f"heuristic-probe recall@50 {recall:.4f} < 0.97 "
+        f"(n_probe={params.n_probe}/{params.num_clusters})"
+    )
+    return out.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        _fl6("cosine_similarity").alias("score"),
+        F.lit(round(recall, 4)).alias("recall_at_50"),
+        F.lit(params.n_probe).alias("n_probe"),
     )
 
 
@@ -532,8 +695,17 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_pairs_lsh(
         emb, 0.45, dim=d, id_col="vec_id", vector_col="embedding",
         n_bits=6, n_bands=16, seed=42,
+    ).select(
+        "id_a", "id_b", _fl6("cosine_similarity").alias("score")
+    ).localCheckpoint()
+    # embedded subset-of-exact proof (rows-only entry): every emitted pair
+    # is a TRUE >= tau pair with its exact cosine as the score — i.e.
+    # lsh_pairs ⊆ exact_pairs with equal scores, checked without running
+    # the quadratic exact join (per-pair recompute over the emitted set)
+    _assert_exact_cosine_scores(
+        spark, sf_dir, out.collect(), ("id_a", "id_b"), "score", tau=0.45
     )
-    return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
+    return out
 
 
 def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,8 +738,14 @@ def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), 0.45, id_col="vec_id", vector_col="embedding",
         n_assign=4, seed=42,  # 4-probe: measured pair recall 0.85 on the
         # structureless sf0.1 embeddings (vs 0.51 at 2-probe), same cost
+    ).select(
+        "id_a", "id_b", _fl6("cosine_similarity").alias("score")
+    ).localCheckpoint()
+    # embedded subset-of-exact proof — see q_similarity_join_lsh
+    _assert_exact_cosine_scores(
+        spark, sf_dir, out.collect(), ("id_a", "id_b"), "score", tau=0.45
     )
-    return out.select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
+    return out
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_build": q_ann_build,
         "ann_build_twolevel": q_ann_build_twolevel,
         "ann_query": q_ann_query,
+        "ann_clustered_query": q_ann_clustered_query,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "dedup_jaccard": q_dedup_jaccard,

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "similarity_join",
     "ann_build",
     "ann_query",
+    "ann_clustered_query",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",
