@@ -464,6 +464,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup grouping via large-star/small-star contraction
+    (O(log^2 n) rounds guaranteed, diameter-independent — the scale path
+    for adversarial chained-duplicate graphs). Same edges, same DuckDB
+    recursive-CTE oracle, same output as dedup_components: one oracle,
+    two physical algorithms."""
+    from mindb_spark.operators.dedup import near_dup_components
+
+    out = near_dup_components(
+        _docs(spark, sf_dir), NEAR_DUP_TAU, k=JACCARD_K,
+        max_shingle_freq=JACCARD_MAX_DF, algorithm="star",
+    )
+    return out.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (md5-derived bits — engine-portable, so the
     DuckDB oracle recomputes the exact signatures; the banding is a
@@ -1390,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1657,7 +1673,7 @@ _LANG_SQL = {
 }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     lang_counts = ",\n         ".join(
         f"len(list_filter(toks, s -> list_contains({arr}, lower(s)))) c_{lang}"
         for lang, arr in sorted(_LANG_SQL.items())
@@ -2449,3 +2465,11 @@ from e
 window w as (partition by user_id order by us, event_id)
 """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # star-contraction components must produce the IDENTICAL map as
+    # min-label — one oracle, two physical algorithms
+    sql["dedup_components_star"] = sql["dedup_components"]
+    return sql

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_components",
+    "dedup_components_star",
     "text_quality",
     "text_langid",
     "text_repetition",

@@ -149,11 +149,82 @@ def ngram_jaccard_pairs(
         cached.unpersist()
 
 
+def _cc_star(und: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log^2 n) rounds GUARANTEED regardless of graph diameter — the
+    scale path for adversarial long-chain duplicate graphs (crawl
+    mirrors with drifting boilerplate form paths, where min-label
+    propagation needs diameter rounds).
+
+    Each round: large-star connects every strictly-larger neighbor of u
+    to min(closed neighborhood of u); small-star connects u and its
+    smaller neighbors to that min. Both are one codegen'd groupBy-min +
+    one join over the current edge set; ``localCheckpoint`` truncates
+    lineage per round. Terminates when the edge set is a fixed point
+    (star graphs: every node adjacent to its component min).
+    """
+    edges = und.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # ---- large-star: for center u, attach neighbors v > u to
+        # m = min({u} ∪ N(u))
+        mins = (
+            edges.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            edges.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        sym = (
+            large.unionAll(
+                large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: over parent pointers (dst < src), attach u and
+        # its smaller neighbors to m = min of those neighbors
+        directed = sym.where(F.col("dst") < F.col("src"))
+        mins2 = directed.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            directed.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionAll(mins2.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new_edges = (
+            small.unionAll(
+                small.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = new_edges.count()
+        if new_count == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+            # fixed point: every node is adjacent to its component min
+            return (
+                edges.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select(
+                    F.col("src").alias("id"),
+                    F.least("src", "mn").alias("component"),
+                )
+            )
+        edges, n_edges = new_edges, new_count
+    raise RuntimeError(
+        f"star-contraction did not converge within max_iter={max_iter} rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components of an undirected pair graph: (id, component)
     with ``component`` = the minimum id reachable from ``id``.
@@ -172,13 +243,25 @@ def connected_components(
     O(log n)-round star algorithms' per-round constant at this workload.
     ``max_iter`` is a safety valve: exhausting it without convergence
     RAISES (silently-split components would corrupt survivor selection
-    downstream) — raise it for pathological long-chain graphs.
+    downstream) — raise it, or switch to ``algorithm="star"``, for
+    pathological long-chain graphs.
+
+    ``algorithm``: ``"label"`` (default) is min-label propagation —
+    fastest for the shallow dense clusters near-dup dedup produces;
+    ``"star"`` is large-star/small-star alternation (:func:`_cc_star`)
+    with an O(log^2 n) round bound independent of diameter — the
+    guaranteed-convergence path for adversarial chained-duplicate
+    graphs. Identical output contract.
     """
     und = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    if algorithm == "star":
+        return _cc_star(und, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label | star)")
     labels = (
         und.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
@@ -224,6 +307,7 @@ def near_dup_components(
     text_col: str = "text",
     k: int = 3,
     max_shingle_freq: int | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) for every doc in at least one near-dup pair:
     n-gram Jaccard edges -> connected components. Survivor selection is
@@ -232,7 +316,7 @@ def near_dup_components(
         df, threshold, id_col=id_col, text_col=text_col, k=k,
         max_shingle_freq=max_shingle_freq,
     )
-    return connected_components(pairs)
+    return connected_components(pairs, algorithm=algorithm)
 
 
 def survivors_from_components(

@@ -176,6 +176,55 @@ def test_connected_components_empty(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).count() == 0
+    assert connected_components(edges, algorithm="star").count() == 0
+
+
+def test_star_contraction_matches_label_on_random_graphs(spark):
+    """Both algorithms produce the identical (id, component) map on
+    seeded random graphs (mixed components, isolated pairs, stars)."""
+    import numpy as np
+
+    from mindb_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        n, m = 200, 300
+        pairs = rng.integers(0, n, size=(m, 2))
+        pairs = [(int(a), int(b)) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        lbl = {r.id: r.component for r in connected_components(edges).collect()}
+        star = {
+            r.id: r.component
+            for r in connected_components(edges, algorithm="star").collect()
+        }
+        assert lbl == star
+
+
+def test_star_contraction_long_chain_10k_under_15_rounds(spark):
+    """VERDICT r3 #5: a 10k-node path graph (the adversarial
+    chained-duplicate shape — crawl mirrors with drifting boilerplate)
+    converges within 15 star rounds, where min-label would need ~10k
+    diameter iterations. Node ids are permuted so the component min sits
+    mid-chain, not at an end."""
+    import numpy as np
+
+    from mindb_spark.operators.dedup import connected_components
+
+    n = 10_000
+    rng = np.random.default_rng(9)
+    perm = rng.permutation(n)
+    edges = spark.createDataFrame(
+        [(int(perm[i]), int(perm[i + 1])) for i in range(n - 1)],
+        "id_a long, id_b long",
+    ).repartition(8)
+    # max_iter=15 doubles as the round-count assertion: _cc_star raises
+    # if the fixed point isn't reached within it
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, algorithm="star", max_iter=15).collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {0}
 
 
 def test_survivors_from_components(spark):
