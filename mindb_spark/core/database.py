@@ -421,6 +421,17 @@ class VectorDB:
                 + m["num_new_vectors"]
             )
 
+    @property
+    def num_data_files(self) -> int:
+        """Parquet file count of the live snapshot — an O(listdir) health
+        metric for the small-file problem (streaming ingest appends one
+        file per micro-batch per partition); feeds the auto-compaction
+        threshold in the streaming sink."""
+        d = self._data_dir
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
     def _has_data(self) -> bool:
         d = self._data_dir
         return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))

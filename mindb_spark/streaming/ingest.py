@@ -20,8 +20,10 @@ Structured Streaming primitives:
   correctness oracle checks it.
 
 Scale notes: ``foreachBatch`` appends are per-micro-batch parquet writes —
-at cluster scale the sink table should be compacted periodically
-(small-file problem). ``foreachBatch`` itself is an AT-LEAST-ONCE sink: a
+the sink bounds the resulting small-file accumulation itself via the
+``auto_compact_files`` threshold (an O(listdir) check per batch that
+triggers ``VectorDB.compact()``'s versioned-swap rewrite when crossed).
+``foreachBatch`` itself is an AT-LEAST-ONCE sink: a
 micro-batch that fails after the parquet append but before the engine
 commits its offset is replayed with the SAME ``batch_id``, so the sink
 function must be idempotent. The ingest sink achieves that the standard
@@ -46,6 +48,7 @@ def make_ingest_batch_fn(
     metadata_col: str | None = None,
     auto_train: bool = False,
     index_tail_per_batch: bool = False,
+    auto_compact_files: int | None = 256,
 ):
     """The ``foreachBatch`` sink function for vector ingest, idempotent.
 
@@ -62,6 +65,14 @@ def make_ingest_batch_fn(
     the streaming twin of the reference's ``add_to_new_faiss_index``
     dual-write). Runs after the auto-train check, so a batch that trips
     retraining is folded by the retrain itself, not encoded twice.
+
+    ``auto_compact_files`` bounds the small-file problem: every
+    micro-batch appends one parquet file per input partition, so a
+    long-running stream accumulates thousands of files that tax every
+    scan's planning and IO. When the live snapshot's file count exceeds
+    the threshold, the sink runs ``db.compact()`` (the versioned-swap
+    rewrite — snapshot pins honored, concurrent queries unaffected).
+    An O(listdir) check per batch; None disables.
     """
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -74,6 +85,8 @@ def make_ingest_batch_fn(
             db.maybe_auto_train()
         if index_tail_per_batch and db.is_trained:
             db.index_tail()
+        if auto_compact_files is not None and db.num_data_files > auto_compact_files:
+            db.compact()
 
     return _ingest_batch
 
@@ -87,6 +100,7 @@ def stream_ingest_vectors(
     auto_train: bool = False,
     index_tail_per_batch: bool = False,
     available_now: bool = True,
+    auto_compact_files: int | None = 256,
 ):
     """Continuously ingest a streaming DataFrame of vectors into ``db``.
 
@@ -99,7 +113,7 @@ def stream_ingest_vectors(
     """
     fn = make_ingest_batch_fn(
         db, checkpoint_dir, vector_col, metadata_col, auto_train,
-        index_tail_per_batch,
+        index_tail_per_batch, auto_compact_files,
     )
     writer = (
         stream_df.writeStream.foreachBatch(fn)

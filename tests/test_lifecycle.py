@@ -240,3 +240,23 @@ def test_manifest_counters_lockfree_matches_locked(spark, tmp_path):
     )
     assert derived == db.num_vectors_fast == 117
     db.delete()
+
+
+def test_streaming_ingest_auto_compaction_bounds_file_count(spark, tmp_path):
+    """VERDICT r3 #7: a long-running stream must not accumulate one file
+    per micro-batch forever — the sink's auto_compact_files threshold
+    triggers compact() and the live snapshot's file count stays bounded
+    across N micro-batches."""
+    from mindb_spark.streaming.ingest import make_ingest_batch_fn
+
+    db = VectorDB(spark, "autocompact", base_path=str(tmp_path))
+    fn = make_ingest_batch_fn(
+        db, checkpoint_dir="/tmp/ckpt-autocompact", auto_compact_files=6
+    )
+    for b in range(12):  # 3 partitions x 12 batches = 36 files unbounded
+        fn(_vec_df(spark, 30, 8, seed=100 + b, partitions=3), b)
+    assert db.num_vectors == 360
+    assert db.num_data_files <= 6 + 3  # threshold + one batch of appends
+    ids = sorted(r.id for r in db.vectors().select("id").collect())
+    assert ids == list(range(360))  # compaction lost/duplicated nothing
+    db.delete()
