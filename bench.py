@@ -234,6 +234,72 @@ def main() -> None:
     except Exception as e:
         print(f"# ann amortized probe failed: {e}", file=sys.stderr)
 
+    # duplicate-dense dedup scaling probe (PERF_NOTES linearity probe,
+    # promoted per VERDICT r3 #6): replicate the documents with per-copy
+    # salt (near- but not exact-dups), then measure the SCALABLE dedup
+    # path — banded MinHash-LSH pairs + connected components — at 2x and
+    # 8x. The regression signal is the time ratio: the banded join's cost
+    # must track rows plus surviving pairs, not row-pairs.
+    dedup_scale = None
+    try:
+        from functools import reduce
+
+        import pyspark.sql.functions as F
+
+        from mindb_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        tau, k, nh, nb = E.NEAR_DUP_TAU, E.JACCARD_K, E.MINHASH_HASHES, E.MINHASH_BANDS
+
+        def replicated(r):
+            copies = [
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if i == 0
+                        else F.concat(F.col("text"), F.lit(f" copysalt{i}"))
+                    ).alias("text"),
+                )
+                for i in range(r)
+            ]
+            return reduce(lambda a, b: a.unionAll(b), copies).localCheckpoint()
+
+        dedup_scale = {}
+        for r in (2, 8):
+            rep = replicated(r)
+            n_docs = rep.count()
+            t0 = time.time()
+            pairs = minhash_lsh_pairs(
+                rep, tau, k=k, num_hashes=nh, n_bands=nb
+            ).localCheckpoint()
+            n_pairs = pairs.count()
+            mh_s = time.time() - t0
+            dedup_scale[f"x{r}"] = {
+                "docs": n_docs,
+                "pairs": n_pairs,
+                "minhash_sec": round(mh_s, 3),
+                "minhash_docs_per_sec": round(n_docs / mh_s),
+            }
+            if r == 8:
+                t0 = time.time()
+                n_nodes = connected_components(pairs).count()
+                cc_s = time.time() - t0
+                dedup_scale["x8"]["components_sec"] = round(cc_s, 3)
+                dedup_scale["x8"]["components_nodes"] = n_nodes
+                dedup_scale["x8"]["components_nodes_per_sec"] = round(n_nodes / cc_s)
+        dedup_scale["minhash_time_ratio_x8_over_x2"] = round(
+            dedup_scale["x8"]["minhash_sec"] / dedup_scale["x2"]["minhash_sec"], 2
+        )
+        print(f"# dedup scale probe = {dedup_scale}", file=sys.stderr)
+    except Exception as e:
+        print(f"# dedup scale probe failed: {e}", file=sys.stderr)
+
     # exact-quadratic vs LSH similarity at the same threshold (0.45): the
     # exact join is a BASELINE-ONLY oracle (O(n^2) by construction); the
     # banded LSH join is the linear scale path. Reported side-by-side so
@@ -287,6 +353,7 @@ def main() -> None:
                 "ann_recall_at_10": recall,
                 "ann_ms_per_query": ann_ms_per_query,
                 "clustered_heuristic_probe": clustered,
+                "dedup_scale": dedup_scale,
                 "similarity_exact_vs_lsh": sim_compare,
                 "baseline_only": ["similarity_join", "dedup_embedding"],
                 "errors": errors or None,

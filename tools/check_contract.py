@@ -50,13 +50,21 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            failures.append(name)
+            results[name] = {"status": "err", "err": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"✗ {name:24s} ENTRY ERROR: {exc}")
+            continue
         if name not in oracles:
+            results[name] = {"status": "no_oracle", "rows": len(srows)}
             print(f"  {name:24s} rows={len(srows):6d}  (no oracle — rows-only check)")
             continue
         try:
@@ -65,25 +73,40 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            results[name] = {"status": "oracle_err", "err": str(exc)[:300]}
             print(f"✗ {name:24s} ORACLE SQL ERROR: {exc}")
             continue
         if sorted(scols) != sorted(ocols):
             failures.append(name)
+            results[name] = {"status": "schema_mismatch"}
             print(f"✗ {name:24s} SCHEMA  spark={sorted(scols)} oracle={sorted(ocols)}")
             continue
         s = canon([tuple(r) for r in srows], scols)
         o = canon(orows, ocols)
         if len(s) != len(o):
             failures.append(name)
+            results[name] = {"status": "rows_mismatch", "spark": len(s), "oracle": len(o)}
             print(f"✗ {name:24s} ROWS    spark={len(s)} oracle={len(o)}")
             continue
         if s != o:
             failures.append(name)
+            results[name] = {"status": "values_mismatch", "rows": len(s)}
             diff = [(a, b) for a, b in zip(s, o) if a != b][:3]
             print(f"✗ {name:24s} VALUES  first diffs: {diff}")
             continue
+        results[name] = {"status": "pass", "rows": len(s)}
         print(f"✓ {name:24s} rows={len(s):6d}")
 
+    out_path = os.environ.get("CONTRACT_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "results": results, "failures": failures},
+                f,
+                indent=1,
+            )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

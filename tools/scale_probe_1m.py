@@ -66,10 +66,19 @@ def main() -> None:
     print(f"gen+write: {time.time() - t0:.1f}s for {N} x {D}", flush=True)
     vdf = spark.read.parquet(f"{WORK}/vectors")
 
+    from mindb_spark.core.heuristics import use_two_level_clustering
+
     params = resolve_index_params(N, D)
-    print(f"k={params.num_clusters} n_probe={params.n_probe}", flush=True)
+    two_level = use_two_level_clustering(N, D, None)  # engages past 5M
+    print(
+        f"k={params.num_clusters} n_probe={params.n_probe} "
+        f"two_level={two_level}",
+        flush=True,
+    )
     t0 = time.time()
-    arts, _ = B.build_index(vdf, params, f"{WORK}/idx", n_buckets=64)
+    arts, _ = B.build_index(
+        vdf, params, f"{WORK}/idx", n_buckets=64, use_two_level=two_level
+    )
     dt = time.time() - t0
     print(f"build: {dt:.1f}s = {dt / N * 1000:.3f} ms/vector", flush=True)
 
