@@ -164,7 +164,7 @@ def _cc_star(und: DataFrame, max_iter: int) -> DataFrame:
     lineage per round. Terminates when the edge set is a fixed point
     (star graphs: every node adjacent to its component min).
     """
-    edges = und.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    edges = und  # symmetric, self-loop-free, checkpointed by the caller
     n_edges = edges.count()
     for _ in range(max_iter):
         # ---- large-star: for center u, attach neighbors v > u to
@@ -177,20 +177,16 @@ def _cc_star(und: DataFrame, max_iter: int) -> DataFrame:
             edges.join(mins, "src")
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        )
-        sym = (
-            large.unionAll(
-                large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-            .where(F.col("src") != F.col("dst"))
             .distinct()
         )
         # ---- small-star: over parent pointers (dst < src), attach u and
-        # its smaller neighbors to m = min of those neighbors
-        directed = sym.where(F.col("dst") < F.col("src"))
-        mins2 = directed.groupBy("src").agg(F.min("dst").alias("m"))
+        # its smaller neighbors to m = min of those neighbors. Large-star
+        # emits ONLY parent pointers (m = min of a closed neighborhood
+        # containing u < v, so m < v always) — its output IS the directed
+        # set, no symmetrize+filter round-trip needed between the phases.
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
         small = (
-            directed.join(mins2, "src")
+            large.join(mins2, "src")
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionAll(mins2.select("src", F.col("m").alias("dst")))
             .where(F.col("src") != F.col("dst"))
@@ -256,7 +252,13 @@ def connected_components(
     und = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
+        # materialized once: every iteration of either algorithm re-reads
+        # the symmetric edge set — without this the union+distinct shuffle
+        # (and any non-checkpointed upstream edge pipeline) re-runs per
+        # iteration
+        .localCheckpoint(eager=True)
     )
     if algorithm == "star":
         return _cc_star(und, max_iter)
