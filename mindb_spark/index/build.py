@@ -220,7 +220,7 @@ def train_centroids_two_level(
             if pdf.empty:
                 continue
             mat = np.array(pdf[proj_col].tolist(), dtype=np.float64)
-            cid = np.argmin(c2[None, :] - 2.0 * (mat @ C.T), axis=1)
+            cid = assign_cells(mat, C, c2)
             yield pd.DataFrame({"_coarse": cid, proj_col: pdf[proj_col]})
 
     assigned = projected.select(proj_col).mapInPandas(assign, schema=f"_coarse int, {proj_col} array<double>")
@@ -287,10 +287,38 @@ def train_pq_on_residuals(
         projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
     ).select(proj_col).collect()
     mat = _to_matrix(sample_rows, proj_col)
-    c2 = (centroids**2).sum(axis=1)
-    cid = np.argmin(c2[None, :] - 2.0 * (mat @ centroids.T), axis=1)
+    cid = assign_cells(mat, centroids)
     residuals = mat - centroids[cid]
     return PQ.train_codebooks(residuals.astype(np.float32), m, seed=seed)
+
+
+def assign_cells(
+    mat: np.ndarray,
+    centroids: np.ndarray,
+    c2: np.ndarray | None = None,
+    budget_bytes: int = 1 << 27,
+) -> np.ndarray:
+    """``argmin_c ||x - c||^2`` via the GEMM identity, ROW-CHUNKED so the
+    (rows, k) score matrix stays under ``budget_bytes``.
+
+    At heuristic cluster counts (k = 0.2 n^0.75: ~6k at 1M, ~35k at 10M,
+    ~200k at 100M) an unchunked GEMM materializes ``rows * k * 8`` bytes
+    — 4.7 GB per 16k-row Arrow batch per worker at 10M, which OOM-killed
+    the 10M scale probe across 32 workers. 128 MB per chunk keeps the
+    GEMM BLAS-efficient (hundreds to thousands of rows per call) while
+    bounding worker memory independent of k.
+    """
+    if c2 is None:
+        c2 = (centroids**2).sum(axis=1)
+    k = max(1, centroids.shape[0])
+    step = max(1, int(budget_bytes // (8 * k)))
+    out = np.empty(mat.shape[0], dtype=np.int64)
+    for s in range(0, mat.shape[0], step):
+        chunk = mat[s : s + step]
+        out[s : s + step] = np.argmin(
+            c2[None, :] - 2.0 * (chunk @ centroids.T), axis=1
+        )
+    return out
 
 
 def encode_all(
@@ -322,7 +350,7 @@ def encode_all(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(pdf[vector_col].tolist(), dtype=np.float64)
             proj = (mat - mean) @ pca
-            cid = np.argmin(c2[None, :] - 2.0 * (proj @ centroids.T), axis=1)
+            cid = assign_cells(proj, centroids, c2)
             residuals = (proj - centroids[cid]).astype(np.float32)
             codes = PQ.encode(residuals, codebooks)
             # query-independent half of the ADC distance, precomputed once
