@@ -65,6 +65,16 @@ def get_spark(
     ``master``/partitions default from ``SPARK_GRAFT_CPUS`` (test harness
     convention) or fall back to all local cores.
     """
+    # Executor-side numpy must not spawn its own BLAS thread pools: N
+    # concurrent Python workers x N OpenBLAS threads oversubscribes the
+    # box into scheduler thrash (measured ~90% kernel time in a 32-task
+    # encode at k=35k — each worker's chunked GEMM tried to fan out over
+    # every core). Spark supplies the parallelism; BLAS gets one thread
+    # per worker. Set BEFORE the JVM launches so pyspark.daemon workers
+    # inherit it; driver-side heavy fits pin/restore explicitly
+    # (pq._single_threaded_blas) and are unaffected by this default.
+    for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = master or (f"local[{cpus}]" if cpus else "local[*]")
     parts = shuffle_partitions or int(cpus or os.cpu_count() or 8)
