@@ -86,11 +86,27 @@ def adc_candidates(
     probed, d2_full = rank_centroids_d2(artifacts, query_vectors, n_probe)
 
     # Partition + row-group pruning: only the probed buckets/cells are read.
+    # SELECTIVITY-AWARE: each filter is applied only when it actually
+    # prunes. A large query batch probes most cells (512 queries x 5%
+    # n_probe covers everything), and a 35k-literal isin then costs ~25 s
+    # of pure InSet evaluation over a 10M-row scan while removing zero
+    # rows (measured on the 10M probe). The kernel always drops unprobed
+    # cells itself (p_idx < 0 mask), so these filters are purely an
+    # optimization and safe to skip.
     probed_cids = sorted({int(c) for row in probed for c in row})
     probed_buckets = sorted({c % n_buckets for c in probed_cids})
-    pruned = codes.where(
-        F.col("cluster_bucket").isin(probed_buckets) & F.col("cluster_id").isin(probed_cids)
-    )
+    pruned = codes
+    if len(probed_buckets) < n_buckets:
+        pruned = pruned.where(F.col("cluster_bucket").isin(probed_buckets))
+    if len(probed_cids) < 0.5 * artifacts.num_clusters:
+        pruned = pruned.where(F.col("cluster_id").isin(probed_cids))
+    # Every scan task must emit its local top-prelim per query, so the
+    # candidate shuffle grows with tasks x Q x prelim — cap the scan
+    # width at the session's parallelism (no kernel cost; each task just
+    # scans more row groups).
+    target_parts = spark.sparkContext.defaultParallelism
+    if pruned.rdd.getNumPartitions() > target_parts:
+        pruned = pruned.coalesce(target_parts)
 
     # Decomposed ADC (see pq.adc_query_tables): dist = d2(q,cell) + A_q[code]
     # + bterm(row). Everything shipped is sized by PROBED cells only:
@@ -148,34 +164,61 @@ def adc_candidates(
         # shape has less Python overhead, and for legacy no-bterm codes.
         density = float(probe_q_.mean()) if probe_q_.size else 1.0
         use_sparse = B_ is None and density < 0.5
-        probe_lists = (
-            [np.flatnonzero(probe_q_[p]) for p in range(probe_q_.shape[0])]
-            if use_sparse
-            else None
-        )
+        if use_sparse:
+            # ragged probe map in CSR form: probe_all holds the probing
+            # queries of every cell, cell p's slice is
+            # probe_all[probe_off[p] : probe_off[p] + probe_cnt[p]].
+            # The scan expands (row, probing query) pairs with O(m)
+            # vectorized gathers per chunk — NO per-cell Python loop, so
+            # kernel cost is independent of how fragmented the cells are
+            # within a chunk (small codes files interleave cells; a
+            # per-segment loop degraded 10x on rows/segment ~ 11)
+            p_rows, q_cols = np.nonzero(probe_q_)
+            probe_all = q_cols.astype(np.int64)
+            probe_cnt = np.bincount(p_rows, minlength=probe_q_.shape[0]).astype(np.int64)
+            probe_off = np.r_[0, np.cumsum(probe_cnt[:-1])]
+        # expanded-pair block budget: bounds the transient (pair) arrays
+        # (~40 B/pair -> ~160 MB per block at the cap)
+        PAIR_BUDGET = 4_000_000
 
         def sparse_chunk(ids_c, p_idx, codes_c, bt_c, out_q, out_id, out_d):
-            order = np.argsort(p_idx, kind="stable")
-            p_sorted = p_idx[order]
-            seg = np.flatnonzero(np.r_[True, p_sorted[1:] != p_sorted[:-1]])
-            seg_end = np.r_[seg[1:], p_sorted.size]
-            qs_l, is_l, ds_l = [], [], []
-            for s, e in zip(seg, seg_end):
-                qsel = probe_lists[p_sorted[s]]
-                if qsel.size == 0:
-                    continue
-                rows = order[s:e]
-                d = PQ.adc_scan_multi_t(codes_c[rows], At[:, :, qsel])
-                d += bt_c[rows, None]
-                d += d2pT[p_sorted[s], qsel][None, :]
-                qs_l.append(np.tile(qsel, rows.size))
-                is_l.append(np.repeat(ids_c[rows], qsel.size))
-                ds_l.append(d.ravel())
-            if not qs_l:
+            cnt = probe_cnt[p_idx]  # pairs contributed by each row
+            csum = np.cumsum(cnt)
+            total = int(csum[-1]) if cnt.size else 0
+            if total == 0:
                 return
+            # split rows so each expanded block stays under PAIR_BUDGET
+            n_blocks = max(1, -(-total // PAIR_BUDGET))
+            bounds = np.searchsorted(
+                csum, np.arange(1, n_blocks) * ((total + n_blocks - 1) // n_blocks),
+                side="left",
+            )
+            bounds = np.r_[0, bounds + 1, cnt.size]
+            qs_l, is_l, ds_l = [], [], []
+            for bi in range(len(bounds) - 1):
+                a, e = int(bounds[bi]), int(bounds[bi + 1])
+                if a >= e:
+                    continue
+                c_blk = cnt[a:e]
+                n_pairs = int(c_blk.sum())
+                if n_pairs == 0:
+                    continue
+                row_rep = np.repeat(np.arange(a, e, dtype=np.int64), c_blk)
+                # intra-row pair position, vectorized over the ragged rows
+                head = np.r_[np.int64(0), np.cumsum(c_blk[:-1])]
+                pair_pos = np.arange(n_pairs, dtype=np.int64) - np.repeat(head, c_blk)
+                q_pair = probe_all[np.repeat(probe_off[p_idx[a:e]], c_blk) + pair_pos]
+                p_pair = p_idx[row_rep]
+                d = d2pT[p_pair, q_pair].astype(np.float32)
+                d += bt_c[row_rep]
+                for j in range(m):
+                    d += At[j][codes_c[row_rep, j], q_pair]
+                qs_l.append(q_pair)
+                is_l.append(ids_c[row_rep])
+                ds_l.append(d)
             q_all = np.concatenate(qs_l)
             i_all = np.concatenate(is_l)
-            d_all = np.concatenate(ds_l).astype(np.float32, copy=False)
+            d_all = np.concatenate(ds_l)
             # per-query partial top-k before emitting (the global window
             # does the exact cut; this bounds emitted rows to prelim/query)
             oq = np.argsort(q_all, kind="stable")
@@ -187,7 +230,7 @@ def adc_candidates(
                     sel2 = s2 + np.argpartition(d_s[s2:e2], prelim - 1)[:prelim]
                 else:
                     sel2 = np.arange(s2, e2)
-                out_q.append(np.full(sel2.size, qids[q_s[s2]], dtype=np.int64))
+                out_q.append(qids[q_s[sel2]])
                 out_id.append(i_s[sel2])
                 out_d.append(d_s[sel2].astype(np.float64))
 
@@ -211,6 +254,15 @@ def adc_candidates(
             if buf:
                 yield pd.concat(buf, ignore_index=True)
 
+        # TASK-LEVEL accumulation: every chunk's per-query partial top-k
+        # lands in these lists; ONE exact per-query cut runs at the end
+        # and the task emits a single <= prelim-rows-per-query frame.
+        # Emitting per chunk instead multiplies Arrow traffic and the
+        # downstream shuffle by chunks-per-task (measured 49M shuffled
+        # rows at 10M x Q=512 — the dominant stage-1 cost, not the scan
+        # kernel); accumulation is memory-bounded at chunks_per_task x
+        # prelim rows per query.
+        out_q, out_id, out_d = [], [], []
         for pdf in rebatched(batches):
             n_rows = len(pdf)
             ids_all = pdf[id_col].to_numpy(dtype=np.int64)
@@ -219,21 +271,35 @@ def adc_candidates(
             bt_all = (
                 pdf["bterm"].to_numpy(dtype=np.float32) if B_ is None else None
             )
-            out_q, out_id, out_d = [], [], []
+            # compact probed-cell index; UNPROBED cells -> -1 and are
+            # dropped here (the scan may be unfiltered when the probe set
+            # is dense — see the selectivity-aware pruning above)
+            safe = np.minimum(cells_all, cell2p_.size - 1)
+            p_all = np.where(cells_all < cell2p_.size, cell2p_[safe], -1)
             for start in range(0, n_rows, CHUNK):
                 end = start + CHUNK
                 ids_c = ids_all[start:end]
-                p_idx = cell2p_[cells_all[start:end]]  # (n,) compact cell index
+                p_idx = p_all[start:end]  # (n,) compact cell index
                 codes_c = code_all[start:end]
+                bt_c = bt_all[start:end] if bt_all is not None else None
+                probed_mask = p_idx >= 0
+                if not probed_mask.all():
+                    if not probed_mask.any():
+                        continue
+                    ids_c = ids_c[probed_mask]
+                    p_idx = p_idx[probed_mask]
+                    codes_c = codes_c[probed_mask]
+                    if bt_c is not None:
+                        bt_c = bt_c[probed_mask]
                 if use_sparse:
                     sparse_chunk(
-                        ids_c, p_idx, codes_c, bt_all[start:end],
+                        ids_c, p_idx, codes_c, bt_c,
                         out_q, out_id, out_d,
                     )
                     continue
                 dists = PQ.adc_scan_multi_t(codes_c, At)  # (n, Q)
-                if bt_all is not None:
-                    dists += bt_all[start:end, None]
+                if bt_c is not None:
+                    dists += bt_c[:, None]
                 else:
                     # legacy path: gather the per-cell term per unique cell
                     rowterm = np.empty(len(ids_c), dtype=np.float32)
@@ -258,12 +324,29 @@ def adc_candidates(
                 out_q.append(qcol.ravel(order="F")[keep])
                 out_id.append(ids_c[sel].ravel(order="F")[keep])
                 out_d.append(dsel.astype(np.float64).ravel(order="F")[keep])
-            if out_q:
-                yield pd.DataFrame(
-                    {"query_id": np.concatenate(out_q),
-                     id_col: np.concatenate(out_id),
-                     "adc_dist": np.concatenate(out_d)}
-                )
+        if out_q:
+            # exact per-query cut over everything this task scored
+            q_all = np.concatenate(out_q)
+            i_all = np.concatenate(out_id)
+            d_all = np.concatenate(out_d)
+            oq = np.argsort(q_all, kind="stable")
+            q_s, i_s, d_s = q_all[oq], i_all[oq], d_all[oq]
+            qseg = np.flatnonzero(np.r_[True, q_s[1:] != q_s[:-1]])
+            qend = np.r_[qseg[1:], q_s.size]
+            fq, fi, fd = [], [], []
+            for s2, e2 in zip(qseg, qend):
+                if e2 - s2 > prelim:
+                    sel2 = s2 + np.argpartition(d_s[s2:e2], prelim - 1)[:prelim]
+                else:
+                    sel2 = np.arange(s2, e2)
+                fq.append(q_s[sel2])
+                fi.append(i_s[sel2])
+                fd.append(d_s[sel2])
+            yield pd.DataFrame(
+                {"query_id": np.concatenate(fq),
+                 id_col: np.concatenate(fi),
+                 "adc_dist": np.concatenate(fd)}
+            )
 
     scan_cols = ["cluster_id", id_col, "code"] + (["bterm"] if has_bterm else [])
     scored = pruned.select(*scan_cols).mapInPandas(
