@@ -77,6 +77,10 @@ def test_strategy_chooser_memory_model():
     gb4 = 4 * 1024**3
     assert H.use_two_level_clustering(5_000_000, 768, gb4) is True
     assert H.use_two_level_clustering(1_000_000, 768, gb4) is False
+    # no-cap branch (this engine's build-cost chooser): two-level from
+    # ~500k — measured 7.4x faster at 1M with identical recall
+    assert H.use_two_level_clustering(1_000_000, 64, None) is True
+    assert H.use_two_level_clustering(100_000, 64, None) is False
 
 
 def test_resolve_index_params():
