@@ -425,8 +425,21 @@ def build_index(
 
     buckets = n_buckets or max(1, min(64, centroids.shape[0]))
     codes = encode_all(vectors, artifacts, id_col=id_col, vector_col=vector_col, n_buckets=buckets)
-    codes.write.mode("overwrite").partitionBy("cluster_bucket").parquet(
-        os.path.join(index_dir, "codes")
+    # CELL-CLUSTERED layout: without it, every encode task writes one
+    # small file per touched bucket (tasks x buckets files, cells
+    # interleaved ~4 rows apart at 10M), which defeats cluster_id
+    # row-group pruning for selective queries and taxes scan planning.
+    # Range-partitioning on (bucket, cell) + an in-partition sort packs
+    # each cell contiguously with tight min/max stats, one file per
+    # output partition; file count scales with rows (~4M code rows
+    # ≈ 100 MB per file), not with encode parallelism.
+    n_files = max(buckets, -(-n // 4_000_000))
+    (
+        codes.repartitionByRange(n_files, "cluster_bucket", "cluster_id")
+        .sortWithinPartitions("cluster_id", id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster_bucket")
+        .parquet(os.path.join(index_dir, "codes"))
     )
 
     spark = vectors.sparkSession
