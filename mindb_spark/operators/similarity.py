@@ -294,12 +294,23 @@ def cosine_pairs_ivf(
     @pandas_udf("array<int>")
     def nearest_cells(vectors: pd.Series) -> pd.Series:
         mat = np.array(vectors.tolist(), dtype=np.float64)
-        d2 = c2[None, :] - 2.0 * (mat @ centroids.T)
-        if na < d2.shape[1]:
-            part = np.argpartition(d2, kth=na - 1, axis=1)[:, :na]
-        else:
-            part = np.broadcast_to(np.arange(d2.shape[1]), (len(mat), d2.shape[1]))
-        return pd.Series([row.astype(np.int32) for row in part])
+        kcells = centroids.shape[0]
+        # row-chunked so the (rows, k) score matrix stays bounded — the
+        # same 100x hazard assign_cells fixes in index/build.py (an
+        # unchunked batch materializes gigabytes once k reaches the
+        # tens of thousands)
+        step = max(1, int((1 << 27) // (8 * max(kcells, 1))))
+        rows = []
+        for s in range(0, mat.shape[0], step):
+            d2 = c2[None, :] - 2.0 * (mat[s : s + step] @ centroids.T)
+            if na < d2.shape[1]:
+                part = np.argpartition(d2, kth=na - 1, axis=1)[:, :na]
+            else:
+                part = np.broadcast_to(
+                    np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])
+                )
+            rows.extend(row.astype(np.int32) for row in part)
+        return pd.Series(rows)
 
     exploded = norm.select(
         F.col(id_col),
