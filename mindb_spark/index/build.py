@@ -434,13 +434,20 @@ def build_index(
     # output partition; file count scales with rows (~4M code rows
     # ≈ 100 MB per file), not with encode parallelism.
     n_files = max(buckets, -(-n // 4_000_000))
-    (
-        codes.repartitionByRange(n_files, "cluster_bucket", "cluster_id")
-        .sortWithinPartitions("cluster_id", id_col)
-        .write.mode("overwrite")
-        .partitionBy("cluster_bucket")
-        .parquet(os.path.join(index_dir, "codes"))
-    )
+    # materialize the encode ONCE: repartitionByRange SAMPLES its input
+    # to pick boundaries, which would re-run the whole assignment+PQ
+    # encode pipeline a second time without the persist
+    codes = codes.persist()
+    try:
+        (
+            codes.repartitionByRange(n_files, "cluster_bucket", "cluster_id")
+            .sortWithinPartitions("cluster_id", id_col)
+            .write.mode("overwrite")
+            .partitionBy("cluster_bucket")
+            .parquet(os.path.join(index_dir, "codes"))
+        )
+    finally:
+        codes.unpersist()
 
     spark = vectors.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(artifacts.centroids)]

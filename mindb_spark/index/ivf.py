@@ -99,7 +99,15 @@ def adc_candidates(
     if len(probed_buckets) < n_buckets:
         pruned = pruned.where(F.col("cluster_bucket").isin(probed_buckets))
     if len(probed_cids) < 0.5 * artifacts.num_clusters:
-        pruned = pruned.where(F.col("cluster_id").isin(probed_cids))
+        # broadcast left-semi join, NOT a literal isin: a many-thousand
+        # -literal In/InSet evaluates interpreted per row (~25 s over a
+        # 10M-row scan, measured), while the broadcast hash semi-join
+        # stays in whole-stage codegen and also spares the Arrow
+        # transfer of unprobed rows to Python
+        cells_df = spark.createDataFrame(
+            [(int(c),) for c in probed_cids], "cluster_id int"
+        )
+        pruned = pruned.join(F.broadcast(cells_df), "cluster_id", "left_semi")
     # Every scan task must emit its local top-prelim per query, so the
     # candidate shuffle grows with tasks x Q x prelim — cap the scan
     # width at the session's parallelism (no kernel cost; each task just
