@@ -116,6 +116,12 @@ def tombstone_and_remove(path: str) -> None:
     deletion at once and the name is immediately recreatable — a
     recreated database starts at a fresh data_version, never colliding
     with a deferred pinned snapshot.
+
+    The tree removal happens while still holding ``st.lock``: a
+    same-name recreate serializes its manifest write on the same lock,
+    so it can only land after the removal completes — an unlocked
+    removal could race the recreate and delete the fresh manifest/data
+    dir it just wrote.
     """
     root = os.path.abspath(path)
     st = _state_for(path)
@@ -129,10 +135,10 @@ def tombstone_and_remove(path: str) -> None:
         for p in sorted(pinned):
             if p not in st.deferred_rm:
                 st.deferred_rm.append(p)
-    if not pinned:
-        shutil.rmtree(root, ignore_errors=True)
-        return
-    _remove_tree_keeping(root, pinned)
+        if not pinned:
+            shutil.rmtree(root, ignore_errors=True)
+            return
+        _remove_tree_keeping(root, pinned)
 
 
 def _remove_tree_keeping(p: str, keep: set[str]) -> bool:
@@ -189,15 +195,30 @@ class VectorDB:
         self._pstate = _state_for(self.path)
         self._lock = self._pstate.lock
         self._index_mutex = self._pstate.index_mutex
-        # deletion-epoch capture: if tombstone_and_remove later bumps the
-        # path epoch, this handle is recognizably stale (see _check_live)
-        with self._lock:
-            self._epoch = self._pstate.epoch
         # driver-memoized dense index artifacts, keyed by index version —
         # the per-handle footprint the LRU registry (core/cache.py) tracks
         # and releases on eviction
         self._artifacts_memo: tuple[int, Any] | None = None
+        # (mtime_ns, size)-keyed memo of the parsed on-disk manifest,
+        # serving manifest_counters_lockfree without a parse per call
+        self._counters_memo: tuple[tuple[int, int], dict] | None = None
         self._manifest: dict[str, Any] = {}
+        # epoch capture AND load-or-create run under the shared path lock:
+        # tombstone_and_remove holds the same lock across its epoch bump +
+        # tree removal, so a same-name recreate either sees the fully
+        # removed tree (fresh epoch, safe to write) or runs entirely
+        # before the bump (its epoch goes stale and _save_manifest /
+        # _check_live reject it) — never interleaved with the removal
+        with self._lock:
+            self._epoch = self._pstate.epoch
+            self._init_manifest(name, vector_dimension, max_memory_usage)
+
+    def _init_manifest(
+        self,
+        name: str,
+        vector_dimension: int | None,
+        max_memory_usage: int | None,
+    ) -> None:
         if os.path.exists(self._manifest_path):
             self._load_manifest()
         else:
@@ -333,14 +354,48 @@ class VectorDB:
         held across a Spark job (``index_tail``'s counter rebase), so
         nesting cache lock → path lock would stall every cache
         operation on every database behind one database's job.
+
+        The parsed counters are memoized keyed by the manifest file's
+        (mtime_ns, size): the LRU registry re-weighs EVERY cached
+        database on every put/check while holding the cache-wide lock,
+        and an unmemoized weigh would pay a JSON parse per database per
+        cache operation. A stat is ~100x cheaper than open+parse, and
+        ``os.replace`` guarantees any content change lands with a new
+        inode (fresh mtime), so the memo can never serve torn or stale-
+        beyond-one-mutation data.
         """
         try:
+            sig = os.stat(self._manifest_path)
+            key = (sig.st_mtime_ns, sig.st_size)
+            memo = self._counters_memo
+            if memo is not None and memo[0] == key:
+                return memo[1]
             with open(self._manifest_path) as f:
-                return json.load(f)
+                counters = json.load(f)
+            self._counters_memo = (key, counters)
+            return counters
         except (OSError, ValueError):
             # deleted mid-read or not yet written: fall back to the
-            # in-memory copy (a plain dict read, no lock needed)
-            return dict(self._manifest)
+            # in-memory copy. The copy itself is lock-free, so a mutator
+            # resizing the dict mid-copy can raise RuntimeError
+            # ("dictionary changed size during iteration") — retry, then
+            # fall back to per-key reads (single-key dict gets are atomic
+            # and never raise), NEVER the path lock: it can be held
+            # across a Spark job and the cache-wide lock is held here
+            m = self._manifest
+            for _ in range(3):
+                try:
+                    return dict(m)
+                except RuntimeError:
+                    continue
+            return {
+                k: m.get(k)
+                for k in (
+                    "vector_dimension", "index_version", "index_params",
+                    "num_vectors_trained_on", "num_trained_vectors_removed",
+                    "num_new_vectors", "max_id", "max_trained_id",
+                )
+            }
 
     # ------------------------------------------------------------- state
     @property
@@ -836,11 +891,34 @@ class VectorDB:
                     shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)
         finally:
             self._index_mutex.release()
-            with self._lock:
-                self._pins.discard(snap_dir)
-                deferred, self._deferred_rm = self._deferred_rm, []
-            for d in deferred:
-                shutil.rmtree(d, ignore_errors=True)
+            self._drain_deferred_and_reap(snap_dir)
+
+    def _drain_deferred_and_reap(self, *unpin: "str | None") -> None:
+        """Build-finalizer cleanup: release this build's snapshot pins,
+        drain removals a concurrent ``remove``/``compact``/``delete_db``
+        deferred on those pins, and — when the database was DELETED
+        mid-run (stale epoch) — finish removing the tombstoned tree.
+        ``tombstone_and_remove`` had to leave the pinned dirs (and any
+        dirs a doomed build recreated afterwards) in place; without this
+        reap they would survive as on-disk orphans. The reap checks
+        ``manifest.json`` under the path lock — a same-name recreate
+        writes its manifest while holding the same lock, so a recreated
+        database's fresh tree can never be deleted here."""
+        with self._lock:
+            for p in unpin:
+                if p is not None:
+                    self._pins.discard(p)
+            deferred, self._deferred_rm = self._deferred_rm, []
+            stale = self._pstate.epoch != self._epoch
+        for d in deferred:
+            shutil.rmtree(d, ignore_errors=True)
+        if not stale:
+            return
+        with self._lock:
+            if os.path.exists(self._manifest_path):
+                return  # name recreated — the new incarnation owns the path
+            keep = {os.path.abspath(p) for p in self._pins}
+            _remove_tree_keeping(os.path.abspath(self.path), keep)
 
     def _finalize_watermark(self, n_trained: int, snap_max_id: int) -> None:
         """Post-train counters, exact under concurrent mutation (ref
@@ -891,6 +969,7 @@ class VectorDB:
         if not self._index_mutex.acquire(blocking=False):
             return 0
         snap_dir = None
+        idx_dir = None
         tail = None
         try:
             # pin the data snapshot (explicit file list + dir pin) so a
@@ -911,6 +990,11 @@ class VectorDB:
                 ) if os.path.isdir(snap_dir) else []
                 self._pins.add(snap_dir)
                 idx_dir = self._index_dir
+                # pin the index dir too: a concurrent delete_db defers its
+                # removal to this finalizer's drain instead of racing the
+                # in-flight codes append (which would fail tasks mid-write
+                # and could leave a recreated-orphan index tree behind)
+                self._pins.add(idx_dir)
                 n_buckets = self._manifest["n_buckets"]
             if not files:
                 return 0
@@ -920,8 +1004,6 @@ class VectorDB:
                 .persist()  # ONE scan feeds both the count and the encode
             )
             n_tail = tail.count()
-            if n_tail and self._pstate.epoch != self._epoch:
-                return 0  # deleted mid-run: don't append orphan codes
             if n_tail:
                 artifacts = IndexArtifacts.load(
                     os.path.join(idx_dir, "artifacts.npz")
@@ -930,6 +1012,15 @@ class VectorDB:
                     tail, artifacts, id_col="id", vector_col="vector",
                     n_buckets=n_buckets,
                 )
+                # epoch re-check under the lock immediately before the
+                # append: tombstone_and_remove bumps the epoch and removes
+                # the tree while holding the same lock, so a current epoch
+                # here means no delete has completed; a delete STARTING
+                # after this point defers the pinned idx_dir's removal to
+                # this method's finalizer drain instead of racing the write
+                with self._lock:
+                    if self._pstate.epoch != self._epoch:
+                        return 0  # deleted mid-run: no orphan codes
                 # bound output files: a small tail writes ONE file per
                 # touched bucket, not one per task x bucket (the codes
                 # table has no compaction path short of a retrain)
@@ -967,11 +1058,7 @@ class VectorDB:
                 tail.unpersist()
             self._index_mutex.release()
             if snap_dir is not None:
-                with self._lock:
-                    self._pins.discard(snap_dir)
-                    deferred, self._deferred_rm = self._deferred_rm, []
-                for d in deferred:
-                    shutil.rmtree(d, ignore_errors=True)
+                self._drain_deferred_and_reap(snap_dir, idx_dir)
 
     def maybe_auto_train(self, **train_kwargs) -> bool:
         """Auto-train policy check (ref training_utils.py:148-188); returns

@@ -69,7 +69,10 @@ def main() -> None:
     from mindb_spark.core.heuristics import use_two_level_clustering
 
     params = resolve_index_params(N, D)
-    two_level = use_two_level_clustering(N, D, None)  # engages past 5M
+    # with no memory cap this returns True past 500k vectors, so at 1M
+    # the probe exercises the TWO-LEVEL build path (not subsampling) —
+    # numbers are not comparable to pre-500k-threshold probe runs
+    two_level = use_two_level_clustering(N, D, None)
     print(
         f"k={params.num_clusters} n_probe={params.n_probe} "
         f"two_level={two_level}",
