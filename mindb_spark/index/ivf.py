@@ -40,29 +40,77 @@ from mindb_spark.index import pq as PQ
 from mindb_spark.index.build import IndexArtifacts
 
 
+# centroid-axis chunk for driver-side ranking: a (Q, chunk) float64 block
+# stays ~64 MB at Q=512, independent of the total cluster count
+_RANK_CHUNK = 16384
+
+
 def rank_centroids(
     artifacts: IndexArtifacts, queries: np.ndarray, n_probe: int
 ) -> np.ndarray:
     """(Q, n_probe) best cluster ids per projected query (L2, ascending)."""
-    return rank_centroids_d2(artifacts, queries, n_probe)[0]
-
-
-def rank_centroids_d2(
-    artifacts: IndexArtifacts, queries: np.ndarray, n_probe: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Like :func:`rank_centroids` but also returns the full (Q, C) squared
-    coarse distances — the scalar term of the decomposed ADC distance."""
     proj = artifacts.project(queries)  # (Q, p)
-    C = artifacts.centroids
-    d2 = ((proj**2).sum(axis=1, keepdims=True)
-          - 2.0 * proj @ C.T
-          + (C**2).sum(axis=1)[None, :])
-    n_probe = min(n_probe, C.shape[0])
-    part = np.argpartition(d2, kth=n_probe - 1, axis=1)[:, :n_probe]
-    # order the probed cells best-first (stable for determinism)
-    rows = np.arange(d2.shape[0])[:, None]
-    order = np.argsort(d2[rows, part], axis=1, kind="stable")
-    return part[rows, order], d2
+    return rank_centroids_chunked(proj, artifacts.centroids, n_probe)[0]
+
+
+def rank_centroids_chunked(
+    proj: np.ndarray, C: np.ndarray, n_probe: int, chunk: int = _RANK_CHUNK
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``n_probe`` centroids per projected query, chunked over the
+    centroid axis with a running merge.
+
+    Returns ``(ids, d2)``: (Q, k) cluster ids ascending by squared L2
+    distance (exact ties broken by lower cluster id) and the matching
+    (Q, k) squared distances. Driver memory is O(Q x (n_probe + chunk)),
+    NOT O(Q x C): at the reference heuristic's C = 200,000 clusters
+    (1e8 vectors, ``mindb/utils/training_utils.py:5-9``) and Q = 512 a
+    dense (Q, C) float64 matrix would be ~800 MB in one allocation —
+    the chunked merge peaks under ~100 MB regardless of C.
+    """
+    nc, qn = C.shape[0], proj.shape[0]
+    k = min(n_probe, nc)
+    q2 = (proj**2).sum(axis=1, keepdims=True)
+    rows = np.arange(qn)[:, None]
+    best_d = np.empty((qn, 0), dtype=np.float64)
+    best_i = np.empty((qn, 0), dtype=np.int64)
+    for s in range(0, nc, chunk):
+        Cc = C[s : s + chunk]
+        d2c = q2 - 2.0 * proj @ Cc.T + (Cc**2).sum(axis=1)[None, :]
+        cand_d = np.concatenate([best_d, d2c], axis=1)
+        cand_i = np.concatenate(
+            [
+                best_i,
+                np.broadcast_to(
+                    np.arange(s, s + Cc.shape[0], dtype=np.int64)[None, :],
+                    d2c.shape,
+                ),
+            ],
+            axis=1,
+        )
+        if cand_d.shape[1] > k:
+            part = np.argpartition(cand_d, kth=k - 1, axis=1)
+            sel_d = np.take_along_axis(cand_d, part[:, :k], axis=1)
+            sel_i = np.take_along_axis(cand_i, part[:, :k], axis=1)
+            # exact ties straddling the partition cut would make the kept
+            # set depend on argpartition's arbitrary choice (and thus on
+            # the chunk size) — re-select those rows with a full
+            # lexicographic (distance, id) sort. Real float distances tie
+            # essentially never, so the loop body is cold.
+            tau = np.take_along_axis(cand_d, part[:, k - 1 : k], axis=1)
+            for r in np.flatnonzero((cand_d <= tau).sum(axis=1) > k):
+                order = np.lexsort((cand_i[r], cand_d[r]))[:k]
+                sel_d[r] = cand_d[r, order]
+                sel_i[r] = cand_i[r, order]
+            cand_d, cand_i = sel_d, sel_i
+        # deterministic best-first order: sort by id first (stable), then
+        # by distance (stable) — exact ties land on the lower cluster id
+        oi = np.argsort(cand_i, axis=1, kind="stable")
+        cand_d = np.take_along_axis(cand_d, oi, axis=1)
+        cand_i = np.take_along_axis(cand_i, oi, axis=1)
+        od = np.argsort(cand_d, axis=1, kind="stable")
+        best_d = np.take_along_axis(cand_d, od, axis=1)
+        best_i = np.take_along_axis(cand_i, od, axis=1)
+    return best_i, best_d
 
 
 def adc_candidates(
@@ -83,7 +131,10 @@ def adc_candidates(
     from mindb_spark.session import ship_package
 
     ship_package(spark)
-    probed, d2_full = rank_centroids_d2(artifacts, query_vectors, n_probe)
+    proj_queries = artifacts.project(query_vectors)  # (Q, p)
+    probed, probed_d2 = rank_centroids_chunked(
+        proj_queries, artifacts.centroids, n_probe
+    )
 
     # Partition + row-group pruning: only the probed buckets/cells are read.
     # SELECTIVITY-AWARE: each filter is applied only when it actually
@@ -128,11 +179,16 @@ def adc_candidates(
     P = len(probed_cids)
     cell2p = np.full(max(probed_cids) + 1, -1, dtype=np.int32)
     cell2p[np.asarray(probed_cids, dtype=np.int64)] = np.arange(P, dtype=np.int32)
-    d2p = d2_full[:, np.asarray(probed_cids, dtype=np.int64)].astype(np.float32)
+    # (Q, P) coarse distances to the union of probed cells, scattered from
+    # the ranking's own (Q, n_probe) output — the full (Q, C) matrix is
+    # never materialized. Entries for (query, cell) pairs the query does
+    # NOT probe stay zero: both scan kernels consume distances only for
+    # probing pairs (sparse path gathers them, dense path masks to inf)
+    d2p = np.zeros((nq, P), dtype=np.float32)
+    d2p[np.arange(nq)[:, None], cell2p[probed]] = probed_d2.astype(np.float32)
     probe_q = np.zeros((P, nq), dtype=bool)
     for qi, row in enumerate(probed):
         probe_q[cell2p[row], qi] = True
-    proj_queries = artifacts.project(query_vectors)  # (Q, p)
     A = PQ.adc_query_tables(proj_queries, artifacts.codebooks)
 
     has_bterm = "bterm" in codes.columns
