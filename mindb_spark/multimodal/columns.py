@@ -8,12 +8,15 @@ Beyond-reference capability (the reference stores only vectors+JSON): a
 - metadata: flat typed columns (size, digest, sniffed mime) derived by
   JVM expressions — pushdown-friendly, no Python in the loop.
 - decode / feature-extract / resize / frame-sample: Arrow-batched
-  ``mapInPandas`` over the binary column. The actual codec step requires
-  image/audio libraries that are NOT in this container, so the kernel is
-  STUBBED: with ``fake=True`` (default) a clearly-marked deterministic
-  fake derived from the payload bytes stands in (schema, batching and
-  partitioning are real and tested); with ``fake=False`` the functions
-  raise ``NotImplementedError`` unless PIL/soundfile are importable.
+  ``mapInPandas`` over the binary column. PNG payloads decode FOR REAL
+  via the stdlib zlib + numpy decoder in ``multimodal/png.py`` (true
+  height/width/channels and pixel-derived features, no image library
+  needed). Other codecs (JPEG/audio/video) require libraries NOT in this
+  container, so those kernels are STUBBED: with ``fake=True`` (default)
+  a clearly-marked deterministic fake derived from the payload bytes
+  stands in (schema, batching and partitioning are real and tested);
+  with ``fake=False`` non-PNG payloads raise ``NotImplementedError``
+  unless PIL/soundfile are importable.
 
 Scale notes: binary payloads dominate row size — decode pipelines should
 ``select`` only (id, payload) before the UDF (column pruning keeps the
@@ -88,6 +91,35 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return h, w, ch, hist
 
 
+def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL decoder: PNG via the stdlib decoder (png.py); other formats
+    via PIL when importable, else ``NotImplementedError``. Features are
+    the 8-bin histogram of decoded pixel bytes (value >> 5), normalized —
+    the same feature shape the fake path emits, but computed from true
+    pixels."""
+    from mindb_spark.multimodal.png import decode_png, is_png
+
+    if is_png(payload):
+        img = decode_png(payload)
+    else:
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - lib absent by design
+            raise NotImplementedError(
+                "real decode of non-PNG images requires PIL, which is not "
+                "installed; PNG decodes natively, or use fake=True"
+            ) from e
+        img = np.asarray(Image.open(io.BytesIO(payload)))
+        if img.ndim == 2:
+            img = img[..., None]
+    h, w, ch = img.shape
+    flat = img.reshape(-1)
+    hist = np.bincount(flat >> 5, minlength=8).astype(np.float64) / max(flat.size, 1)
+    return h, w, ch, hist
+
+
 def decode_images(
     df: DataFrame,
     binary_col: str = "content",
@@ -96,23 +128,16 @@ def decode_images(
 ) -> DataFrame:
     """Decode image payloads -> (id, height, width, channels, features).
 
-    Arrow-batched ``mapInPandas``; the decode kernel is the stub above
-    unless ``fake=False`` and PIL is installed.
+    Arrow-batched ``mapInPandas``; ``fake=False`` decodes PNG for real
+    (stdlib decoder) and needs PIL for other formats.
     """
-    if not fake:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - lib absent by design
-            raise NotImplementedError(
-                "real image decode requires PIL, which is not installed; "
-                "use fake=True for the deterministic stub"
-            ) from e
+    decode = _fake_decode if fake else _real_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = [_fake_decode(bytes(b)) for b in pdf[binary_col]]
+            rows = [decode(bytes(b)) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -138,22 +163,41 @@ def resize_images(
 ) -> DataFrame:
     """Resize payloads to ``target`` (h, w); returns (id, content, height, width).
 
-    Stub: re-emits the payload with the target dims recorded (the real
-    kernel would decode-resize-reencode). Plumbing — schema, batch shape,
-    pruned projection — is the production shape.
+    ``fake=False`` resizes PNG payloads FOR REAL: stdlib decode →
+    nearest-neighbor resample → re-encode (non-PNG raises
+    ``NotImplementedError`` — that needs PIL). The fake path re-emits
+    the payload with the target dims recorded; plumbing — schema, batch
+    shape, pruned projection — is the production shape either way.
     """
-    if not fake:
-        raise NotImplementedError("real resize requires an image library")
     th, tw = int(target[0]), int(target[1])
+
+    def _resize_one(payload: bytes) -> bytes:
+        from mindb_spark.multimodal.png import decode_png, encode_png, is_png
+
+        if not is_png(payload):
+            raise NotImplementedError(
+                "real resize of non-PNG images requires PIL, which is not "
+                "installed; PNG resizes natively, or use fake=True"
+            )
+        img = decode_png(payload)
+        h, w = img.shape[:2]
+        rows = np.minimum((np.arange(th) * h) // th, h - 1)
+        cols = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        return encode_png(img[rows[:, None], cols[None, :]])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            content = (
+                pdf[binary_col]
+                if fake
+                else [_resize_one(bytes(b)) for b in pdf[binary_col]]
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    binary_col: pdf[binary_col],
+                    binary_col: content,
                     "height": np.full(len(pdf), th, dtype=np.int32),
                     "width": np.full(len(pdf), tw, dtype=np.int32),
                 }

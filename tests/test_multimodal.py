@@ -49,8 +49,30 @@ def test_decode_images_deterministic(payloads):
     assert a[6][3] == (0.0,) * 8  # empty payload -> zero features
 
 
-def test_decode_images_real_requires_lib(payloads):
-    with pytest.raises(NotImplementedError):
+def test_decode_images_real_png(spark):
+    """fake=False decodes PNG payloads for real: true dims + pixel-derived
+    features, via the stdlib decoder (no image library)."""
+    from mindb_spark.multimodal.png import encode_png
+
+    rng = np.random.default_rng(3)
+    img_a = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    img_b = np.full((8, 40), 255, dtype=np.uint8)  # gray, all bytes >= 224
+    df = spark.createDataFrame(
+        [(1, encode_png(img_a)), (2, encode_png(img_b))],
+        "doc_id long, content binary",
+    )
+    got = {r.doc_id: r for r in decode_images(df, fake=False).collect()}
+    assert (got[1].height, got[1].width, got[1].channels) == (24, 17, 3)
+    assert (got[2].height, got[2].width, got[2].channels) == (8, 40, 1)
+    want_hist = np.bincount(img_a.reshape(-1) >> 5, minlength=8) / img_a.size
+    np.testing.assert_allclose(got[1].features, want_hist, atol=1e-12)
+    assert got[2].features == [0.0] * 7 + [1.0]
+
+
+def test_decode_images_real_non_png_requires_lib(payloads):
+    # non-PNG payloads still need PIL; the worker error surfaces through
+    # Spark as a PythonException carrying the NotImplementedError message
+    with pytest.raises(Exception, match="requires PIL"):
         decode_images(payloads, fake=False).collect()
 
 
@@ -58,6 +80,20 @@ def test_resize_passthrough(payloads):
     out = {r.doc_id: r for r in resize_images(payloads, (32, 48)).collect()}
     assert all(r.height == 32 and r.width == 48 for r in out.values())
     assert bytes(out[5].content) == b"plain text payload"
+
+
+def test_resize_real_png(spark):
+    from mindb_spark.multimodal.png import decode_png, encode_png
+
+    img = np.arange(16 * 12 * 3, dtype=np.uint8).reshape(16, 12, 3)
+    df = spark.createDataFrame([(1, encode_png(img))], "doc_id long, content binary")
+    out = resize_images(df, (8, 6), fake=False).collect()[0]
+    assert (out.height, out.width) == (8, 6)
+    resized = decode_png(bytes(out.content))
+    assert resized.shape == (8, 6, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    np.testing.assert_array_equal(resized[0, 0], img[0, 0])
+    np.testing.assert_array_equal(resized[7, 5], img[14, 10])
 
 
 def test_sample_frames_one_to_many(spark):
