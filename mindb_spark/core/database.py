@@ -860,7 +860,8 @@ class VectorDB:
 
             next_version = (self._manifest["index_version"] or 0) + 1
             index_dir = os.path.join(self.path, "index", f"v{next_version}")
-            n_buckets = max(1, min(64, params.num_clusters))
+            from mindb_spark.index.build import default_n_buckets
+            n_buckets = default_n_buckets(params.num_clusters)
             build_index(
                 snapshot, params, index_dir,
                 use_two_level=two_level, seed=seed, n_buckets=n_buckets,

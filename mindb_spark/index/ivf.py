@@ -44,6 +44,11 @@ from mindb_spark.index.build import IndexArtifacts
 # stays ~64 MB at Q=512, independent of the total cluster count
 _RANK_CHUNK = 16384
 
+# total candidate ids (Q x preliminary_top_k) at or below which search()
+# materializes stage 1 and pushes the id set into the stage-2 vectors
+# scan instead of joining against a full-table scan (the small-Q path)
+_SMALL_FETCH_IDS = 4096
+
 
 def rank_centroids(
     artifacts: IndexArtifacts, queries: np.ndarray, n_probe: int
@@ -144,17 +149,35 @@ def adc_candidates(
     # rows (measured on the 10M probe). The kernel always drops unprobed
     # cells itself (p_idx < 0 mask), so these filters are purely an
     # optimization and safe to skip.
+    from mindb_spark.index.build import cell_bucket
+
     probed_cids = sorted({int(c) for row in probed for c in row})
-    probed_buckets = sorted({c % n_buckets for c in probed_cids})
+    probed_buckets = sorted(
+        {cell_bucket(c, n_buckets, artifacts.num_clusters) for c in probed_cids}
+    )
     pruned = codes
     if len(probed_buckets) < n_buckets:
         pruned = pruned.where(F.col("cluster_bucket").isin(probed_buckets))
     if len(probed_cids) < 0.5 * artifacts.num_clusters:
-        # broadcast left-semi join, NOT a literal isin: a many-thousand
-        # -literal In/InSet evaluates interpreted per row (~25 s over a
-        # 10M-row scan, measured), while the broadcast hash semi-join
-        # stays in whole-stage codegen and also spares the Arrow
-        # transfer of unprobed rows to Python
+        # Selective probe. Three filters, cheapest mechanism for each job:
+        # 1. bucket isin (above): cells are labeled in space-filling order
+        #    (index/order.py) and buckets are RANGE buckets, so a probe
+        #    ball maps to few bucket DIRECTORIES — partition pruning at
+        #    planning time, zero per-row cost. This is the scan-volume
+        #    bound: probed fraction of dirs instead of the whole table.
+        # 2. one global BETWEEN: single-node pushed predicate trimming
+        #    row groups outside the probe span. (An OR-disjunction over
+        #    the probe's exact id-runs was measured at ~0.7 s of per-row
+        #    evaluation on a 1M scan — more than the full unpruned scan —
+        #    so per-run range predicates are deliberately NOT used.)
+        # 3. broadcast left-semi join for exactness, NOT a literal isin:
+        #    a many-thousand-literal In/InSet evaluates interpreted per
+        #    row (~25 s over a 10M-row scan, measured), while the
+        #    broadcast hash semi-join stays in whole-stage codegen and
+        #    spares the Arrow transfer of unprobed rows to Python.
+        pruned = pruned.where(
+            F.col("cluster_id").between(probed_cids[0], probed_cids[-1])
+        )
         cells_df = spark.createDataFrame(
             [(int(c),) for c in probed_cids], "cluster_id int"
         )
@@ -163,9 +186,10 @@ def adc_candidates(
     # candidate shuffle grows with tasks x Q x prelim — cap the scan
     # width at the session's parallelism (no kernel cost; each task just
     # scans more row groups).
-    target_parts = spark.sparkContext.defaultParallelism
-    if pruned.rdd.getNumPartitions() > target_parts:
-        pruned = pruned.coalesce(target_parts)
+    # unconditional: coalesce never widens, and probing the width first
+    # via .rdd.getNumPartitions() costs ~0.4 s of plan analysis per call
+    # (measured at Q=1) for information coalesce already handles
+    pruned = pruned.coalesce(spark.sparkContext.defaultParallelism)
 
     # Decomposed ADC (see pq.adc_query_tables): dist = d2(q,cell) + A_q[code]
     # + bterm(row). Everything shipped is sized by PROBED cells only:
@@ -548,6 +572,25 @@ def search(
             assume_normalized=assume_normalized,
         ).select("query_id", id_col)
         cand = cand.unionByName(tail_cand)
+
+    if len(qids) * preliminary_top_k <= _SMALL_FETCH_IDS:
+        # SMALL-Q path: materialize the candidate pairs into a literal
+        # local relation, so the stage-2 join's plan does not re-execute
+        # the whole stage-1 pipeline as its build side (one saved
+        # stage-1 execution per query batch). NOTE the id set is NOT
+        # pushed into the vectors scan: candidate ids are geometrically
+        # clustered but id-UNIFORM (ids are ingestion order), so parquet
+        # row-group stats cannot prune them — and a many-valued pushed
+        # In filter triggers deep recursion in parquet's filter
+        # evaluator (StackOverflowError at 500 values, observed). The
+        # full-scan broadcast-probe fetch is the honest cost of point
+        # lookups in a scan-based engine.
+        rows = cand.collect()
+        if rows:
+            cand = vectors.sparkSession.createDataFrame(
+                [(int(r["query_id"]), int(r[id_col])) for r in rows],
+                f"query_id long, {id_col} long",
+            )
 
     return rerank_exact(
         cand, vectors, qids, qnorm, final_top_k,

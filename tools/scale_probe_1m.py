@@ -101,7 +101,18 @@ def main() -> None:
         return time.time() - t0, out
 
     run(8)  # warm the kernels
-    for nq in (128, Q, Q):  # repeat Q once: first run pays page-cache misses
+    # small-Q floor: with space-filling cell ids one query's probed cells
+    # merge into few id runs -> pushed-down BETWEEN predicates prune the
+    # codes scan to ~probed rows (report the run count alongside)
+    from mindb_spark.index.order import probed_id_runs
+
+    probed1 = ivf.rank_centroids(arts, qm[:1], params.n_probe)
+    runs1 = probed_id_runs(sorted({int(c) for c in probed1[0]}))
+    print(
+        f"probe locality: Q=1 probes {probed1.shape[1]} cells in "
+        f"{len(runs1)} id-runs", flush=True,
+    )
+    for nq in (1, 1, 8, 128, Q, Q):  # repeats: first run pays page-cache misses
         dt, out = run(nq)
         print(f"search Q={nq}: {dt:.1f}s = {dt / nq * 1000:.1f} ms/query", flush=True)
 
