@@ -241,30 +241,28 @@ def adc_candidates(
         m = A_.shape[1]
         At = np.ascontiguousarray(A_.transpose(1, 2, 0))  # (m, 256, Q), once
         d2pT = d2p_.T  # (P, Q)
-        # Probe-aware scan: the dense kernel scores EVERY (row, query) pair
-        # and masks afterwards — n x Q x m gather work regardless of probe
-        # selectivity. At large corpora the selectivity is the whole point
-        # of IVF (n_probe/k ~ 7% at 1M rows), so when the probed fraction
-        # is low, score each CELL only against the queries that probe it:
-        # total gathers drop from n*Q*m to sum_cells rows_c * probers_c * m
-        # (measured 14x at 1M x Q=512). The dense path stays for high
-        # densities (small corpora / few queries), where its single-call
-        # shape has less Python overhead, and for legacy no-bterm codes.
-        density = float(probe_q_.mean()) if probe_q_.size else 1.0
-        use_sparse = B_ is None and density < 0.5
-        if use_sparse:
-            # ragged probe map in CSR form: probe_all holds the probing
-            # queries of every cell, cell p's slice is
-            # probe_all[probe_off[p] : probe_off[p] + probe_cnt[p]].
-            # The scan expands (row, probing query) pairs with O(m)
-            # vectorized gathers per chunk — NO per-cell Python loop, so
-            # kernel cost is independent of how fragmented the cells are
-            # within a chunk (small codes files interleave cells; a
-            # per-segment loop degraded 10x on rows/segment ~ 11)
-            p_rows, q_cols = np.nonzero(probe_q_)
-            probe_all = q_cols.astype(np.int64)
-            probe_cnt = np.bincount(p_rows, minlength=probe_q_.shape[0]).astype(np.int64)
-            probe_off = np.r_[0, np.cumsum(probe_cnt[:-1])]
+        # Probe-aware scan, the ONLY kernel: each cell is scored only
+        # against the queries that probe it, so total gather work is
+        # sum_cells rows_c * probers_c * m — at large corpora probe
+        # selectivity is the whole point of IVF (n_probe/k ~ 7% at 1M
+        # rows; measured 14x over dense-then-mask at 1M x Q=512), and at
+        # full density the pair count equals the dense kernel's n*Q so
+        # nothing is lost. One kernel also means the fragmentation
+        # immunity below holds on every path (a dense variant existed
+        # through round 4; retired — same results, half the maintenance).
+        #
+        # Ragged probe map in CSR form: probe_all holds the probing
+        # queries of every cell, cell p's slice is
+        # probe_all[probe_off[p] : probe_off[p] + probe_cnt[p]].
+        # The scan expands (row, probing query) pairs with O(m)
+        # vectorized gathers per chunk — NO per-cell Python loop, so
+        # kernel cost is independent of how fragmented the cells are
+        # within a chunk (small codes files interleave cells; a
+        # per-segment loop degraded 10x on rows/segment ~ 11)
+        p_rows, q_cols = np.nonzero(probe_q_)
+        probe_all = q_cols.astype(np.int64)
+        probe_cnt = np.bincount(p_rows, minlength=probe_q_.shape[0]).astype(np.int64)
+        probe_off = np.r_[0, np.cumsum(probe_cnt[:-1])]
         # expanded-pair block budget: bounds the transient (pair) arrays
         # (~40 B/pair -> ~160 MB per block at the cap)
         PAIR_BUDGET = 4_000_000
@@ -379,39 +377,19 @@ def adc_candidates(
                     codes_c = codes_c[probed_mask]
                     if bt_c is not None:
                         bt_c = bt_c[probed_mask]
-                if use_sparse:
-                    sparse_chunk(
-                        ids_c, p_idx, codes_c, bt_c,
-                        out_q, out_id, out_d,
-                    )
-                    continue
-                dists = PQ.adc_scan_multi_t(codes_c, At)  # (n, Q)
-                if bt_c is not None:
-                    dists += bt_c[:, None]
-                else:
-                    # legacy path: gather the per-cell term per unique cell
-                    rowterm = np.empty(len(ids_c), dtype=np.float32)
+                if bt_c is None:
+                    # legacy no-bterm codes: the per-row cell term is
+                    # query-independent, so materialize it once per chunk
+                    # (per unique probed cell) and the CSR kernel then
+                    # treats it exactly like a stored bterm
+                    bt_c = np.empty(len(ids_c), dtype=np.float32)
                     for pid in np.unique(p_idx):
                         sel_rows = p_idx == pid
-                        rowterm[sel_rows] = PQ.adc_scan(codes_c[sel_rows], B_[pid])
-                    dists += rowterm[:, None]
-                dists += d2pT[p_idx]
-                dists[~probe_q_[p_idx]] = np.inf  # only (row, probing query) pairs
-                kk = min(prelim, dists.shape[0])
-                if kk < dists.shape[0]:
-                    sel = np.argpartition(dists, kth=kk - 1, axis=0)[:kk]  # (kk, Q)
-                else:
-                    sel = np.broadcast_to(
-                        np.arange(dists.shape[0])[:, None], (kk, dists.shape[1])
-                    )
-                dsel = np.take_along_axis(dists, sel, axis=0)  # (kk, Q)
-                keep = np.isfinite(dsel).ravel(order="F")
-                if not keep.any():
-                    continue
-                qcol = np.broadcast_to(qids[None, :], dsel.shape)
-                out_q.append(qcol.ravel(order="F")[keep])
-                out_id.append(ids_c[sel].ravel(order="F")[keep])
-                out_d.append(dsel.astype(np.float64).ravel(order="F")[keep])
+                        bt_c[sel_rows] = PQ.adc_scan(codes_c[sel_rows], B_[pid])
+                sparse_chunk(
+                    ids_c, p_idx, codes_c, bt_c,
+                    out_q, out_id, out_d,
+                )
         if out_q:
             # exact per-query cut over everything this task scored
             q_all = np.concatenate(out_q)
