@@ -194,6 +194,7 @@ class RestServer:
                 "opq_dimension",
                 "compressed_vector_bytes",
                 "omit_opq",
+                "covering",  # store (vector, metadata) with the codes
             )
             if body.get(k) is not None
         }

@@ -781,6 +781,7 @@ class VectorDB:
         num_clusters: int | None = None,  # heuristic override (ref mindb.py:231)
         force_flat: bool = False,
         seed: int = 42,
+        covering: bool = False,
     ) -> None:
         """(Re)build the index from a PINNED snapshot of the live table.
 
@@ -797,6 +798,11 @@ class VectorDB:
           watermark (not reset to zero), so concurrent adds/removes during
           the build are accounted exactly — the reference's
           add-while-training invariant (n=32000 → coverage 30000/32000).
+
+        ``covering=True`` stores (vector, metadata) beside each PQ code so
+        small query batches exact-rerank inside the pruned codes scan
+        (``ivf.search`` fused path) instead of re-scanning the data table
+        — interactive-latency trade: one extra on-disk copy of the table.
         """
         self._check_live()
         dim = self.vector_dimension
@@ -865,6 +871,13 @@ class VectorDB:
             build_index(
                 snapshot, params, index_dir,
                 use_two_level=two_level, seed=seed, n_buckets=n_buckets,
+                # COVERING index: stores (vector, metadata) beside each
+                # code so small-Q queries exact-rerank straight out of
+                # the pruned codes scan (ivf.search fused path) — one
+                # extra on-disk copy of the table, the classic covering
+                # trade. The reference holds full vectors in Faiss RAM
+                # alongside the pickled store (mindb.py), the same 2x.
+                carry_cols=("vector", "metadata") if covering else (),
             )
             with self._lock:
                 if self._pstate.epoch != self._epoch:
@@ -875,6 +888,7 @@ class VectorDB:
                 self._refresh_manifest()
                 self._manifest["index_version"] = next_version
                 self._manifest["n_buckets"] = n_buckets
+                self._manifest["covering"] = bool(covering)
                 self._manifest["index_params"] = {
                     "num_clusters": params.num_clusters,
                     "n_probe": params.n_probe,
@@ -997,6 +1011,13 @@ class VectorDB:
                 # and could leave a recreated-orphan index tree behind)
                 self._pins.add(idx_dir)
                 n_buckets = self._manifest["n_buckets"]
+                # a covering index stores (vector, metadata) with each
+                # code — the tail append must match that schema or later
+                # fused reads see null vectors
+                carry = (
+                    ("vector", "metadata")
+                    if self._manifest.get("covering") else ()
+                )
             if not files:
                 return 0
             tail = (
@@ -1011,7 +1032,7 @@ class VectorDB:
                 )
                 codes = encode_all(
                     tail, artifacts, id_col="id", vector_col="vector",
-                    n_buckets=n_buckets,
+                    n_buckets=n_buckets, carry_cols=carry,
                 )
                 # epoch re-check under the lock immediately before the
                 # append: tombstone_and_remove bumps the epoch and removes
@@ -1135,6 +1156,15 @@ class VectorDB:
             ),
             n_buckets=self._manifest["n_buckets"],
             extra_cols=("metadata",),
+            # the fused covering-rescore path reranks from the codes
+            # table, which only equals the two-stage result while every
+            # codes row is still live and unfiltered: a post-train
+            # remove() leaves dead rows the stage-2 inner join would have
+            # dropped, and a metadata_filter applies to the rerank join
+            rescore_from_codes=(
+                metadata_filter is None
+                and self._manifest["num_trained_vectors_removed"] == 0
+            ),
         )
         return out.select("query_id", "id", "metadata", "cosine_similarity")
 

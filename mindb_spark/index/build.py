@@ -361,11 +361,19 @@ def encode_all(
     id_col: str = "id",
     vector_col: str = "vector",
     n_buckets: int = 64,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """The full index-population pass: every row -> (id, cluster_id, code).
 
     One shuffle-free mapInPandas; replaces the reference's batched
     add_vectors_to_faiss loop (train.py:112-133).
+
+    ``carry_cols`` are columns of ``df`` copied verbatim into the codes
+    table (a COVERING index — e.g. the raw vector and metadata), so a
+    selective query can exact-rerank straight out of the pruned codes
+    scan without a second full-table fetch (see ``ivf.search``'s fused
+    small-Q path). Costs one extra on-disk copy of those columns;
+    parquet column pruning keeps non-covering scans unaffected.
     """
     spark = df.sparkSession
     from mindb_spark.session import ship_package
@@ -373,6 +381,11 @@ def encode_all(
     ship_package(spark)
     b_art = spark.sparkContext.broadcast(
         (artifacts.mean, artifacts.pca, artifacts.centroids, artifacts.codebooks)
+    )
+    carry = [c for c in carry_cols if c != id_col]
+    in_cols = [id_col, vector_col] + [c for c in carry if c != vector_col]
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -390,17 +403,20 @@ def encode_all(
             # query-independent half of the ADC distance, precomputed once
             # per row so the scan needs no per-(query, cell) tables
             bterm = PQ.cell_code_term(codes, cid, centroids, codebooks)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "cluster_id": cid.astype(np.int32),
-                    "code": [c.tobytes() for c in codes],
-                    "bterm": bterm,
-                }
-            )
+            out_pdf = {
+                id_col: ids,
+                "cluster_id": cid.astype(np.int32),
+                "code": [c.tobytes() for c in codes],
+                "bterm": bterm,
+            }
+            for c in carry:
+                out_pdf[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out_pdf)
 
-    out = df.select(id_col, vector_col).mapInPandas(
-        enc, schema=f"{id_col} long, cluster_id int, code binary, bterm float"
+    out = df.select(*in_cols).mapInPandas(
+        enc,
+        schema=f"{id_col} long, cluster_id int, code binary, bterm float"
+        + carry_schema,
     )
     return out.withColumn(
         "cluster_bucket", bucket_expr(n_buckets, artifacts.num_clusters)
@@ -416,12 +432,16 @@ def build_index(
     use_two_level: bool = False,
     seed: int = 42,
     n_buckets: int | None = None,
+    carry_cols: tuple = (),
 ) -> tuple[IndexArtifacts, int]:
     """Train + populate an IVF-PQ index from a (snapshot of a) vectors table.
 
     Writes ``{index_dir}/artifacts.npz``, ``{index_dir}/centroids.parquet``
     and ``{index_dir}/codes`` (parquet partitioned by cluster_bucket).
     Returns (artifacts, num_rows_indexed).
+
+    ``carry_cols`` (e.g. ``("vector", "metadata")``) makes the codes table
+    a COVERING index — see :func:`encode_all`.
     """
     n = vectors.count()
     d = len(vectors.select(vector_col).first()[0])
@@ -470,7 +490,10 @@ def build_index(
     artifacts.save(os.path.join(index_dir, "artifacts.npz"))
 
     buckets = n_buckets or default_n_buckets(centroids.shape[0])
-    codes = encode_all(vectors, artifacts, id_col=id_col, vector_col=vector_col, n_buckets=buckets)
+    codes = encode_all(
+        vectors, artifacts, id_col=id_col, vector_col=vector_col,
+        n_buckets=buckets, carry_cols=carry_cols,
+    )
     # CELL-CLUSTERED layout: without it, every encode task writes one
     # small file per touched bucket (tasks x buckets files, cells
     # interleaved ~4 rows apart at 10M), which defeats cluster_id
@@ -479,7 +502,9 @@ def build_index(
     # each cell contiguously with tight min/max stats, one file per
     # output partition; file count scales with rows (~4M code rows
     # ≈ 100 MB per file), not with encode parallelism.
-    n_files = max(buckets, -(-n // 4_000_000))
+    # ~100 MB per file: code rows are ~45 B, covering rows ~10x that
+    rows_per_file = 400_000 if carry_cols else 4_000_000
+    n_files = max(buckets, -(-n // rows_per_file))
     # materialize the encode ONCE: repartitionByRange SAMPLES its input
     # to pick boundaries, which would re-run the whole assignment+PQ
     # encode pipeline a second time without the persist

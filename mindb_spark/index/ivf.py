@@ -127,10 +127,24 @@ def adc_candidates(
     preliminary_top_k: int,
     id_col: str = "id",
     n_buckets: int = 64,
+    rescore: bool = False,
+    vector_col: str = "vector",
+    carry_cols: tuple = (),
+    normalize_rows: bool = False,
 ) -> DataFrame:
     """Stage 1: ADC-score PQ codes in the probed cells; top-prelim_k per query.
 
     Returns (query_id, id, adc_dist) with <= preliminary_top_k rows/query.
+
+    ``rescore=True`` requires a COVERING codes table (built with
+    ``carry_cols``, see build.encode_all): the kernel additionally reads
+    each row's stored exact vector, computes the TRUE cosine of every
+    emitted candidate against ``query_vectors`` (which must then be the
+    L2-normalized query matrix), and carries ``carry_cols`` through — the
+    output gains ``score`` plus the carried columns, and stage 2's
+    full-table fetch disappears (the fused small-Q path in ``search``).
+    ``normalize_rows`` says the stored vectors are raw (normalize them
+    in-kernel before the dot product).
     """
     spark = codes.sparkSession
     from mindb_spark.session import ship_package
@@ -226,9 +240,10 @@ def adc_candidates(
         cmat = cmat.reshape(P, m_, dsub_)
         B = (2.0 * np.einsum("pjd,jkd->pjk", cmat, cb)).astype(np.float32)
 
+    qraw = np.asarray(query_vectors, dtype=np.float64) if rescore else None
     b = spark.sparkContext.broadcast(
         (A, d2p, probe_q, cell2p, B,
-         np.asarray(query_ids, dtype=np.int64), preliminary_top_k)
+         np.asarray(query_ids, dtype=np.int64), preliminary_top_k, qraw)
     )
 
     # codes-row chunk bound inside the kernel: a (chunk, Q) float32 distance
@@ -237,7 +252,7 @@ def adc_candidates(
     CHUNK = 65536
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        A_, d2p_, probe_q_, cell2p_, B_, qids, prelim = b.value
+        A_, d2p_, probe_q_, cell2p_, B_, qids, prelim, qraw_ = b.value
         m = A_.shape[1]
         At = np.ascontiguousarray(A_.transpose(1, 2, 0))  # (m, 256, Q), once
         d2pT = d2p_.T  # (P, Q)
@@ -267,7 +282,7 @@ def adc_candidates(
         # (~40 B/pair -> ~160 MB per block at the cap)
         PAIR_BUDGET = 4_000_000
 
-        def sparse_chunk(ids_c, p_idx, codes_c, bt_c, out_q, out_id, out_d):
+        def sparse_chunk(ids_c, p_idx, codes_c, bt_c, vec_c, carry_c):
             cnt = probe_cnt[p_idx]  # pairs contributed by each row
             csum = np.cumsum(cnt)
             total = int(csum[-1]) if cnt.size else 0
@@ -280,7 +295,7 @@ def adc_candidates(
                 side="left",
             )
             bounds = np.r_[0, bounds + 1, cnt.size]
-            qs_l, is_l, ds_l = [], [], []
+            qs_l, is_l, ds_l, rs_l = [], [], [], []
             for bi in range(len(bounds) - 1):
                 a, e = int(bounds[bi]), int(bounds[bi + 1])
                 if a >= e:
@@ -302,13 +317,17 @@ def adc_candidates(
                 qs_l.append(q_pair)
                 is_l.append(ids_c[row_rep])
                 ds_l.append(d)
+                if vec_c is not None:
+                    rs_l.append(row_rep)
             q_all = np.concatenate(qs_l)
             i_all = np.concatenate(is_l)
             d_all = np.concatenate(ds_l)
+            r_all = np.concatenate(rs_l) if vec_c is not None else None
             # per-query partial top-k before emitting (the global window
             # does the exact cut; this bounds emitted rows to prelim/query)
             oq = np.argsort(q_all, kind="stable")
             q_s, i_s, d_s = q_all[oq], i_all[oq], d_all[oq]
+            r_s = r_all[oq] if r_all is not None else None
             qseg = np.flatnonzero(np.r_[True, q_s[1:] != q_s[:-1]])
             qend = np.r_[qseg[1:], q_s.size]
             for s2, e2 in zip(qseg, qend):
@@ -319,6 +338,19 @@ def adc_candidates(
                 out_q.append(qids[q_s[sel2]])
                 out_id.append(i_s[sel2])
                 out_d.append(d_s[sel2].astype(np.float64))
+                if vec_c is not None:
+                    # fused exact rescore: TRUE cosine of only the kept
+                    # pairs (<= prelim/query) against the raw query
+                    # matrix — the stored vectors are already in memory
+                    # from this scan, so stage 2 costs one tiny einsum
+                    rows_k = r_s[sel2]
+                    out_s.append(
+                        np.einsum(
+                            "ij,ij->i", vec_c[rows_k], qraw_[q_s[sel2]]
+                        )
+                    )
+                    for c in carry_cols:
+                        out_c[c].append(carry_c[c][rows_k])
 
         def rebatched(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             """Coalesce incoming Arrow batches up to CHUNK rows.
@@ -349,6 +381,8 @@ def adc_candidates(
         # kernel); accumulation is memory-bounded at chunks_per_task x
         # prelim rows per query.
         out_q, out_id, out_d = [], [], []
+        out_s = [] if rescore else None
+        out_c = {c: [] for c in carry_cols} if rescore else None
         for pdf in rebatched(batches):
             n_rows = len(pdf)
             ids_all = pdf[id_col].to_numpy(dtype=np.int64)
@@ -357,6 +391,13 @@ def adc_candidates(
             bt_all = (
                 pdf["bterm"].to_numpy(dtype=np.float32) if B_ is None else None
             )
+            if rescore:
+                vec_all = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+                if normalize_rows:
+                    nrm = np.linalg.norm(vec_all, axis=1, keepdims=True)
+                    nrm[nrm == 0] = 1.0
+                    vec_all /= nrm
+                carry_all = {c: pdf[c].to_numpy() for c in carry_cols}
             # compact probed-cell index; UNPROBED cells -> -1 and are
             # dropped here (the scan may be unfiltered when the probe set
             # is dense — see the selectivity-aware pruning above)
@@ -368,6 +409,11 @@ def adc_candidates(
                 p_idx = p_all[start:end]  # (n,) compact cell index
                 codes_c = code_all[start:end]
                 bt_c = bt_all[start:end] if bt_all is not None else None
+                vec_c = vec_all[start:end] if rescore else None
+                carry_c = (
+                    {c: a[start:end] for c, a in carry_all.items()}
+                    if rescore else None
+                )
                 probed_mask = p_idx >= 0
                 if not probed_mask.all():
                     if not probed_mask.any():
@@ -377,6 +423,9 @@ def adc_candidates(
                     codes_c = codes_c[probed_mask]
                     if bt_c is not None:
                         bt_c = bt_c[probed_mask]
+                    if vec_c is not None:
+                        vec_c = vec_c[probed_mask]
+                        carry_c = {c: a[probed_mask] for c, a in carry_c.items()}
                 if bt_c is None:
                     # legacy no-bterm codes: the per-row cell term is
                     # query-independent, so materialize it once per chunk
@@ -386,38 +435,49 @@ def adc_candidates(
                     for pid in np.unique(p_idx):
                         sel_rows = p_idx == pid
                         bt_c[sel_rows] = PQ.adc_scan(codes_c[sel_rows], B_[pid])
-                sparse_chunk(
-                    ids_c, p_idx, codes_c, bt_c,
-                    out_q, out_id, out_d,
-                )
+                sparse_chunk(ids_c, p_idx, codes_c, bt_c, vec_c, carry_c)
         if out_q:
             # exact per-query cut over everything this task scored
             q_all = np.concatenate(out_q)
             i_all = np.concatenate(out_id)
             d_all = np.concatenate(out_d)
+            s_all = np.concatenate(out_s) if rescore else None
+            c_all = (
+                {c: np.concatenate(v) for c, v in out_c.items()}
+                if rescore else None
+            )
             oq = np.argsort(q_all, kind="stable")
             q_s, i_s, d_s = q_all[oq], i_all[oq], d_all[oq]
             qseg = np.flatnonzero(np.r_[True, q_s[1:] != q_s[:-1]])
             qend = np.r_[qseg[1:], q_s.size]
-            fq, fi, fd = [], [], []
+            keep_l = []
             for s2, e2 in zip(qseg, qend):
                 if e2 - s2 > prelim:
-                    sel2 = s2 + np.argpartition(d_s[s2:e2], prelim - 1)[:prelim]
+                    keep_l.append(s2 + np.argpartition(d_s[s2:e2], prelim - 1)[:prelim])
                 else:
-                    sel2 = np.arange(s2, e2)
-                fq.append(q_s[sel2])
-                fi.append(i_s[sel2])
-                fd.append(d_s[sel2])
-            yield pd.DataFrame(
-                {"query_id": np.concatenate(fq),
-                 id_col: np.concatenate(fi),
-                 "adc_dist": np.concatenate(fd)}
-            )
+                    keep_l.append(np.arange(s2, e2))
+            keep = np.concatenate(keep_l)
+            out_pdf = {
+                "query_id": q_s[keep],
+                id_col: i_s[keep],
+                "adc_dist": d_s[keep],
+            }
+            if rescore:
+                kept_src = oq[keep]  # back to pre-sort positions
+                out_pdf["score"] = s_all[kept_src]
+                for c in carry_cols:
+                    out_pdf[c] = c_all[c][kept_src]
+            yield pd.DataFrame(out_pdf)
 
     scan_cols = ["cluster_id", id_col, "code"] + (["bterm"] if has_bterm else [])
-    scored = pruned.select(*scan_cols).mapInPandas(
-        score, schema=f"query_id long, {id_col} long, adc_dist double"
-    )
+    out_schema = f"query_id long, {id_col} long, adc_dist double"
+    if rescore:
+        scan_cols.append(vector_col)
+        scan_cols.extend(c for c in carry_cols if c not in scan_cols)
+        out_schema += ", score double" + "".join(
+            f", {c} {codes.schema[c].dataType.simpleString()}" for c in carry_cols
+        )
+    scored = pruned.select(*scan_cols).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.col(id_col))
     return (
         scored.withColumn("_rank", F.row_number().over(w))
@@ -507,6 +567,7 @@ def search(
     n_buckets: int = 64,
     extra_cols: tuple = (),
     assume_normalized: bool = True,
+    rescore_from_codes: bool = True,
 ) -> DataFrame:
     """Full two-stage query (+ exact search of the unindexed tail).
 
@@ -515,6 +576,19 @@ def search(
     vectorized) instead of as a declarative ``l2_normalize`` projection —
     Spark higher-order functions execute interpreted and would re-evaluate
     per candidate row after the rerank join.
+
+    FUSED small-Q path: when the codes table is COVERING (built with
+    ``carry_cols`` ⊇ {vector_col} ∪ extra_cols) and the batch is small
+    (Q x prelim <= _SMALL_FETCH_IDS), the exact rerank happens inside the
+    stage-1 scan kernel against the STORED vectors — no stage-2 full-table
+    fetch, so query cost is proportional to the probed cells instead of
+    the corpus (the point-lookup wall of a scan-based engine). The result
+    is bit-identical to the two-stage path (same global ADC-prelim cut,
+    same float64 einsum) PROVIDED every codes row is still live: rows
+    deleted from ``vectors`` after the build would resurface, since the
+    two-stage inner join is what drops them. Callers that cannot rule
+    out post-build deletions must pass ``rescore_from_codes=False``
+    (VectorDB gates this on its num_trained_vectors_removed counter).
     """
     from mindb_spark.core.heuristics import get_n_probe
 
@@ -532,6 +606,53 @@ def search(
         # sources disjoint, and the pushed-down id predicate prunes the
         # scan for free
         codes = codes.where(F.col(id_col) <= max_trained_id)
+
+    fused = (
+        rescore_from_codes
+        and len(qids) * preliminary_top_k <= _SMALL_FETCH_IDS
+        and vector_col in codes.columns
+        and all(c in codes.columns for c in extra_cols)
+    )
+    if fused:
+        scored = adc_candidates(
+            codes, artifacts, qids, qnorm, n_probe, preliminary_top_k,
+            id_col=id_col, n_buckets=n_buckets,
+            rescore=True, vector_col=vector_col, carry_cols=extra_cols,
+            normalize_rows=not assume_normalized,
+        ).select(
+            "query_id", F.col(id_col), *extra_cols,
+            F.col("score").alias("cosine_similarity"),
+        # same crash-dup insurance as rerank_exact's dropDuplicates: a
+        # codes append whose manifest save never landed can duplicate an
+        # id; tiny input (<= Q x prelim rows), so the shuffle is free
+        ).dropDuplicates(["query_id", id_col])
+        if max_trained_id is not None:
+            tail = vectors.where(F.col(id_col) > max_trained_id)
+            from mindb_spark.operators.topk import knn_batch
+
+            tail_cand = knn_batch(
+                tail, [(int(q), v) for q, v in zip(qids, qnorm)],
+                preliminary_top_k, id_col=id_col, vector_col=vector_col,
+                assume_normalized=assume_normalized,
+            ).select("query_id", id_col)
+            # the tail is small by construction (rows since last train);
+            # rerank_exact fetches + scores only those candidates
+            tail_scored = rerank_exact(
+                tail_cand, tail, qids, qnorm, preliminary_top_k,
+                id_col=id_col, vector_col=vector_col, extra_cols=extra_cols,
+                assume_normalized=assume_normalized,
+            ).select(
+                "query_id", F.col(id_col), *extra_cols, "cosine_similarity"
+            )
+            scored = scored.unionByName(tail_scored)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_similarity"), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= final_top_k)
+            .drop("_rank")
+        )
 
     cand = adc_candidates(
         codes, artifacts, qids, qnorm, n_probe, preliminary_top_k,
