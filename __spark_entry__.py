@@ -132,7 +132,10 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_CACHE: dict = {}
 
 
-def _ann_index(spark: SparkSession, sf_dir: str, two_level: bool = False, fresh: bool = False):
+def _ann_index(
+    spark: SparkSession, sf_dir: str, two_level: bool = False,
+    fresh: bool = False, covering: bool = False,
+):
     """Build (or reuse) the IVF-PQ index for a testdata dir.
 
     Cached per (sf_dir, strategy) so the query entries measure steady-state
@@ -144,7 +147,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, two_level: bool = False, fresh:
     from mindb_spark.core.heuristics import resolve_index_params
     from mindb_spark.index.build import build_index
 
-    key = (sf_dir, two_level)
+    key = (sf_dir, two_level, covering)
     if not fresh and key in _ANN_CACHE:
         return _ANN_CACHE[key]
     emb = _normalized_emb(spark, sf_dir)
@@ -152,7 +155,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, two_level: bool = False, fresh:
     d = len(emb.select("vector").first()[0])
     params = resolve_index_params(n, d)
     n_buckets = min(16, params.num_clusters)
-    tag = "twolevel" if two_level else "subsample"
+    tag = ("twolevel" if two_level else "subsample") + ("-cov" if covering else "")
     idx_dir = os.path.join(
         "/tmp/mindb_ann_cache", os.path.basename(sf_dir.rstrip("/")), tag
     )
@@ -160,6 +163,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, two_level: bool = False, fresh:
     artifacts, _ = build_index(
         emb, params, idx_dir, id_col="vec_id", n_buckets=n_buckets,
         use_two_level=two_level,
+        carry_cols=("vector",) if covering else (),
     )
     _ANN_CACHE[key] = (artifacts, os.path.join(idx_dir, "codes"), n_buckets)
     return _ANN_CACHE[key]
@@ -407,6 +411,57 @@ def q_ann_clustered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fl6("cosine_similarity").alias("score"),
         F.lit(round(recall, 4)).alias("recall_at_50"),
         F.lit(params.n_probe).alias("n_probe"),
+    )
+
+
+def q_ann_fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused covering-index query (round-5 small-Q scale path): the codes
+    table stores each row's exact vector (build_index carry_cols), and a
+    small batch exact-reranks INSIDE the pruned stage-1 scan — no
+    stage-2 full-table fetch (mindb_spark/index/ivf.py, search()'s fused
+    branch). Not SQL-expressible; the entry embeds a THREE-part proof:
+    (1) every emitted score is the TRUE cosine of the referenced raw
+    vectors (driver-recomputed), (2) per-query count == k with no dups,
+    (3) the fused output is IDENTICAL (ids AND float-exact scores) to
+    the classic two-stage path on the same index."""
+    import numpy as np
+
+    from mindb_spark.index import ivf
+
+    artifacts, codes_path, n_buckets = _ann_index(spark, sf_dir, covering=True)
+    # NORMALIZED vectors table: the covering build stored normalized
+    # vectors, so both paths score identical float32 values — the basis
+    # of the exact-equality proof below
+    emb = _normalized_emb(spark, sf_dir)
+    codes = spark.read.parquet(codes_path)
+    qv = [
+        (qid, np.asarray(v, dtype=np.float64))
+        for qid, v in _query_vectors(spark, sf_dir, 4)
+    ]
+    kw = dict(
+        preliminary_top_k=500, final_top_k=10,
+        n_probe=_sf_fallback_probe(spark, sf_dir),
+        max_trained_id=None, id_col="vec_id", n_buckets=n_buckets,
+    )
+    out = ivf.search(codes, emb, artifacts, qv, **kw).localCheckpoint()
+    rows = out.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 10 for v in by_q.values()), "dup ids or short result"
+    classic = {
+        (r.query_id, r.vec_id): r.cosine_similarity
+        for r in ivf.search(
+            codes, emb, artifacts, qv, rescore_from_codes=False, **kw
+        ).collect()
+    }
+    fusedr = {(r.query_id, r.vec_id): r.cosine_similarity for r in rows}
+    assert fusedr == classic, "fused != two-stage on a live covering index"
+    _assert_exact_cosine_scores(
+        spark, sf_dir, rows, ("query_id", "vec_id"), "cosine_similarity"
+    )
+    return out.select(
+        "query_id", "vec_id", _fl6("cosine_similarity").alias("score")
     )
 
 
@@ -1408,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_build_twolevel": q_ann_build_twolevel,
         "ann_query": q_ann_query,
         "ann_clustered_query": q_ann_clustered_query,
+        "ann_fused_query": q_ann_fused_query,
         "similarity_join_lsh": q_similarity_join_lsh,
         "similarity_join_ivf": q_similarity_join_ivf,
         # -- entries rotated into the driver window in round 5
@@ -1452,11 +1508,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_events": q_window_top_events,
         "sessionize": q_sessionize,
         "stream_window_agg": q_stream_window_agg,
-        "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "embed_mean_pool": q_embed_mean_pool,
         # ---------------- entries 51+ (proven in r03/r04 driver artifacts;
-        # ---------------- re-verified locally via tools/check_contract.py)
+        # ---------------- re-verified locally via tools/check_contract.py;
+        # ---------------- stream_dedup moved here in r5 to make window
+        # ---------------- room for ann_fused_query — streaming keeps
+        # ---------------- stream_window_agg as its in-window row)
+        "stream_dedup": q_stream_dedup,
         "knn_batch": q_knn_batch,
         "filtered_knn": q_filtered_knn,
         "dedup_survivors": q_dedup_survivors,

@@ -149,7 +149,7 @@ def ngram_jaccard_pairs(
         cached.unpersist()
 
 
-def _cc_star(und: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star(und: DataFrame, max_iter: int, stats: dict | None = None) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14): converges in
     O(log^2 n) rounds GUARANTEED regardless of graph diameter — the
@@ -166,7 +166,9 @@ def _cc_star(und: DataFrame, max_iter: int) -> DataFrame:
     """
     edges = und  # symmetric, self-loop-free, checkpointed by the caller
     n_edges = edges.count()
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = round_no + 1
         # ---- large-star: for center u, attach neighbors v > u to
         # m = min({u} ∪ N(u))
         mins = (
@@ -221,6 +223,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: (id, component)
     with ``component`` = the minimum id reachable from ``id``.
@@ -248,6 +251,10 @@ def connected_components(
     with an O(log^2 n) round bound independent of diameter — the
     guaranteed-convergence path for adversarial chained-duplicate
     graphs. Identical output contract.
+
+    ``stats``: optional dict; on return ``stats["rounds"]`` holds the
+    number of shuffle rounds executed (scale probes assert the star
+    path's O(log n) round bound against it).
     """
     und = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -261,7 +268,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if algorithm == "star":
-        return _cc_star(und, max_iter)
+        return _cc_star(und, max_iter, stats=stats)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} (label | star)")
     labels = (
@@ -270,7 +277,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = round_no + 1
         prop = (
             und.join(labels, und.src == labels.id)
             .groupBy("dst")

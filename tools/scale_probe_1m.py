@@ -78,12 +78,20 @@ def main() -> None:
         f"two_level={two_level}",
         flush=True,
     )
+    n_buckets = B.default_n_buckets(params.num_clusters)
     t0 = time.time()
+    # COVERING build (vectors stored beside the codes): lets the probe
+    # measure the fused small-Q path; column pruning keeps the classic
+    # two-stage scans unaffected by the extra column
     arts, _ = B.build_index(
-        vdf, params, f"{WORK}/idx", n_buckets=64, use_two_level=two_level
+        vdf, params, f"{WORK}/idx", n_buckets=n_buckets,
+        use_two_level=two_level, carry_cols=("vector",),
     )
     dt = time.time() - t0
-    print(f"build: {dt:.1f}s = {dt / N * 1000:.3f} ms/vector", flush=True)
+    print(
+        f"build (covering, {n_buckets} buckets): {dt:.1f}s = "
+        f"{dt / N * 1000:.3f} ms/vector", flush=True,
+    )
 
     codes = spark.read.parquet(f"{WORK}/idx/codes")
     r = np.random.default_rng(1000)
@@ -92,11 +100,12 @@ def main() -> None:
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     queries = [(i, qm[i]) for i in range(Q)]
 
-    def run(nq):
+    def run(nq, fused=True):
         t0 = time.time()
         out = ivf.search(
             codes, vdf, arts, queries[:nq], preliminary_top_k=500, final_top_k=50,
-            n_probe=params.n_probe, max_trained_id=None, n_buckets=64,
+            n_probe=params.n_probe, max_trained_id=None, n_buckets=n_buckets,
+            rescore_from_codes=fused,
         ).collect()
         return time.time() - t0, out
 
@@ -114,7 +123,17 @@ def main() -> None:
     )
     for nq in (1, 1, 8, 128, Q, Q):  # repeats: first run pays page-cache misses
         dt, out = run(nq)
-        print(f"search Q={nq}: {dt:.1f}s = {dt / nq * 1000:.1f} ms/query", flush=True)
+        mode = "fused" if nq * 500 <= 4096 else "two-stage"
+        print(
+            f"search Q={nq} ({mode}): {dt:.1f}s = {dt / nq * 1000:.1f} ms/query",
+            flush=True,
+        )
+    for nq in (1, 1):  # the classic path on the same index, for the delta
+        dt, out = run(nq, fused=False)
+        print(
+            f"search Q={nq} (two-stage): {dt:.1f}s = {dt / nq * 1000:.1f} ms/query",
+            flush=True,
+        )
 
     # exact ground truth for 64 queries: streamed driver-side GEMM
     qf = qm[:64].astype(np.float32)
@@ -146,7 +165,7 @@ def main() -> None:
     got: dict[int, set] = {}
     for rrow in ivf.search(
         codes, vdf, arts, queries[:64], preliminary_top_k=500, final_top_k=50,
-        n_probe=params.n_probe, max_trained_id=None, n_buckets=64,
+        n_probe=params.n_probe, max_trained_id=None, n_buckets=n_buckets,
     ).collect():
         got.setdefault(rrow.query_id, set()).add(rrow.id)
     recs = [len(got.get(qi, set()) & set(ids[qi].tolist())) / 50 for qi in range(64)]
