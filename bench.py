@@ -168,7 +168,13 @@ def main() -> None:
         params = resolve_index_params(30_000, 64)
         idx_dir = "/tmp/bench_clustered_idx"
         t0 = time.time()
-        arts, _ = build_index(vdf, params, idx_dir, n_buckets=16)
+        # COVERING build (round 5): stores the vector beside each code so
+        # the point-query probe below can exercise the fused path; column
+        # pruning keeps the batch-path scans unaffected (~15 MB extra
+        # write at 30k x 64, inside build_sec noise)
+        arts, _ = build_index(
+            vdf, params, idx_dir, n_buckets=16, carry_cols=("vector",)
+        )
         build_s = round(time.time() - t0, 3)
         codes = spark.read.parquet(f"{idx_dir}/codes")
         q_idx = rng.integers(0, 30_000, size=50)
@@ -207,6 +213,22 @@ def main() -> None:
                 n_probe=params.n_probe, max_trained_id=None, n_buckets=16,
             ).count()
             heuristic_ms[f"q{nq}"] = round((time.time() - t0) / nq * 1000, 1)
+        # interactive point-query latency (Q=1): the fused covering path
+        # reranks inside the pruned stage-1 scan; two-stage pays the full
+        # data-table fetch. Median of 3 warm runs each.
+        point_ms: dict[str, float] = {}
+        for label, fused in (("fused_q1", True), ("two_stage_q1", False)):
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                ivf.search(
+                    codes, vdf, arts, queries[:1], preliminary_top_k=500,
+                    final_top_k=50, n_probe=params.n_probe,
+                    max_trained_id=None, n_buckets=16,
+                    rescore_from_codes=fused,
+                ).count()
+                ts.append(time.time() - t0)
+            point_ms[label] = round(sorted(ts)[1] * 1000, 1)
         clustered = {
             "recall_at_50": round(float(np.mean(recs)), 4),
             "n_probe": params.n_probe,
@@ -215,6 +237,7 @@ def main() -> None:
             "build_sec": build_s,
             "search_sec_50q": search_s,
             "heuristic_ms_per_query": heuristic_ms,
+            "point_query_ms": point_ms,
         }
         print(f"# clustered heuristic-probe eval = {clustered}", file=sys.stderr)
     except Exception as e:

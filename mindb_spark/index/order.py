@@ -94,10 +94,14 @@ def locality_order(centroids: np.ndarray, leaf: int = 8) -> np.ndarray:
 def probed_id_runs(cids: "list[int] | np.ndarray") -> list[tuple[int, int]]:
     """Merge a sorted, deduplicated id list into inclusive [lo, hi] runs.
 
-    The runs are EXACT (no gaps), so a disjunction of BETWEEN predicates
-    over them selects precisely the probed cells — usable both as a
-    pushed-down parquet row-group filter and as the complete cell filter
-    (no residual semi-join needed).
+    Diagnostic companion to :func:`locality_order`: the run count is the
+    locality metric scale probes report (fewer runs = tighter probe
+    span = more effective range/bucket pruning). The pruning itself uses
+    one global BETWEEN over the span plus range-bucket partition filters
+    — a per-run OR-disjunction was measured SLOWER than no pruning
+    (~0.7 s/1M rows of per-row predicate evaluation; see PERF_NOTES
+    round 5), which is why adc_candidates does not consume these runs
+    directly.
     """
     a = np.asarray(cids, dtype=np.int64)
     if a.size == 0:
@@ -106,33 +110,3 @@ def probed_id_runs(cids: "list[int] | np.ndarray") -> list[tuple[int, int]]:
     starts = np.r_[0, breaks + 1]
     ends = np.r_[breaks, a.size - 1]
     return [(int(a[s]), int(a[e])) for s, e in zip(starts, ends)]
-
-
-def coalesce_runs(
-    runs: list[tuple[int, int]], max_runs: int
-) -> list[tuple[int, int]]:
-    """Merge [lo, hi] runs down to at most ``max_runs`` by closing the
-    SMALLEST inter-run gaps first (keeping the ``max_runs - 1`` widest
-    gaps as separators).
-
-    The result COVERS the input (may include gap ids that were not in
-    it), so a BETWEEN disjunction over coalesced runs is a superset
-    filter: sound for row-group pruning, but an exact row filter (the
-    probe semi-join / the kernel's own unprobed-cell drop) must still
-    run behind it.
-    """
-    if len(runs) <= max_runs:
-        return list(runs)
-    gaps = np.array(
-        [runs[i + 1][0] - runs[i][1] for i in range(len(runs) - 1)], dtype=np.int64
-    )
-    # indices of the widest max_runs-1 gaps, in positional order
-    # (note: [-0:] would keep ALL gaps, so slice from the front)
-    seps = np.sort(np.argsort(gaps, kind="stable")[len(gaps) - (max_runs - 1) :])
-    out: list[tuple[int, int]] = []
-    lo = runs[0][0]
-    for i in seps:
-        out.append((lo, runs[int(i)][1]))
-        lo = runs[int(i) + 1][0]
-    out.append((lo, runs[-1][1]))
-    return out

@@ -5,7 +5,7 @@ k-means labeling."""
 
 import numpy as np
 
-from mindb_spark.index.order import coalesce_runs, locality_order, probed_id_runs
+from mindb_spark.index.order import locality_order, probed_id_runs
 
 
 def test_is_deterministic_permutation():
@@ -29,20 +29,6 @@ def test_probed_id_runs():
     assert probed_id_runs([5]) == [(5, 5)]
     assert probed_id_runs([1, 2, 3, 7, 9, 10]) == [(1, 3), (7, 7), (9, 10)]
     assert probed_id_runs(np.arange(100)) == [(0, 99)]
-
-
-def test_coalesce_runs():
-    runs = [(0, 2), (5, 6), (100, 110), (113, 113), (400, 401)]
-    assert coalesce_runs(runs, 10) == runs  # under cap: unchanged
-    # cap 3 keeps the 2 widest gaps (6->100 and 113->400) as separators
-    assert coalesce_runs(runs, 3) == [(0, 6), (100, 113), (400, 401)]
-    assert coalesce_runs(runs, 1) == [(0, 401)]
-    # coverage property: every input id stays inside some output run
-    for cap in (1, 2, 3, 4):
-        out = coalesce_runs(runs, cap)
-        assert len(out) <= cap
-        for lo, hi in runs:
-            assert any(o_lo <= lo and hi <= o_hi for o_lo, o_hi in out)
 
 
 def test_probe_ball_locality():
