@@ -917,6 +917,30 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode over opaque payloads (documents.text as binary) via
+    the raw u8-PCM interpretation — a TOTAL, deterministic decode whose
+    rms / zero-crossing-rate / peak are true per-byte functions of the
+    payload, so the whole output (features included) is SQL-expressible
+    and oracle-checked (the oracle recomputes them from the hex
+    expansion of the same bytes). Real WAV-header parsing (PCM
+    8/16/24/32-bit + IEEE float, stdlib-only) is pytest-pinned in
+    tests/test_audio.py."""
+    from mindb_spark.multimodal import decode_audio
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    out = decode_audio(payloads)
+    return out.select(
+        "doc_id", "sample_rate", "channels", "n_samples",
+        _fl6("duration_sec").alias("duration_sec"),
+        _fl6("rms").alias("rms"),
+        _fl6("zcr").alias("zcr"),
+        _fl6("peak").alias("peak"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
     from mindb_spark.operators.temporal import session_stats
@@ -1538,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "set_ops": q_set_ops,
         "contamination_check": q_contamination_check,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -1874,6 +1899,46 @@ select doc_id,
        substr(hx, fno * 8192 + 1, 16) as frame_hex8,
        (least((fno + 1) * 4096, n) - fno * 4096)::BIGINT as frame_bytes
 from f
+""",
+        "multimodal_audio": """
+with h as (
+  select doc_id, hex(encode(text)) hx, octet_length(encode(text)) n
+  from documents
+),
+b as (
+  select doc_id, n, unnest(range(0, n)) i, hx
+  from h
+),
+s as (
+  select doc_id, n, i,
+         (('0x' || substring(hx, 2*i + 1, 2))::INT - 128) / 128.0 x
+  from b
+),
+lagged as (
+  select doc_id, n, x,
+         case when x < 0 then 1 else 0 end sgn,
+         lag(case when x < 0 then 1 else 0 end)
+           over (partition by doc_id order by i) prev_sgn
+  from s
+),
+agg as (
+  select doc_id, any_value(n) n,
+         sqrt(avg(x * x)) rms,
+         max(abs(x)) peak,
+         sum(case when prev_sgn is not null and sgn != prev_sgn
+                  then 1 else 0 end) crossings
+  from lagged group by doc_id
+)
+select h.doc_id,
+       8000::INTEGER as sample_rate,
+       1::INTEGER as channels,
+       h.n::BIGINT as n_samples,
+       floor(h.n / 8000.0 * 1000000.0 + 0.5) / 1000000.0 as duration_sec,
+       floor(coalesce(agg.rms, 0.0) * 1000000.0 + 0.5) / 1000000.0 as rms,
+       floor(coalesce(case when agg.n > 1 then agg.crossings / (agg.n - 1.0)
+                           else 0.0 end, 0.0) * 1000000.0 + 0.5) / 1000000.0 as zcr,
+       floor(coalesce(agg.peak, 0.0) * 1000000.0 + 0.5) / 1000000.0 as peak
+from h left join agg using (doc_id)
 """,
         "dedup_embedding": f"""
 with {_NORM_EMB_CTE.strip()}

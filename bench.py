@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "shuffle_order",
     "top_tokens",
     "multimodal_frames",
+    "multimodal_audio",
     "agg_pricing_summary",
     "join_top_customers",
     "window_top_events",

