@@ -230,6 +230,28 @@ def main() -> None:
                 ).count()
                 ts.append(time.time() - t0)
             point_ms[label] = round(sorted(ts)[1] * 1000, 1)
+        # RAM-resident serving snapshot (core/resident.py): the
+        # reference-architecture point-query path (its published 5.04
+        # ms/query mean and 65 ms REST CI bound are in-RAM numbers).
+        # Bit-identical results to the Spark path; median of 5 warm runs.
+        from mindb_spark.core.resident import ResidentSnapshot
+
+        # covering codes already carry the vector column — no join needed
+        snap_rows = (
+            codes.select("cluster_id", "id", "code", "bterm", "vector")
+            .orderBy("cluster_id", "id").collect()
+        )
+        snap = ResidentSnapshot.assemble(
+            arts, params.n_probe, snap_rows, 64, arts.m, True
+        )
+        for _ in range(3):
+            snap.query(qmat[:1], preliminary_top_k=500, final_top_k=50)
+        ts = []
+        for i in range(5):
+            t0 = time.time()
+            snap.query(qmat[i : i + 1], preliminary_top_k=500, final_top_k=50)
+            ts.append(time.time() - t0)
+        point_ms["resident_q1"] = round(sorted(ts)[2] * 1000, 2)
         clustered = {
             "recall_at_50": round(float(np.mean(recs)), 4),
             "n_probe": params.n_probe,

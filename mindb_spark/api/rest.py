@@ -82,6 +82,8 @@ class RestServer:
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/keyword_query$"), "keyword_query"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/hybrid_query$"), "hybrid_query"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/query$"), "query"),
+        ("POST", re.compile(r"^/db/(?P<name>[^/]+)/resident$"), "resident"),
+        ("GET", re.compile(r"^/db/(?P<name>[^/]+)/resident$"), "resident_info"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/save$"), "save"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/reload$"), "reload"),
         ("POST", re.compile(r"^/db/(?P<name>[^/]+)/delete$"), "delete"),
@@ -322,6 +324,25 @@ class RestServer:
             "ids": res["ids"],
             "cosine_similarity": res["cosine_similarity"],
         }
+
+    def _r_resident(self, body: dict, name: str) -> dict:
+        """Beyond-ref route, reference-parity BEHAVIOR: pin/unpin the
+        RAM-resident serving snapshot (the reference always serves from
+        RAM — mindb/mindb.py; here it is an explicit, budgeted cache and
+        the Spark scan path remains the beyond-RAM fallback)."""
+        db = self._db(name)
+        if body.get("enable", True):
+            budget = body.get("max_bytes", 512 << 20)
+            ok = db.enable_resident_serving(
+                max_bytes=None if budget is None else int(budget)
+            )
+            return {"enabled": bool(ok), "resident": db.resident_info()}
+        db.disable_resident_serving()
+        return {"enabled": False, "resident": None}
+
+    def _r_resident_info(self, body: dict, name: str) -> dict:
+        db = self._db(name)
+        return {"resident": db.resident_info()}
 
     def _r_save(self, body: dict, name: str) -> dict:
         self._db(name)  # writes are write-through; save is a no-op

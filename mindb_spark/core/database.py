@@ -1168,6 +1168,89 @@ class VectorDB:
         )
         return out.select("query_id", "id", "metadata", "cosine_similarity")
 
+    # ------------------------------------------------- resident serving
+    def enable_resident_serving(self, max_bytes: int | None = 512 << 20) -> bool:
+        """Pin a RAM-resident serving snapshot of the trained index
+        (core/resident.py): point queries then run driver-side numpy —
+        bit-identical results to the Spark path — instead of paying 4-6
+        Spark stages of scheduling per query. This is the reference's own
+        serving architecture (``mindb/mindb.py`` holds Faiss + vectors in
+        RAM per open DB; its CI pins < 65 ms/query over REST,
+        ``tests/integration/test_fastapi.py:194``); the Spark scan path
+        remains the beyond-RAM scale path. Returns False (and stays on
+        the Spark path) when untrained or over ``max_bytes``."""
+        from mindb_spark.core.resident import ResidentSnapshot
+
+        with self._lock:
+            snap = ResidentSnapshot.build(self, max_bytes)
+            self._resident = snap
+            self._resident_budget = max_bytes
+            return snap is not None
+
+    def disable_resident_serving(self) -> None:
+        with self._lock:
+            self._resident = None
+
+    def resident_info(self) -> dict | None:
+        snap = getattr(self, "_resident", None)
+        if snap is None:
+            return None
+        return {
+            "rows": int(snap.ids.size),
+            "tail_rows": int(snap.tail_ids.size),
+            "bytes": snap.nbytes(),
+            "fingerprint": list(snap.fingerprint),
+        }
+
+    def _resident_serve(self, preliminary_top_k: int, final_top_k: int):
+        """Return a bound serve callable when the snapshot is (re)valid,
+        else None (caller uses the Spark path).
+
+        Validity runs under the handle lock: a stale-by-adds snapshot
+        refreshes its tail block in place (one pruned scan); a retrain or
+        trained-row delete forces a full rebuild inside the remembered
+        byte budget; an over-budget rebuild disables resident serving
+        (correctness never depends on the snapshot — it is a cache)."""
+        from mindb_spark.core.resident import ResidentSnapshot
+
+        with self._lock:
+            snap = getattr(self, "_resident", None)
+            if snap is None:
+                return None
+            now = ResidentSnapshot.manifest_fingerprint(self._manifest)
+            if now != snap.fingerprint:
+                refreshed = snap.refresh_tail(self)
+                if refreshed is None:
+                    refreshed = ResidentSnapshot.build(
+                        self, getattr(self, "_resident_budget", None)
+                    )
+                self._resident = refreshed
+                snap = refreshed
+            if snap is None:
+                return None
+            return lambda qmat: snap.query(
+                qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
+            )
+
+    def query_batch_local(
+        self,
+        query_vectors,
+        preliminary_top_k: int = 500,
+        final_top_k: int = 100,
+        metadata_filter: str | None = None,
+    ) -> list[dict] | None:
+        """Serve a query batch from the resident snapshot when possible:
+        a list of reference-shaped dicts in input order, or None when the
+        resident path cannot serve this call (no snapshot, stale beyond
+        repair, or a metadata_filter — filters run on the Spark path)."""
+        if metadata_filter is not None:
+            return None
+        serve = self._resident_serve(preliminary_top_k, final_top_k)
+        if serve is None:
+            return None
+        qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
+        return serve(qmat)
+
     def query(
         self,
         query_vector,
@@ -1176,7 +1259,21 @@ class VectorDB:
         metadata_filter: str | None = None,
     ) -> dict[str, list]:
         """Single-query convenience with the reference's result shape:
-        ``{ids, metadata, cosine_similarity}`` (``mindb.py:438-442``)."""
+        ``{ids, metadata, cosine_similarity}`` (``mindb.py:438-442``).
+
+        Served from the RAM-resident snapshot when one is pinned and
+        valid (see ``enable_resident_serving``) — bit-identical results,
+        reference-class latency — otherwise via the Spark path."""
+        local = self.query_batch_local(
+            query_vector, preliminary_top_k, final_top_k, metadata_filter
+        )
+        if local is not None:
+            r = local[0]
+            return {
+                "ids": r["ids"],
+                "metadata": [json.loads(m) if m else {} for m in r["metadata"]],
+                "cosine_similarity": r["cosine_similarity"],
+            }
         rows = (
             self.query_df(
                 query_vector, preliminary_top_k, final_top_k,

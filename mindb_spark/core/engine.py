@@ -239,6 +239,25 @@ class Engine:
         import json as _json
 
         db = self.get_db(name)
+        # resident snapshot first (bit-identical, no Spark job) — None
+        # when no snapshot is pinned or a metadata_filter needs Spark
+        local = db.query_batch_local(
+            query_vectors,
+            preliminary_top_k=preliminary_top_k,
+            final_top_k=final_top_k,
+            metadata_filter=metadata_filter,
+        )
+        if local is not None:
+            return [
+                {
+                    "ids": r["ids"],
+                    "metadata": [
+                        _json.loads(m) if m else {} for m in r["metadata"]
+                    ],
+                    "cosine_similarity": r["cosine_similarity"],
+                }
+                for r in local
+            ]
         rows = db.query_df(
             query_vectors,
             preliminary_top_k=preliminary_top_k,

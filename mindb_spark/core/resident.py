@@ -1,0 +1,356 @@
+"""RAM-resident serving snapshot: reference-parity point-query latency.
+
+The reference serves every query from an in-RAM index held in its DB LRU
+cache (``mindb/mindb.py`` keeps Faiss + vectors resident; its CI pins
+< 65 ms/query over REST, ``tests/integration/test_fastapi.py:194``). The
+Spark engine's scan path is the 100 TB-scale design — but a *point*
+query through it pays 4-6 Spark stages of job scheduling (~1.2 s floor
+measured on a warm 30k index, PERF_NOTES "REST latency probe"),
+corpus-size-independent and irreducible from SQL.
+
+This module makes the same trade the reference makes — RAM for serving
+latency — WITHOUT giving up the Spark path:
+
+- ``ResidentSnapshot.build(db)`` collects the trained codes table
+  (joined against the live vectors table, so deleted rows drop out
+  exactly like stage 2's inner join) plus the unindexed tail into
+  driver numpy arrays, CSR-sliced by cell. One Spark job, RAM-bounded
+  by an explicit byte budget checked BEFORE the collect.
+- ``snapshot.query(...)`` replays the scan kernel's exact math
+  driver-side: same float32 decomposed-ADC accumulation order
+  (d2 + bterm + per-subspace gathers, ``index/ivf.py adc_candidates``),
+  same (adc_dist asc, id asc) preliminary cut, same float64 einsum
+  exact rerank, same (cosine desc, id asc) final cut — bit-identical
+  results to the Spark two-stage path by construction (pinned by
+  ``tests/test_resident.py``).
+- Staleness: the snapshot records the manifest counters it was built
+  from. Post-pin ADDS only grow the tail → the snapshot refreshes just
+  the tail block (one cheap pruned scan). Deletes or a retrain change
+  the indexed set → full rebuild. ``VectorDB.query`` checks validity
+  under the handle lock before every resident serve and falls back to
+  the Spark path whenever the snapshot cannot be (re)validated within
+  budget.
+
+The snapshot is the SERVING-TIER cache for RAM-sized indexes (the only
+regime the reference supports at all); beyond-RAM corpora stay on the
+Spark scan path, which is the point of this engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mindb_spark.index import pq as PQ
+
+
+def _lex_top(primary: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest by (primary asc, id asc) — full sort on
+    candidate-sized arrays (<= probed rows), matching Spark's
+    row_number() window exactly."""
+    order = np.lexsort((ids, primary))
+    return order[:k]
+
+
+class ResidentSnapshot:
+    """Immutable driver-side snapshot of one trained DB (see module doc)."""
+
+    def __init__(
+        self,
+        artifacts,
+        n_probe: int,
+        ids: np.ndarray,
+        codes: np.ndarray,
+        bterm: np.ndarray,
+        cell_ids: np.ndarray,
+        cell_off: np.ndarray,
+        vectors: np.ndarray,
+        metadata: np.ndarray,
+        tail_ids: np.ndarray,
+        tail_vectors: np.ndarray,
+        tail_metadata: np.ndarray,
+        fingerprint: tuple,
+    ):
+        self.artifacts = artifacts
+        self.n_probe = n_probe
+        self.ids = ids                  # (n,) int64, grouped by cell
+        self.codes = codes              # (n, m) uint8
+        self.bterm = bterm              # (n,) float32
+        self.cell_ids = cell_ids        # (ncells,) distinct cells, ascending
+        self.cell_off = cell_off        # (ncells+1,) CSR row offsets
+        self.vectors = vectors          # (n, d) float64 (unit-normalized)
+        self.metadata = metadata        # (n,) object
+        self.tail_ids = tail_ids        # rows with id > max_trained_id
+        self.tail_vectors = tail_vectors
+        self.tail_metadata = tail_metadata
+        self.fingerprint = fingerprint  # manifest counters at build time
+
+    # ------------------------------------------------------------ sizing
+    @staticmethod
+    def estimate_bytes(n: int, d: int, m: int, avg_meta: int = 256) -> int:
+        """Pre-collect RAM estimate: ids + codes + bterm + float64 vectors
+        + metadata strings (``avg_meta`` bytes/row assumed)."""
+        return int(n * (8 + m + 4 + 8 * d + avg_meta))
+
+    def nbytes(self) -> int:
+        base = (
+            self.ids.nbytes + self.codes.nbytes + self.bterm.nbytes
+            + self.vectors.nbytes + self.tail_ids.nbytes
+            + self.tail_vectors.nbytes
+        )
+        meta = sum(len(s) if s else 0 for s in self.metadata)
+        meta += sum(len(s) if s else 0 for s in self.tail_metadata)
+        return int(base + meta)
+
+    # ------------------------------------------------------------- build
+    @staticmethod
+    def manifest_fingerprint(manifest: dict) -> tuple:
+        """Counters that change whenever the served result could change."""
+        return (
+            manifest.get("index_version"),
+            manifest.get("max_id"),
+            manifest.get("max_trained_id"),
+            manifest.get("num_new_vectors"),
+            manifest.get("num_vectors_trained_on"),
+            manifest.get("num_trained_vectors_removed"),
+        )
+
+    @classmethod
+    def build(cls, db, max_bytes: int | None) -> "ResidentSnapshot | None":
+        """Collect the snapshot from ``db`` (a trained VectorDB).
+
+        Returns None when the pre-collect estimate exceeds ``max_bytes``
+        — the caller stays on the Spark path. Cites the reference's
+        resident-DB design: ``mindb/mindb.py`` (Faiss + vector store in
+        RAM per open DB), budgeted by the same LRU cache this engine
+        re-implements in ``core/cache.py``.
+        """
+        from pyspark.sql import functions as F
+
+        manifest = dict(db._manifest)
+        if manifest.get("index_version") is None:
+            return None
+        artifacts = db._load_artifacts()
+        d = int(db.vector_dimension)
+        m = int(artifacts.m)
+        n_est = int(manifest.get("num_vectors_trained_on") or 0)
+        if max_bytes is not None and cls.estimate_bytes(n_est, d, m) > max_bytes:
+            return None
+
+        live = db.vectors().select("id", "vector", "metadata")
+        codes_dir = os.path.join(db._index_dir, "codes")
+        codes_df = db.spark.read.parquet(codes_dir)
+        cols = ["cluster_id", "id", "code"]
+        has_bterm = "bterm" in codes_df.columns
+        if has_bterm:
+            cols.append("bterm")
+        watermark = int(manifest["max_trained_id"])
+        # watermark filter mirrors ivf.search: codes rows above it belong
+        # to the tail block (a racing append); inner join drops deletes
+        rows = (
+            codes_df.select(*cols)
+            .where(F.col("id") <= watermark)
+            .join(live, "id")
+            .orderBy("cluster_id", "id")
+            .collect()
+        )
+        t_ids, t_vecs, t_meta = cls._collect_tail(live, watermark, d)
+        return cls.assemble(
+            artifacts,
+            int(manifest["index_params"]["n_probe"]),
+            rows, d, m, has_bterm,
+            t_ids, t_vecs, t_meta,
+            cls.manifest_fingerprint(manifest),
+        )
+
+    @classmethod
+    def assemble(
+        cls,
+        artifacts,
+        n_probe: int,
+        rows,
+        d: int,
+        m: int,
+        has_bterm: bool,
+        t_ids=None,
+        t_vecs=None,
+        t_meta=None,
+        fingerprint: tuple = (),
+    ) -> "ResidentSnapshot":
+        """Build the snapshot arrays from collected codes-join rows
+        (``cluster_id, id, code[, bterm], vector, metadata`` — SORTED by
+        (cluster_id, id)). Shared by :meth:`build` and out-of-DB callers
+        (e.g. bench probes over a raw ``build_index`` output)."""
+        n = len(rows)
+        ids = np.fromiter((r.id for r in rows), dtype=np.int64, count=n)
+        cells = np.fromiter((r.cluster_id for r in rows), dtype=np.int64, count=n)
+        codes = (
+            np.frombuffer(b"".join(bytes(r.code) for r in rows), dtype=np.uint8)
+            .reshape(n, m)
+            if n
+            else np.empty((0, m), dtype=np.uint8)
+        )
+        vectors = np.array([r.vector for r in rows], dtype=np.float64).reshape(n, d)
+        metadata = np.array(
+            [getattr(r, "metadata", None) for r in rows], dtype=object
+        )
+        if has_bterm:
+            bterm = np.fromiter((r.bterm for r in rows), dtype=np.float32, count=n)
+        else:
+            # legacy codes tables: materialize the per-row cell term once
+            # (query-independent; same math as the scan kernel's fallback)
+            bterm = np.empty(n, dtype=np.float32)
+            cb = artifacts.codebooks.astype(np.float64)
+            dsub = cb.shape[2]
+            for c in np.unique(cells):
+                sel = cells == c
+                cmat = artifacts.centroids[int(c)].reshape(m, dsub)
+                B = (2.0 * np.einsum("jd,jkd->jk", cmat, cb)).astype(np.float32)
+                bterm[sel] = PQ.adc_scan(codes[sel], B)
+
+        # CSR over the cell-grouped rows
+        seg = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]]) if n else np.array([], dtype=np.int64)
+        cell_ids = cells[seg] if n else np.array([], dtype=np.int64)
+        cell_off = np.r_[seg, n].astype(np.int64) if n else np.array([0], dtype=np.int64)
+
+        empty_i = np.array([], dtype=np.int64)
+        return cls(
+            artifacts, n_probe,
+            ids, codes, bterm, cell_ids, cell_off, vectors, metadata,
+            t_ids if t_ids is not None else empty_i,
+            t_vecs if t_vecs is not None else np.empty((0, d), dtype=np.float64),
+            t_meta if t_meta is not None else np.array([], dtype=object),
+            fingerprint,
+        )
+
+    @staticmethod
+    def _collect_tail(live, watermark: int, d: int):
+        from pyspark.sql import functions as F
+
+        tail_rows = live.where(F.col("id") > watermark).collect()
+        t_ids = np.array([r.id for r in tail_rows], dtype=np.int64)
+        t_vecs = (
+            np.array([r.vector for r in tail_rows], dtype=np.float64).reshape(
+                len(tail_rows), d
+            )
+        )
+        t_meta = np.array([r.metadata for r in tail_rows], dtype=object)
+        return t_ids, t_vecs, t_meta
+
+    def refresh_tail(self, db) -> "ResidentSnapshot | None":
+        """Cheap revalidation when only the UNINDEXED part changed (adds,
+        or removals of tail-only rows): reload just the tail block (ids
+        above the indexed watermark) from the live table. Returns a NEW
+        snapshot sharing the big indexed arrays (so a concurrently
+        serving thread never observes torn tail state), or None when the
+        indexed set itself changed (retrain / trained-row delete) —
+        caller must full-rebuild."""
+        manifest = dict(db._manifest)
+        new_fp = self.manifest_fingerprint(manifest)
+        old = self.fingerprint
+        # positions: 0 index_version, 2 max_trained_id,
+        # 4 num_vectors_trained_on, 5 num_trained_vectors_removed —
+        # unchanged means the indexed rows this snapshot holds are still
+        # exactly the indexed rows; everything else lives in the tail
+        if (new_fp[0], new_fp[2], new_fp[4], new_fp[5]) != (
+            old[0], old[2], old[4], old[5]
+        ):
+            return None
+        d = self.vectors.shape[1] if self.vectors.size else int(db.vector_dimension)
+        watermark = int(manifest["max_trained_id"])
+        t_ids, t_vecs, t_meta = self._collect_tail(
+            db.vectors().select("id", "vector", "metadata"), watermark, d
+        )
+        return ResidentSnapshot(
+            self.artifacts, self.n_probe,
+            self.ids, self.codes, self.bterm, self.cell_ids, self.cell_off,
+            self.vectors, self.metadata, t_ids, t_vecs, t_meta, new_fp,
+        )
+
+    # ------------------------------------------------------------- query
+    def query(
+        self,
+        query_vectors: np.ndarray,
+        preliminary_top_k: int = 500,
+        final_top_k: int = 100,
+        n_probe: int | None = None,
+    ) -> list[dict]:
+        """Serve a (Q, d) float batch; one reference-shaped dict per query
+        (``{ids, metadata, cosine_similarity}``), bit-identical to the
+        Spark two-stage path (same kernels, same cut orders)."""
+        from mindb_spark.index.ivf import rank_centroids_chunked
+
+        qmat = np.asarray(query_vectors, dtype=np.float64)
+        if qmat.ndim == 1:
+            qmat = qmat[None, :]
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qnorm = qmat / norms
+        n_probe = n_probe or self.n_probe
+
+        proj = self.artifacts.project(qnorm)
+        probed, probed_d2 = rank_centroids_chunked(
+            proj, self.artifacts.centroids, n_probe
+        )
+        A = PQ.adc_query_tables(proj, self.artifacts.codebooks)  # (Q, m, 256)
+        m = A.shape[1]
+
+        out = []
+        for qi in range(qnorm.shape[0]):
+            # candidate rows of the probed cells, via the CSR slices
+            pos = np.searchsorted(self.cell_ids, probed[qi])
+            hit = (pos < self.cell_ids.size) & (
+                self.cell_ids[np.minimum(pos, max(self.cell_ids.size - 1, 0))]
+                == probed[qi]
+            ) if self.cell_ids.size else np.zeros(probed.shape[1], dtype=bool)
+            starts = self.cell_off[pos[hit]]
+            ends = self.cell_off[pos[hit] + 1]
+            counts = ends - starts
+            total = int(counts.sum())
+            if total:
+                rows_idx = np.repeat(starts - np.r_[0, np.cumsum(counts)[:-1]], counts) + np.arange(total)
+                # same float32 accumulation order as the scan kernel:
+                # d = coarse-d2 gather; += bterm; += per-subspace gathers
+                d = np.repeat(probed_d2[qi][hit].astype(np.float32), counts)
+                d += self.bterm[rows_idx]
+                codes_rows = self.codes[rows_idx]
+                for j in range(m):
+                    d += A[qi, j][codes_rows[:, j]]
+                cand_ids = self.ids[rows_idx]
+                keep = _lex_top(d.astype(np.float64), cand_ids, preliminary_top_k)
+                kept_rows = rows_idx[keep]
+                kept_ids = cand_ids[keep]
+                # identical einsum signature to the Spark kernels
+                # (ivf.rerank_exact / the fused scan) so the float64
+                # reduction order — and thus the result — is bit-equal
+                V = self.vectors[kept_rows]
+                scores = np.einsum(
+                    "ij,ij->i", V, np.broadcast_to(qnorm[qi], V.shape)
+                )
+                kept_meta = self.metadata[kept_rows]
+            else:
+                kept_ids = np.array([], dtype=np.int64)
+                scores = np.array([], dtype=np.float64)
+                kept_meta = np.array([], dtype=object)
+
+            if self.tail_ids.size:
+                t_scores = np.einsum(
+                    "ij,ij->i",
+                    self.tail_vectors,
+                    np.broadcast_to(qnorm[qi], self.tail_vectors.shape),
+                )
+                t_keep = _lex_top(-t_scores, self.tail_ids, preliminary_top_k)
+                kept_ids = np.r_[kept_ids, self.tail_ids[t_keep]]
+                scores = np.r_[scores, t_scores[t_keep]]
+                kept_meta = np.r_[kept_meta, self.tail_metadata[t_keep]]
+
+            fin = _lex_top(-scores, kept_ids, final_top_k)
+            out.append(
+                {
+                    "ids": [int(i) for i in kept_ids[fin]],
+                    "metadata": list(kept_meta[fin]),
+                    "cosine_similarity": [float(s) for s in scores[fin]],
+                }
+            )
+        return out

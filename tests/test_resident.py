@@ -1,0 +1,113 @@
+"""RAM-resident serving snapshot: bit-equality with the Spark path,
+tail refresh on adds, rebuild on deletes, budget gating.
+
+The snapshot (core/resident.py) replays the scan kernels' exact math
+driver-side, so results must be IDENTICAL (ids and float64 scores) to
+the Spark two-stage path — not merely close.
+"""
+
+import numpy as np
+import pytest
+
+from mindb_spark.core.database import VectorDB
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(30, 24)) * 3.0
+    assign = rng.integers(0, 30, size=6000)
+    mat = centers[assign] + rng.normal(size=(6000, 24))
+    return mat.astype(np.float32)
+
+
+@pytest.fixture()
+def trained_db(spark, tmp_path, corpus):
+    db = VectorDB(spark, "resdb", base_path=str(tmp_path))
+    db.add([(v, {"i": int(i)}) for i, v in enumerate(corpus)])
+    db.train(use_two_level_clustering=False)
+    return db
+
+
+def _spark_results(db, queries, prelim, k):
+    """Reference answers through the Spark path (resident disabled)."""
+    db.disable_resident_serving()
+    return [
+        db.query(q, preliminary_top_k=prelim, final_top_k=k) for q in queries
+    ]
+
+
+def test_resident_bit_equality(trained_db, corpus):
+    db = trained_db
+    rng = np.random.default_rng(11)
+    queries = [corpus[i] + rng.normal(size=24).astype(np.float32) for i in range(5)]
+    want = _spark_results(db, queries, 200, 10)
+
+    assert db.enable_resident_serving() is True
+    info = db.resident_info()
+    assert info["rows"] == 6000 and info["tail_rows"] == 0 and info["bytes"] > 0
+    for q, w in zip(queries, want):
+        got = db.query(q, preliminary_top_k=200, final_top_k=10)
+        assert got["ids"] == w["ids"]
+        assert got["cosine_similarity"] == w["cosine_similarity"]  # bit-equal
+        assert got["metadata"] == w["metadata"]
+
+
+def test_resident_tail_refresh_on_add(trained_db):
+    db = trained_db
+    assert db.enable_resident_serving() is True
+    probe = np.ones(24, dtype=np.float32)
+    new_ids = db.add([(probe, {"tail": True})])
+    # snapshot is stale by adds only -> tail refresh, not a rebuild
+    got = db.query(probe, final_top_k=5)
+    assert got["ids"][0] == new_ids[0]
+    assert got["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
+    assert db.resident_info()["tail_rows"] == 1
+    # and the refreshed snapshot still matches the Spark path exactly
+    want = _spark_results(db, [probe], 200, 5)[0]
+    db.enable_resident_serving()
+    got2 = db.query(probe, preliminary_top_k=200, final_top_k=5)
+    assert got2["ids"] == want["ids"]
+    assert got2["cosine_similarity"] == want["cosine_similarity"]
+
+
+def test_resident_rebuild_on_trained_delete(trained_db, corpus):
+    db = trained_db
+    q = corpus[0]
+    assert db.enable_resident_serving() is True
+    before = db.query(q, final_top_k=3)
+    victim = before["ids"][0]
+    db.remove([victim])
+    after = db.query(q, final_top_k=3)
+    assert victim not in after["ids"]
+    want = _spark_results(db, [q], 500, 3)[0]
+    db.enable_resident_serving()
+    got = db.query(q, preliminary_top_k=500, final_top_k=3)
+    assert got["ids"] == want["ids"]
+    assert got["cosine_similarity"] == want["cosine_similarity"]
+
+
+def test_resident_budget_and_filter_fallback(trained_db, corpus):
+    db = trained_db
+    # a 10-byte budget cannot hold the snapshot -> stays on Spark path
+    assert db.enable_resident_serving(max_bytes=10) is False
+    assert db.resident_info() is None
+    res = db.query(corpus[0], final_top_k=3)
+    assert len(res["ids"]) == 3
+    # metadata_filter always takes the Spark path, resident or not
+    assert db.enable_resident_serving() is True
+    res = db.query(
+        corpus[0], final_top_k=3,
+        metadata_filter="get_json_object(metadata, '$.i') = '0'",
+    )
+    assert res["ids"] and all(
+        m == {"i": 0} for m in res["metadata"]
+    )
+
+
+def test_resident_untrained_returns_false(spark, tmp_path):
+    db = VectorDB(spark, "untrained", base_path=str(tmp_path))
+    rng = np.random.default_rng(1)
+    db.add([(v, {}) for v in rng.normal(size=(50, 8)).astype(np.float32)])
+    assert db.enable_resident_serving() is False
+    assert db.resident_info() is None

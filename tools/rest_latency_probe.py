@@ -14,7 +14,12 @@ parquet (driver scheduling + scan + Arrow). The fused covering path
 removes the data-table rescan, but per-job scheduling (~100s of ms) is
 the floor of a distributed scan engine at Q=1 — the amortized batch
 path (bench.py: ~4 ms/query at Q=512) is the regime the engine is
-built for. The number recorded here documents that trade.
+built for.
+
+Third phase: the RAM-RESIDENT serving snapshot (core/resident.py) —
+the same trade the reference makes — measured over the same REST
+route after POST /db/probe/resident. This is the number to compare
+against the reference's 65 ms bound like-for-like.
 
 Usage: python tools/rest_latency_probe.py [n_requests]
 """
@@ -105,6 +110,25 @@ def main() -> None:
         f"in-process query: mean {np.mean(inproc) * 1000:.0f} ms "
         f"(HTTP overhead = {(lat_ms.mean() - np.mean(inproc) * 1000):.0f} ms)",
         flush=True,
+    )
+    # resident snapshot: pin, then the same REST route end-to-end
+    pin = post("/db/probe/resident", {"enable": True})
+    assert pin["enabled"], pin
+    print(f"resident pinned: {pin['resident']}", flush=True)
+    for q in qs[:5]:
+        post("/db/probe/query", {"query_vector": q.tolist()})
+    res = []
+    for q in qs[5:]:
+        t0 = time.time()
+        out = post("/db/probe/query", {"query_vector": q.tolist()})
+        res.append(time.time() - t0)
+        assert out["ids"], "empty result"
+    res_ms = np.array(res) * 1000.0
+    print(
+        f"REST query latency, RESIDENT snapshot, {N_REQ} sequential requests: "
+        f"mean {res_ms.mean():.1f} ms, p50 {np.percentile(res_ms, 50):.1f} ms, "
+        f"p95 {np.percentile(res_ms, 95):.1f} ms "
+        f"(reference CI bound: 65 ms)", flush=True,
     )
     srv.stop()
     shutil.rmtree(WORK, ignore_errors=True)
