@@ -1202,9 +1202,17 @@ class VectorDB:
             "fingerprint": list(snap.fingerprint),
         }
 
-    def _resident_serve(self, preliminary_top_k: int, final_top_k: int):
-        """Return a bound serve callable when the snapshot is (re)valid,
-        else None (caller uses the Spark path).
+    # resident-vs-Spark batch routing: estimated ADC gather pairs above
+    # which the Spark batch path (parallel scan, ~17M pairs/s measured at
+    # 10M) beats the single-core resident serve (~3M pairs/s) plus its
+    # missing ~1.5 s scheduling floor — breakeven ~5M pairs, rounded down
+    _RESIDENT_MAX_PAIRS = 4_000_000
+
+    def _resident_serve(self, preliminary_top_k: int, final_top_k: int,
+                        q_count: int = 1):
+        """Return a bound serve callable when the snapshot is (re)valid
+        AND the batch is in the resident regime, else None (caller uses
+        the Spark path).
 
         Validity runs under the handle lock: a stale-by-adds snapshot
         refreshes its tail block in place (one pruned scan); a retrain or
@@ -1216,6 +1224,14 @@ class VectorDB:
         with self._lock:
             snap = getattr(self, "_resident", None)
             if snap is None:
+                return None
+            # size routing BEFORE any refresh work: big batches belong to
+            # the Spark path regardless of snapshot state
+            k = max(1, snap.artifacts.num_clusters)
+            est_pairs = q_count * snap.n_probe * max(
+                1, (snap.ids.size + snap.tail_ids.size) // k
+            )
+            if est_pairs > self._RESIDENT_MAX_PAIRS:
                 return None
             now = ResidentSnapshot.manifest_fingerprint(self._manifest)
             if now != snap.fingerprint:
@@ -1245,10 +1261,12 @@ class VectorDB:
         repair, or a metadata_filter — filters run on the Spark path)."""
         if metadata_filter is not None:
             return None
-        serve = self._resident_serve(preliminary_top_k, final_top_k)
+        qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
+        serve = self._resident_serve(
+            preliminary_top_k, final_top_k, q_count=qmat.shape[0]
+        )
         if serve is None:
             return None
-        qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
         return serve(qmat)
 
     def query(

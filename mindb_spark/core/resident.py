@@ -46,11 +46,22 @@ from mindb_spark.index import pq as PQ
 
 
 def _lex_top(primary: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the k smallest by (primary asc, id asc) — full sort on
-    candidate-sized arrays (<= probed rows), matching Spark's
-    row_number() window exactly."""
-    order = np.lexsort((ids, primary))
-    return order[:k]
+    """Indices of the k smallest by (primary asc, id asc), matching
+    Spark's row_number() window exactly.
+
+    argpartition pre-cut + exact lexsort of only the boundary set: a
+    full lexsort over the ~n_probe x rows/cell candidate pool dominated
+    the 10M point query (~60 ms of the ~170 ms total); the pre-cut is
+    tie-exact because every row with primary <= tau (the kth partition
+    value) survives into the final sort."""
+    n = primary.size
+    if n <= k:
+        return np.lexsort((ids, primary))
+    part = np.argpartition(primary, k - 1)
+    tau = primary[part[k - 1]]
+    cand = np.flatnonzero(primary <= tau)
+    order = np.lexsort((ids[cand], primary[cand]))[:k]
+    return cand[order]
 
 
 class ResidentSnapshot:
@@ -318,7 +329,10 @@ class ResidentSnapshot:
                 for j in range(m):
                     d += A[qi, j][codes_rows[:, j]]
                 cand_ids = self.ids[rows_idx]
-                keep = _lex_top(d.astype(np.float64), cand_ids, preliminary_top_k)
+                # float32 d sorts in the same order as its float64 cast
+                # (monotone embedding), so the Spark path's float64
+                # window cut is reproduced without the 4 MB astype copy
+                keep = _lex_top(d, cand_ids, preliminary_top_k)
                 kept_rows = rows_idx[keep]
                 kept_ids = cand_ids[keep]
                 # identical einsum signature to the Spark kernels

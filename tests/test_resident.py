@@ -105,6 +105,20 @@ def test_resident_budget_and_filter_fallback(trained_db, corpus):
     )
 
 
+def test_resident_batch_routing(trained_db, corpus):
+    """Big batches route to Spark (query_batch_local -> None): the
+    resident serve is single-core with no batch amortization, so beyond
+    ~_RESIDENT_MAX_PAIRS estimated gather pairs the Spark path wins."""
+    db = trained_db
+    assert db.enable_resident_serving() is True
+    params = db.index_params
+    rows_per_q = params["n_probe"] * max(1, 6000 // params["num_clusters"])
+    q_over = db._RESIDENT_MAX_PAIRS // rows_per_q + 1
+    assert db.query_batch_local(corpus[:1]) is not None
+    big = np.repeat(corpus[:1], min(q_over, 4096), axis=0)
+    assert db.query_batch_local(big) is None
+
+
 def test_resident_untrained_returns_false(spark, tmp_path):
     db = VectorDB(spark, "untrained", base_path=str(tmp_path))
     rng = np.random.default_rng(1)
