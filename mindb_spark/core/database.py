@@ -1181,11 +1181,16 @@ class VectorDB:
         the Spark path) when untrained or over ``max_bytes``."""
         from mindb_spark.core.resident import ResidentSnapshot
 
+        # build OUTSIDE the path lock: the collect is seconds of Spark
+        # work and must not block concurrent add/remove/train on this
+        # path. A mutation racing the build leaves the snapshot stale at
+        # pin time — harmless, because _resident_serve revalidates the
+        # fingerprint under the lock before every serve and self-heals
+        snap = ResidentSnapshot.build(self, max_bytes)
         with self._lock:
-            snap = ResidentSnapshot.build(self, max_bytes)
             self._resident = snap
             self._resident_budget = max_bytes
-            return snap is not None
+        return snap is not None
 
     def disable_resident_serving(self) -> None:
         with self._lock:
@@ -1214,11 +1219,14 @@ class VectorDB:
         AND the batch is in the resident regime, else None (caller uses
         the Spark path).
 
-        Validity runs under the handle lock: a stale-by-adds snapshot
-        refreshes its tail block in place (one pruned scan); a retrain or
-        trained-row delete forces a full rebuild inside the remembered
-        byte budget; an over-budget rebuild disables resident serving
-        (correctness never depends on the snapshot — it is a cache)."""
+        Staleness checks run under the handle lock, but the Spark work of
+        resolving staleness (tail refresh / full rebuild) runs OUTSIDE it
+        — holding the shared path lock across a collect would block
+        concurrent add/remove/train for seconds. The refreshed snapshot
+        is adopted under the lock only if it is still current; when yet
+        another mutation landed mid-refresh, this call serves via Spark
+        and the next one retries (correctness never depends on the
+        snapshot — it is a cache)."""
         from mindb_spark.core.resident import ResidentSnapshot
 
         with self._lock:
@@ -1233,20 +1241,36 @@ class VectorDB:
             )
             if est_pairs > self._RESIDENT_MAX_PAIRS:
                 return None
-            now = ResidentSnapshot.manifest_fingerprint(self._manifest)
-            if now != snap.fingerprint:
-                refreshed = snap.refresh_tail(self)
-                if refreshed is None:
-                    refreshed = ResidentSnapshot.build(
-                        self, getattr(self, "_resident_budget", None)
-                    )
-                self._resident = refreshed
-                snap = refreshed
-            if snap is None:
-                return None
-            return lambda qmat: snap.query(
-                qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
+            stale = (
+                ResidentSnapshot.manifest_fingerprint(self._manifest)
+                != snap.fingerprint
             )
+
+        if stale:
+            # lock-free Spark work; adds-only -> cheap tail reload, else a
+            # budgeted rebuild (None when over budget or untrained)
+            refreshed = snap.refresh_tail(self)
+            if refreshed is None:
+                refreshed = ResidentSnapshot.build(
+                    self, getattr(self, "_resident_budget", None)
+                )
+            with self._lock:
+                if refreshed is None:
+                    # over budget after a mutation: disable rather than
+                    # rebuild-storm on every query
+                    self._resident = None
+                    return None
+                if (
+                    ResidentSnapshot.manifest_fingerprint(self._manifest)
+                    == refreshed.fingerprint
+                ):
+                    self._resident = refreshed
+                    snap = refreshed
+                else:
+                    return None  # raced again — Spark this time, retry next
+        return lambda qmat: snap.query(
+            qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
+        )
 
     def query_batch_local(
         self,

@@ -119,6 +119,38 @@ def test_resident_batch_routing(trained_db, corpus):
     assert db.query_batch_local(big) is None
 
 
+def test_resident_concurrent_adds(trained_db):
+    """Queries keep succeeding (resident or Spark fallback, both correct)
+    while another thread mutates the DB; the snapshot converges to
+    include the adds. Also exercises the lock discipline: staleness
+    resolution must not deadlock against the mutator's path lock."""
+    import threading
+
+    db = trained_db
+    assert db.enable_resident_serving() is True
+    probe = np.full(24, 0.5, dtype=np.float32)
+    added: list[int] = []
+    err: list[Exception] = []
+
+    def mutate():
+        try:
+            for _ in range(3):
+                added.extend(db.add([(probe, {"storm": True})]))
+        except Exception as e:  # pragma: no cover - fails the test below
+            err.append(e)
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    for _ in range(5):
+        res = db.query(probe, final_top_k=3)
+        assert len(res["ids"]) == 3
+    t.join()
+    assert not err
+    final = db.query(probe, final_top_k=3)
+    assert final["ids"][0] in added  # exact-match adds outrank everything
+    assert final["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_resident_untrained_returns_false(spark, tmp_path):
     db = VectorDB(spark, "untrained", base_path=str(tmp_path))
     rng = np.random.default_rng(1)
