@@ -44,6 +44,21 @@ def main() -> None:
     res = db.query(vectors[7], preliminary_top_k=200, final_top_k=3)
     print("trained query top-3 ids:", res["ids"])
 
+    # --- resident serving: pin a RAM snapshot for interactive latency
+    # (bit-identical results; falls back to the Spark path when stale or
+    # over budget — see core/resident.py)
+    import time
+
+    if db.enable_resident_serving():
+        db.query(vectors[7], final_top_k=3)  # warm
+        t0 = time.time()
+        res_r = db.query(vectors[7], preliminary_top_k=200, final_top_k=3)
+        print(
+            f"resident query top-3 ids: {res_r['ids']} "
+            f"({(time.time() - t0) * 1000:.1f} ms)"
+        )
+        assert res_r["ids"] == res["ids"]  # same answers, faster path
+
     # --- deletes are immediate; counters drive the auto-retrain policy
     db.remove(ids[:10])
     print("after remove:", db.num_vectors, "coverage:", round(db.coverage_ratio(), 4))
