@@ -330,6 +330,24 @@ class VectorDB:
             json.dump(self._manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic manifest swap
 
+    def _sync_manifest_from_disk(self) -> None:
+        """Adopt the on-disk manifest when another HANDLE of this path
+        wrote it. Call under the shared path lock.
+
+        Query-entry counterpart of ``_refresh_manifest`` (mutations):
+        multiple handles per path are supported (registry cold-get race,
+        reopen after LRU eviction), and a query gate that reads only
+        ``self._manifest`` would never see another handle's remove or
+        retrain — e.g. the fused covering gate would keep resurrecting
+        rows the live join drops, and a resident snapshot would never
+        notice it went stale. Uses the (mtime, size, ino)-memoized disk
+        read, so the steady-state cost is one stat()."""
+        counters = self.manifest_counters_lockfree()
+        if counters.get("name") is not None:
+            # copy: mutators update self._manifest in place, and writing
+            # into the memoized dict would poison later memo hits
+            self._manifest = dict(counters)
+
     def _check_live(self) -> None:
         """Mutation-entry guard: reject work against a deleted database.
 
@@ -356,17 +374,18 @@ class VectorDB:
         operation on every database behind one database's job.
 
         The parsed counters are memoized keyed by the manifest file's
-        (mtime_ns, size): the LRU registry re-weighs EVERY cached
+        (mtime_ns, size, ino): the LRU registry re-weighs EVERY cached
         database on every put/check while holding the cache-wide lock,
         and an unmemoized weigh would pay a JSON parse per database per
-        cache operation. A stat is ~100x cheaper than open+parse, and
-        ``os.replace`` guarantees any content change lands with a new
-        inode (fresh mtime), so the memo can never serve torn or stale-
-        beyond-one-mutation data.
+        cache operation. A stat is ~100x cheaper than open+parse. The
+        inode is the freshness carrier: ``os.replace`` installs a NEW
+        inode per save, so two same-length saves inside one mtime
+        granule (coarse-timestamp filesystems store whole seconds)
+        still miss the memo — (mtime, size) alone could collide there.
         """
         try:
             sig = os.stat(self._manifest_path)
-            key = (sig.st_mtime_ns, sig.st_size)
+            key = (sig.st_mtime_ns, sig.st_size, sig.st_ino)
             memo = self._counters_memo
             if memo is not None and memo[0] == key:
                 return memo[1]
@@ -781,7 +800,7 @@ class VectorDB:
         num_clusters: int | None = None,  # heuristic override (ref mindb.py:231)
         force_flat: bool = False,
         seed: int = 42,
-        covering: bool = False,
+        covering: bool | None = None,
     ) -> None:
         """(Re)build the index from a PINNED snapshot of the live table.
 
@@ -820,6 +839,12 @@ class VectorDB:
             )
         if dim is None:
             raise V.ValidationError("No vectors have been added to the database")
+        if covering is None:
+            # covering is a DB property, not a call-site flag: an
+            # auto-retrain (maybe_auto_train) must preserve the layout the
+            # user chose, or fused/resident point queries silently regress
+            # to the full two-stage fetch after the first auto-retrain
+            covering = bool(self._manifest.get("covering", False))
 
         # serialize against index_tail appends (see _index_mutex): a tail
         # append racing the version swap would encode with stale artifacts
@@ -888,6 +913,9 @@ class VectorDB:
                 self._refresh_manifest()
                 self._manifest["index_version"] = next_version
                 self._manifest["n_buckets"] = n_buckets
+                # manifests WITHOUT this key predate range bucketing and
+                # are read/tail-written as "mod" (see build.cell_bucket)
+                self._manifest["bucket_scheme"] = "range"
                 self._manifest["covering"] = bool(covering)
                 self._manifest["index_params"] = {
                     "num_clusters": params.num_clusters,
@@ -1018,6 +1046,10 @@ class VectorDB:
                     ("vector", "metadata")
                     if self._manifest.get("covering") else ()
                 )
+                # tail rows must land in the same bucket layout the codes
+                # table was WRITTEN with, or the reader's bucket partition
+                # filter silently drops them (legacy tables are mod)
+                bucket_scheme = self._manifest.get("bucket_scheme", "mod")
             if not files:
                 return 0
             tail = (
@@ -1033,6 +1065,7 @@ class VectorDB:
                 codes = encode_all(
                     tail, artifacts, id_col="id", vector_col="vector",
                     n_buckets=n_buckets, carry_cols=carry,
+                    bucket_scheme=bucket_scheme,
                 )
                 # epoch re-check under the lock immediately before the
                 # append: tombstone_and_remove bumps the epoch and removes
@@ -1123,6 +1156,11 @@ class VectorDB:
         fewer than k rows — raise ``preliminary_top_k`` to compensate
         (standard IVF-with-filter behavior).
         """
+        with self._lock:
+            # pick up removes/retrains made through OTHER handles of this
+            # path before evaluating the fused gate below (stat-memoized;
+            # steady-state cost is one stat call)
+            self._sync_manifest_from_disk()
         qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
         queries = [(i, qmat[i]) for i in range(qmat.shape[0])]
         vectors = self.vectors()
@@ -1155,6 +1193,7 @@ class VectorDB:
                 else None
             ),
             n_buckets=self._manifest["n_buckets"],
+            bucket_scheme=self._manifest.get("bucket_scheme", "mod"),
             extra_cols=("metadata",),
             # the fused covering-rescore path reranks from the codes
             # table, which only equals the two-stage result while every
@@ -1233,6 +1272,8 @@ class VectorDB:
             snap = getattr(self, "_resident", None)
             if snap is None:
                 return None
+            # another handle's remove/retrain must stale the fingerprint
+            self._sync_manifest_from_disk()
             # size routing BEFORE any refresh work: big batches belong to
             # the Spark path regardless of snapshot state
             k = max(1, snap.artifacts.num_clusters)
@@ -1249,17 +1290,17 @@ class VectorDB:
         if stale:
             # lock-free Spark work; adds-only -> cheap tail reload, else a
             # budgeted rebuild (None when over budget or untrained)
-            refreshed = snap.refresh_tail(self)
+            budget = getattr(self, "_resident_budget", None)
+            refreshed = snap.refresh_tail(self, max_bytes=budget)
             if refreshed is None:
-                refreshed = ResidentSnapshot.build(
-                    self, getattr(self, "_resident_budget", None)
-                )
+                refreshed = ResidentSnapshot.build(self, budget)
             with self._lock:
                 if refreshed is None:
                     # over budget after a mutation: disable rather than
                     # rebuild-storm on every query
                     self._resident = None
                     return None
+                self._sync_manifest_from_disk()
                 if (
                     ResidentSnapshot.manifest_fingerprint(self._manifest)
                     == refreshed.fingerprint
@@ -1285,6 +1326,10 @@ class VectorDB:
         repair, or a metadata_filter — filters run on the Spark path)."""
         if metadata_filter is not None:
             return None
+        # a handle outliving Engine.delete_db must not keep serving the
+        # dead DB from RAM (the Spark path fails loudly — the snapshot
+        # would not); same guard every mutator uses
+        self._check_live()
         qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
         serve = self._resident_serve(
             preliminary_top_k, final_top_k, q_count=qmat.shape[0]

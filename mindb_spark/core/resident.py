@@ -104,6 +104,11 @@ class ResidentSnapshot:
         + metadata strings (``avg_meta`` bytes/row assumed)."""
         return int(n * (8 + m + 4 + 8 * d + avg_meta))
 
+    @staticmethod
+    def estimate_tail_bytes(n: int, d: int, avg_meta: int = 256) -> int:
+        """Pre-collect RAM estimate of a tail block (no codes/bterm)."""
+        return int(n * (8 + 8 * d + avg_meta))
+
     def nbytes(self) -> int:
         base = (
             self.ids.nbytes + self.codes.nbytes + self.bterm.nbytes
@@ -146,7 +151,15 @@ class ResidentSnapshot:
         d = int(db.vector_dimension)
         m = int(artifacts.m)
         n_est = int(manifest.get("num_vectors_trained_on") or 0)
-        if max_bytes is not None and cls.estimate_bytes(n_est, d, m) > max_bytes:
+        # the tail is part of the snapshot: ids grow monotonically, so
+        # (max_id - max_trained_id) bounds the tail row count — a corpus
+        # trained small then grown by streaming adds must not blow the
+        # budget through the tail collect
+        tail_bound = max(
+            0, int(manifest.get("max_id", -1)) - int(manifest.get("max_trained_id", -1))
+        )
+        est = cls.estimate_bytes(n_est, d, m) + cls.estimate_tail_bytes(tail_bound, d)
+        if max_bytes is not None and est > max_bytes:
             return None
 
         live = db.vectors().select("id", "vector", "metadata")
@@ -158,10 +171,15 @@ class ResidentSnapshot:
             cols.append("bterm")
         watermark = int(manifest["max_trained_id"])
         # watermark filter mirrors ivf.search: codes rows above it belong
-        # to the tail block (a racing append); inner join drops deletes
+        # to the tail block (a racing append); inner join drops deletes.
+        # dropDuplicates is the same crash-dup insurance both Spark paths
+        # carry: a codes append whose manifest save never landed can
+        # duplicate an id, and an undeduped snapshot would emit that id
+        # in two of the final_top_k slots
         rows = (
             codes_df.select(*cols)
             .where(F.col("id") <= watermark)
+            .dropDuplicates(["id"])
             .join(live, "id")
             .orderBy("cluster_id", "id")
             .collect()
@@ -249,14 +267,15 @@ class ResidentSnapshot:
         t_meta = np.array([r.metadata for r in tail_rows], dtype=object)
         return t_ids, t_vecs, t_meta
 
-    def refresh_tail(self, db) -> "ResidentSnapshot | None":
+    def refresh_tail(self, db, max_bytes: int | None = None) -> "ResidentSnapshot | None":
         """Cheap revalidation when only the UNINDEXED part changed (adds,
         or removals of tail-only rows): reload just the tail block (ids
         above the indexed watermark) from the live table. Returns a NEW
         snapshot sharing the big indexed arrays (so a concurrently
         serving thread never observes torn tail state), or None when the
-        indexed set itself changed (retrain / trained-row delete) —
-        caller must full-rebuild."""
+        indexed set itself changed (retrain / trained-row delete) OR the
+        tail bound no longer fits ``max_bytes`` — caller falls back to a
+        budgeted full rebuild (which re-checks the same bound)."""
         manifest = dict(db._manifest)
         new_fp = self.manifest_fingerprint(manifest)
         old = self.fingerprint
@@ -268,10 +287,20 @@ class ResidentSnapshot:
             old[0], old[2], old[4], old[5]
         ):
             return None
-        d = self.vectors.shape[1] if self.vectors.size else int(db.vector_dimension)
+        dim = self.vectors.shape[1] if self.vectors.size else int(db.vector_dimension)
+        tail_bound = max(
+            0, int(manifest.get("max_id", -1)) - int(manifest.get("max_trained_id", -1))
+        )
+        # same conservative estimate basis as build()'s pre-collect gate,
+        # so enable/refresh/rebuild enforce ONE budget rule
+        est = self.estimate_bytes(
+            int(self.ids.size), dim, int(self.codes.shape[1])
+        ) + self.estimate_tail_bytes(tail_bound, dim)
+        if max_bytes is not None and est > max_bytes:
+            return None
         watermark = int(manifest["max_trained_id"])
         t_ids, t_vecs, t_meta = self._collect_tail(
-            db.vectors().select("id", "vector", "metadata"), watermark, d
+            db.vectors().select("id", "vector", "metadata"), watermark, dim
         )
         return ResidentSnapshot(
             self.artifacts, self.n_probe,

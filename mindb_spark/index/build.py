@@ -334,21 +334,33 @@ def default_n_buckets(num_clusters: int) -> int:
     return min(256, max(16, num_clusters // 32))
 
 
-def cell_bucket(cid: int, n_buckets: int, num_clusters: int) -> int:
-    """RANGE bucket of a cell id: ``min(cid * B // C, B - 1)``.
+def cell_bucket(
+    cid: int, n_buckets: int, num_clusters: int, scheme: str = "range"
+) -> int:
+    """Bucket of a cell id under ``scheme``.
 
-    Range (not mod) bucketing makes the ``cluster_bucket`` partition
-    directories ALIGN with contiguous cell-id runs: cells are labeled in
-    space-filling order (index/order.py), so one query's probed runs
-    touch few buckets and the partition filter prunes whole directories
-    — mod bucketing spreads every run across ALL buckets and reduces
-    the partition filter to a no-op for range probes.
+    ``range`` (``min(cid * B // C, B - 1)``, the scheme every new build
+    writes): partition directories ALIGN with contiguous cell-id runs —
+    cells are labeled in space-filling order (index/order.py), so one
+    query's probed runs touch few buckets and the partition filter
+    prunes whole directories.
+
+    ``mod`` (``cid % B``): the scheme of pre-range-bucketing indexes.
+    Readers and tail-writers MUST keep using it for tables written with
+    it — mixing schemes on one codes table makes the bucket partition
+    filter silently drop probed rows. ``VectorDB`` records the scheme in
+    the manifest at train time (``bucket_scheme``); manifests without
+    the key predate range bucketing and mean ``mod``.
     """
+    if scheme == "mod":
+        return cid % n_buckets
     return min(cid * n_buckets // num_clusters, n_buckets - 1)
 
 
-def bucket_expr(n_buckets: int, num_clusters: int):
+def bucket_expr(n_buckets: int, num_clusters: int, scheme: str = "range"):
     """Column expression computing :func:`cell_bucket` of ``cluster_id``."""
+    if scheme == "mod":
+        return F.pmod(F.col("cluster_id").cast("long"), F.lit(n_buckets)).cast("int")
     return F.least(
         F.floor(F.col("cluster_id").cast("long") * n_buckets / num_clusters),
         F.lit(n_buckets - 1),
@@ -362,6 +374,7 @@ def encode_all(
     vector_col: str = "vector",
     n_buckets: int = 64,
     carry_cols: tuple = (),
+    bucket_scheme: str = "range",
 ) -> DataFrame:
     """The full index-population pass: every row -> (id, cluster_id, code).
 
@@ -419,7 +432,8 @@ def encode_all(
         + carry_schema,
     )
     return out.withColumn(
-        "cluster_bucket", bucket_expr(n_buckets, artifacts.num_clusters)
+        "cluster_bucket",
+        bucket_expr(n_buckets, artifacts.num_clusters, bucket_scheme),
     )
 
 

@@ -131,6 +131,7 @@ def adc_candidates(
     vector_col: str = "vector",
     carry_cols: tuple = (),
     normalize_rows: bool = False,
+    bucket_scheme: str = "range",
 ) -> DataFrame:
     """Stage 1: ADC-score PQ codes in the probed cells; top-prelim_k per query.
 
@@ -166,8 +167,14 @@ def adc_candidates(
     from mindb_spark.index.build import cell_bucket
 
     probed_cids = sorted({int(c) for row in probed for c in row})
+    # the bucket set is exact under EITHER scheme — but it must be the
+    # scheme the table was WRITTEN with (manifest bucket_scheme; legacy
+    # tables are mod-bucketed), else the partition filter drops probed rows
     probed_buckets = sorted(
-        {cell_bucket(c, n_buckets, artifacts.num_clusters) for c in probed_cids}
+        {
+            cell_bucket(c, n_buckets, artifacts.num_clusters, bucket_scheme)
+            for c in probed_cids
+        }
     )
     pruned = codes
     if len(probed_buckets) < n_buckets:
@@ -568,6 +575,7 @@ def search(
     extra_cols: tuple = (),
     assume_normalized: bool = True,
     rescore_from_codes: bool = True,
+    bucket_scheme: str = "range",
 ) -> DataFrame:
     """Full two-stage query (+ exact search of the unindexed tail).
 
@@ -619,6 +627,7 @@ def search(
             id_col=id_col, n_buckets=n_buckets,
             rescore=True, vector_col=vector_col, carry_cols=extra_cols,
             normalize_rows=not assume_normalized,
+            bucket_scheme=bucket_scheme,
         ).select(
             "query_id", F.col(id_col), *extra_cols,
             F.col("score").alias("cosine_similarity"),
@@ -656,7 +665,7 @@ def search(
 
     cand = adc_candidates(
         codes, artifacts, qids, qnorm, n_probe, preliminary_top_k,
-        id_col=id_col, n_buckets=n_buckets,
+        id_col=id_col, n_buckets=n_buckets, bucket_scheme=bucket_scheme,
     ).select("query_id", id_col)
 
     if max_trained_id is not None:

@@ -114,6 +114,14 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         img = np.asarray(Image.open(io.BytesIO(payload)))
         if img.ndim == 2:
             img = img[..., None]
+        # the 8-bin feature contract below assumes uint8 pixels; PIL can
+        # hand back uint16 (16-bit PNG/TIFF) or float ("F" mode) — map to
+        # the uint8 range instead of emitting a 2048-bin histogram or
+        # crashing on float >> int
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        elif img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
     h, w, ch = img.shape
     flat = img.reshape(-1)
     hist = np.bincount(flat >> 5, minlength=8).astype(np.float64) / max(flat.size, 1)

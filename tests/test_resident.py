@@ -151,6 +151,53 @@ def test_resident_concurrent_adds(trained_db):
     assert final["cosine_similarity"][0] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_resident_sees_other_handle_mutations(spark, trained_db, corpus):
+    """A remove() through ANOTHER handle of the same path must stale the
+    snapshot: the fingerprint check reads the (memoized) on-disk
+    manifest, not just this handle's in-memory copy."""
+    db = trained_db
+    assert db.enable_resident_serving() is True
+    q = corpus[1]
+    victim = db.query(q, final_top_k=3)["ids"][0]
+    import os
+
+    other = VectorDB(spark, db.name, base_path=os.path.dirname(db.path))
+    other.remove([victim])
+    after = db.query(q, final_top_k=3)
+    assert victim not in after["ids"]
+
+
+def test_resident_refuses_deleted_db(spark, tmp_path, corpus):
+    """A handle outliving delete() must not keep serving from RAM."""
+    from mindb_spark.core.validation import ValidationError
+
+    db = VectorDB(spark, "deadres", base_path=str(tmp_path))
+    db.add([(v, {}) for v in corpus[:5100]])
+    db.train(use_two_level_clustering=False)
+    assert db.enable_resident_serving() is True
+    db.delete()
+    with pytest.raises(ValidationError, match="deleted"):
+        db.query(corpus[0], final_top_k=3)
+
+
+def test_resident_tail_budget(spark, tmp_path, corpus):
+    """A post-train add storm must not blow the byte budget through the
+    tail collect: the refresh/rebuild bound includes the tail."""
+    db = VectorDB(spark, "tailbudget", base_path=str(tmp_path))
+    db.add([(v, {}) for v in corpus[:5100]])
+    db.train(use_two_level_clustering=False)
+    from mindb_spark.core.resident import ResidentSnapshot
+
+    d = 24
+    base = ResidentSnapshot.estimate_bytes(5100, d, db._load_artifacts().m)
+    # budget fits the indexed part + a small tail, not a large one
+    budget = base + ResidentSnapshot.estimate_tail_bytes(100, d)
+    assert db.enable_resident_serving(max_bytes=budget) is True
+    db.add([(corpus[0], {}) for _ in range(500)])  # tail bound >> 100 rows
+    assert db.query_batch_local(corpus[:1]) is None  # over budget -> Spark
+    assert db.resident_info() is None  # disabled, no rebuild storm
+
+
 def test_resident_untrained_returns_false(spark, tmp_path):
     db = VectorDB(spark, "untrained", base_path=str(tmp_path))
     rng = np.random.default_rng(1)
