@@ -7,16 +7,18 @@ Beyond-reference capability (the reference stores only vectors+JSON): a
 - payload: one ``binary`` column; never interpreted by the engine.
 - metadata: flat typed columns (size, digest, sniffed mime) derived by
   JVM expressions — pushdown-friendly, no Python in the loop.
-- decode / feature-extract / resize / frame-sample: Arrow-batched
-  ``mapInPandas`` over the binary column. PNG payloads decode FOR REAL
-  via the stdlib zlib + numpy decoder in ``multimodal/png.py`` (true
-  height/width/channels and pixel-derived features, no image library
-  needed). Other codecs (JPEG/audio/video) require libraries NOT in this
-  container, so those kernels are STUBBED: with ``fake=True`` (default)
-  a clearly-marked deterministic fake derived from the payload bytes
-  stands in (schema, batching and partitioning are real and tested);
-  with ``fake=False`` non-PNG payloads raise ``NotImplementedError``
-  unless PIL/soundfile are importable.
+- decode / feature-extract / resize / frame-sample / audio: Arrow-batched
+  ``mapInPandas`` over the binary column. PNG, GIF and WAV payloads
+  decode FOR REAL via the stdlib codecs in ``multimodal/png.py``,
+  ``multimodal/gif.py`` and ``multimodal/audio.py`` (true dims /
+  sample layout and pixel/sample-derived features, no media library
+  needed); arbitrary bytes decode as raw u8 PCM (``decode_audio``'s
+  total fallback). Only inherently-complex codecs (JPEG, MP3/OGG,
+  video) require libraries NOT in this container: with ``fake=True``
+  (default) a clearly-marked deterministic fake derived from the
+  payload bytes stands in (schema, batching and partitioning are real
+  and tested); with ``fake=False`` those payloads raise
+  ``NotImplementedError`` unless PIL/soundfile are importable.
 
 Scale notes: binary payloads dominate row size — decode pipelines should
 ``select`` only (id, payload) before the UDF (column pruning keeps the
@@ -92,15 +94,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """REAL decoder: PNG via the stdlib decoder (png.py); other formats
-    via PIL when importable, else ``NotImplementedError``. Features are
-    the 8-bin histogram of decoded pixel bytes (value >> 5), normalized —
-    the same feature shape the fake path emits, but computed from true
-    pixels."""
+    """REAL decoder: PNG and GIF via the stdlib decoders (png.py /
+    gif.py); other formats via PIL when importable, else
+    ``NotImplementedError``. Features are the 8-bin histogram of decoded
+    pixel bytes (value >> 5), normalized — the same feature shape the
+    fake path emits, but computed from true pixels."""
+    from mindb_spark.multimodal.gif import decode_gif, is_gif
     from mindb_spark.multimodal.png import decode_png, is_png
 
     if is_png(payload):
         img = decode_png(payload)
+    elif is_gif(payload):
+        img = decode_gif(payload)
     else:
         try:
             import io
@@ -180,18 +185,24 @@ def resize_images(
     th, tw = int(target[0]), int(target[1])
 
     def _resize_one(payload: bytes) -> bytes:
+        from mindb_spark.multimodal.gif import decode_gif, encode_gif, is_gif
         from mindb_spark.multimodal.png import decode_png, encode_png, is_png
 
-        if not is_png(payload):
+        if is_png(payload):
+            img, enc = decode_png(payload), encode_png
+        elif is_gif(payload):
+            # nearest-neighbor keeps the palette subset, so the <=256
+            # distinct-colors encode precondition always holds
+            img, enc = decode_gif(payload), encode_gif
+        else:
             raise NotImplementedError(
-                "real resize of non-PNG images requires PIL, which is not "
-                "installed; PNG resizes natively, or use fake=True"
+                "real resize of non-PNG/GIF images requires PIL, which is "
+                "not installed; PNG/GIF resize natively, or use fake=True"
             )
-        img = decode_png(payload)
         h, w = img.shape[:2]
         rows = np.minimum((np.arange(th) * h) // th, h - 1)
         cols = np.minimum((np.arange(tw) * w) // tw, w - 1)
-        return encode_png(img[rows[:, None], cols[None, :]])
+        return enc(img[rows[:, None], cols[None, :]])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
