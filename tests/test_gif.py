@@ -48,6 +48,44 @@ def test_gif_extension_blocks_skipped():
     np.testing.assert_array_equal(decode_gif(patched), img)
 
 
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF: permute the rows into the 4-pass
+    storage order, set the interlace flag, and check the decoder
+    reassembles the original raster."""
+    import struct
+
+    from mindb_spark.multimodal.gif import _lzw_encode
+
+    h, w = 16, 10
+    img = _img(h, w, 4, seed=11)
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    idx = inv.astype(np.uint8).reshape(h, w)
+    pass_rows = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    stored = idx[pass_rows].ravel()  # rows in interlace storage order
+    bits = 2  # 4-color palette
+    n_pal = 1 << bits
+    pal_bytes = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal_bytes[: len(pal)] = pal
+    mcs = 2
+    body = _lzw_encode(mcs, stored)
+    blocks = b"".join(
+        bytes([min(255, len(body) - i)]) + body[i : i + 255]
+        for i in range(0, len(body), 255)
+    )
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+        + pal_bytes.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+        + bytes([mcs]) + blocks + b"\x00" + b"\x3b"
+    )
+    np.testing.assert_array_equal(decode_gif(payload), img)
+
+
 def test_decode_images_real_gif(spark):
     img = _img(20, 14, 8, seed=5)
     from mindb_spark.multimodal import decode_images
