@@ -941,6 +941,83 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame extraction (`no_oracle`: LZW decoding is
+    not SQL-expressible, so the entry embeds a bit-exact round-trip
+    proof instead). Per document (32 sampled), a deterministic 3-frame
+    8x6 animation is synthesized from the doc's text bytes, then
+    `sample_frames(fake=False)` explodes it on executors — stdlib LZW
+    decode, full GIF89a compositing, PNG re-encode per frame
+    (multimodal/gif.py, multimodal/png.py). Proof: every emitted PNG
+    frame is decoded driver-side and compared bit-exactly against the
+    independently recomputed composited frame. Output: per-frame dims +
+    mean pixel value (float, 6dp)."""
+    import numpy as np
+    import pandas as pd
+
+    from mindb_spark.multimodal import sample_frames
+    from mindb_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+    from mindb_spark.multimodal.png import decode_png
+
+    def _payload(doc_id: int, text: str) -> bytes:
+        rng = np.random.default_rng(doc_id + len(text))
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        frames = [pal[rng.integers(0, 4, (8, 6))] for _ in range(3)]
+        return encode_gif_animation(frames)
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 16 == 0)
+        .limit(32)
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [
+                    _payload(int(i), t)
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            })
+
+    payloads = docs.mapInPandas(build, schema="doc_id long, content binary")
+    out = sample_frames(payloads, every_n=1, fake=False).localCheckpoint()
+
+    # embedded proof: recompute each doc's composited frames driver-side
+    # and demand bit-exact equality with the executor-emitted PNGs
+    src = {int(r.doc_id): r.text for r in docs.collect()}
+    seen: dict[int, int] = {}
+    for r in out.collect():
+        expected = decode_gif_frames(_payload(r.doc_id, src[r.doc_id]))
+        got = decode_png(bytes(r.frame))
+        assert (got == expected[r.frame_no]).all(), (
+            f"frame mismatch doc={r.doc_id} frame={r.frame_no}"
+        )
+        seen[r.doc_id] = seen.get(r.doc_id, 0) + 1
+    assert seen and all(v == 3 for v in seen.values()), "frame count != 3"
+
+    def summarize(batches):
+        for pdf in batches:
+            dims = [decode_png(bytes(p)).shape for p in pdf["frame"]]
+            means = [
+                float(decode_png(bytes(p)).mean()) for p in pdf["frame"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "frame_no": pdf["frame_no"],
+                "height": [d[0] for d in dims],
+                "width": [d[1] for d in dims],
+                "mean_px": [round(m, 6) for m in means],
+            })
+
+    return out.mapInPandas(
+        summarize,
+        schema="doc_id long, frame_no int, height int, width int, mean_px double",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
     from mindb_spark.operators.temporal import session_stats
@@ -1563,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "contamination_check": q_contamination_check,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
     }
 
 

@@ -113,3 +113,145 @@ def test_resize_images_real_gif(spark):
     rows = np.minimum((np.arange(8) * 32) // 8, 31)
     cols = np.minimum((np.arange(16) * 32) // 16, 31)
     np.testing.assert_array_equal(got, img[rows[:, None], cols[None, :]])
+
+
+# ---------------------------------------------------------------- animation
+
+
+def test_gif_animation_roundtrip_full_frames():
+    from mindb_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 6, (9, 7))] for _ in range(4)]
+    payload = encode_gif_animation(frames)
+    got = decode_gif_frames(payload)
+    assert len(got) == 4
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)
+    # decode_gif = first composited frame
+    np.testing.assert_array_equal(decode_gif(payload), frames[0])
+
+
+def test_gif_animation_disposal_offsets_transparency():
+    """Hand-check the GIF89a compositing semantics: offsets, a
+    transparency key that leaves the underlying canvas visible, and
+    disposal 2 (restore-background) between frames."""
+    from mindb_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+
+    BG = np.array([200, 0, 0], np.uint8)
+    A = np.array([0, 0, 255], np.uint8)
+    B = np.array([0, 255, 0], np.uint8)
+    C = np.array([255, 255, 0], np.uint8)
+    T = np.array([1, 2, 3], np.uint8)  # transparency key
+
+    f0 = np.broadcast_to(A, (6, 8, 3)).copy()
+    f1 = np.broadcast_to(B, (3, 4, 3)).copy()
+    f1[0, 0] = T
+    f1[2, 3] = T
+    f2 = np.broadcast_to(C, (2, 2, 3)).copy()
+
+    payload = encode_gif_animation(
+        [f0, f1, f2],
+        offsets=[(0, 0), (2, 1), (0, 0)],  # (x, y)
+        disposals=[0, 2, 0],
+        transparent_color=tuple(T),
+        canvas=(6, 8),
+        background=tuple(BG),
+    )
+    got = decode_gif_frames(payload)
+    assert len(got) == 3
+
+    exp0 = np.broadcast_to(A, (6, 8, 3)).copy()
+    np.testing.assert_array_equal(got[0], exp0)
+
+    exp1 = exp0.copy()
+    region = exp1[1:4, 2:6]
+    mask = ~np.all(f1 == T, axis=-1)
+    region[mask] = f1[mask]
+    np.testing.assert_array_equal(got[1], exp1)
+
+    # disposal 2 on frame 1: its rect restored to background before frame 2
+    exp2 = exp0.copy()
+    exp2[1:4, 2:6] = BG
+    exp2[0:2, 0:2] = C
+    np.testing.assert_array_equal(got[2], exp2)
+
+
+def test_gif_animation_disposal_restore_previous():
+    from mindb_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+
+    A = np.array([10, 20, 30], np.uint8)
+    B = np.array([40, 50, 60], np.uint8)
+    f0 = np.broadcast_to(A, (4, 4, 3)).copy()
+    f1 = np.broadcast_to(B, (2, 2, 3)).copy()
+    f2 = np.broadcast_to(B, (1, 1, 3)).copy()
+    payload = encode_gif_animation(
+        [f0, f1, f2],
+        offsets=[(0, 0), (1, 1), (3, 3)],
+        disposals=[0, 3, 0],  # frame 1: restore-previous after display
+        canvas=(4, 4),
+    )
+    got = decode_gif_frames(payload)
+    exp1 = f0.copy()
+    exp1[1:3, 1:3] = B
+    np.testing.assert_array_equal(got[1], exp1)
+    # frame 1's rect was restored to frame 0 contents before frame 2 drew
+    exp2 = f0.copy()
+    exp2[3:4, 3:4] = B
+    np.testing.assert_array_equal(got[2], exp2)
+
+
+def test_gif_frames_max_frames_prefix():
+    from mindb_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frames = [pal[np.full((3, 3), i % 2)] for i in range(5)]
+    payload = encode_gif_animation(frames)
+    assert len(decode_gif_frames(payload, max_frames=2)) == 2
+    assert len(decode_gif_frames(payload)) == 5
+
+
+def test_sample_frames_real_gif(spark):
+    from mindb_spark.multimodal import sample_frames
+    from mindb_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+    from mindb_spark.multimodal.png import decode_png
+
+    rng = np.random.default_rng(33)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 4, (8, 6))] for _ in range(6)]
+    payload = encode_gif_animation(frames)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, content binary"
+    )
+    rows = sample_frames(df, every_n=2, fake=False).orderBy("frame_no").collect()
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    composited = decode_gif_frames(payload)
+    for r in rows:
+        np.testing.assert_array_equal(
+            decode_png(bytes(r.frame)), composited[r.frame_no]
+        )
+
+
+def test_sample_frames_real_png_single_frame(spark):
+    from mindb_spark.multimodal import sample_frames
+    from mindb_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(40)
+    img = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "doc_id long, content binary"
+    )
+    rows = sample_frames(df, every_n=10, fake=False).collect()
+    assert len(rows) == 1 and rows[0].frame_no == 0
+    np.testing.assert_array_equal(decode_png(bytes(rows[0].frame)), img)
+
+
+def test_sample_frames_real_honest_gate(spark):
+    from mindb_spark.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01video-bytes" * 40))], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="media library|NotImplemented"):
+        sample_frames(df, fake=False).collect()
