@@ -2327,6 +2327,7 @@ select doc_id,
        length(text)::BIGINT as size_bytes,
        md5(text) as content_md5,
        case when substring(text, 1, 4) = 'GIF8' then 'image/gif'
+            when substring(text, 1, 2) = 'BM' then 'image/bmp'
             when substring(text, 1, 4) = '%PDF' then 'application/pdf'
             when substring(text, 1, 4) = 'RIFF' then 'audio/wav'
             when substring(text, 1, 3) = 'ID3' then 'audio/mpeg'

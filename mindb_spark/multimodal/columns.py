@@ -42,6 +42,7 @@ _MAGIC = [
     ("89504E47", "image/png"),
     ("FFD8FF", "image/jpeg"),
     ("47494638", "image/gif"),
+    ("424D", "image/bmp"),
     ("25504446", "application/pdf"),
     ("52494646", "audio/wav"),  # RIFF container (wav/avi)
     ("494433", "audio/mpeg"),
@@ -99,6 +100,7 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     ``NotImplementedError``. Features are the 8-bin histogram of decoded
     pixel bytes (value >> 5), normalized — the same feature shape the
     fake path emits, but computed from true pixels."""
+    from mindb_spark.multimodal.bmp import decode_bmp, is_bmp
     from mindb_spark.multimodal.gif import decode_gif, is_gif
     from mindb_spark.multimodal.png import decode_png, is_png
 
@@ -106,6 +108,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         img = decode_png(payload)
     elif is_gif(payload):
         img = decode_gif(payload)
+    elif is_bmp(payload):
+        img = decode_bmp(payload)
     else:
         try:
             import io
@@ -185,6 +189,7 @@ def resize_images(
     th, tw = int(target[0]), int(target[1])
 
     def _resize_one(payload: bytes) -> bytes:
+        from mindb_spark.multimodal.bmp import decode_bmp, encode_bmp, is_bmp
         from mindb_spark.multimodal.gif import decode_gif, encode_gif, is_gif
         from mindb_spark.multimodal.png import decode_png, encode_png, is_png
 
@@ -194,10 +199,13 @@ def resize_images(
             # nearest-neighbor keeps the palette subset, so the <=256
             # distinct-colors encode precondition always holds
             img, enc = decode_gif(payload), encode_gif
+        elif is_bmp(payload):
+            img, enc = decode_bmp(payload), encode_bmp
         else:
             raise NotImplementedError(
-                "real resize of non-PNG/GIF images requires PIL, which is "
-                "not installed; PNG/GIF resize natively, or use fake=True"
+                "real resize of non-PNG/GIF/BMP images requires PIL, which "
+                "is not installed; PNG/GIF/BMP resize natively, or use "
+                "fake=True"
             )
         h, w = img.shape[:2]
         rows = np.minimum((np.arange(th) * h) // th, h - 1)
