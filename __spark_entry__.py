@@ -1018,6 +1018,74 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (`no_oracle`: DCT entropy coding is not
+    SQL-expressible; the entry embeds a machine-checked proof instead).
+    Per document (32 sampled), a deterministic image is synthesized and
+    encoded as baseline JPEG (multimodal/jpeg.py — stdlib Huffman + DCT,
+    Annex K tables), then `decode_images(fake=False)` decodes it on
+    executors. Proof: flat-color payloads (even doc rank) must decode
+    BIT-EXACTLY; gradient payloads (odd rank) must reach PSNR > 40 dB
+    against the source — both recomputed driver-side. Output: dims +
+    8-bin pixel histogram features."""
+    import numpy as np
+    import pandas as pd
+
+    from mindb_spark.multimodal import decode_images
+    from mindb_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def _img(doc_id: int) -> np.ndarray:
+        if (doc_id // 16) % 2 == 0:
+            return np.full((16, 24, 3), (doc_id * 37) % 256, dtype=np.uint8)
+        yy, xx = np.mgrid[0:24, 0:16]
+        return np.stack(
+            [(yy * 3 + doc_id) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 16 == 0)
+        .limit(32)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [
+                    encode_jpeg(_img(int(i)), quality=95) for i in pdf["doc_id"]
+                ],
+            })
+
+    payloads = docs.mapInPandas(build, schema="doc_id long, content binary")
+    out = decode_images(payloads, fake=False).localCheckpoint()
+
+    rows = out.collect()
+    assert rows, "no documents sampled"
+    for r in rows:
+        img = _img(r.doc_id)
+        assert (r.height, r.width, r.channels) == (*img.shape[:2], 3)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        if (r.doc_id // 16) % 2 == 0:
+            assert (dec == img).all(), f"flat decode not exact doc={r.doc_id}"
+        else:
+            err = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+            psnr = 99.0 if err == 0 else 10 * np.log10(255.0**2 / err)
+            assert psnr > 40, f"psnr {psnr:.1f} doc={r.doc_id}"
+        flat = dec.reshape(-1)
+        hist = np.bincount(flat >> 5, minlength=8) / flat.size
+        assert np.allclose(np.array(r.features), hist, atol=1e-12), (
+            f"feature histogram mismatch doc={r.doc_id}"
+        )
+    return out.select(
+        "doc_id", "height", "width", "channels",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
     from mindb_spark.operators.temporal import session_stats
@@ -1641,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_gif_frames": q_multimodal_gif_frames,
+        "multimodal_jpeg": q_multimodal_jpeg,
     }
 
 

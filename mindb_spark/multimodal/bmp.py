@@ -4,7 +4,8 @@ Like PNG (zlib), GIF (LZW) and WAV (RIFF), BMP needs no external
 library: it is a fixed header plus raw (optionally palettized) pixel
 rows. This makes ``decode_images(fake=False)`` /
 ``resize_images(fake=False)`` real for BMP payloads too, leaving only
-inherently-complex codecs (JPEG/video) behind the PIL gate.
+true video containers behind the PIL gate (baseline JPEG decodes
+natively too — see jpeg.py).
 
 Scope (raises ``ValueError``/``NotImplementedError`` outside it):
 - decode: BITMAPINFOHEADER or later (40/52/56/108/124-byte info

@@ -102,6 +102,7 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     fake path emits, but computed from true pixels."""
     from mindb_spark.multimodal.bmp import decode_bmp, is_bmp
     from mindb_spark.multimodal.gif import decode_gif, is_gif
+    from mindb_spark.multimodal.jpeg import decode_jpeg, is_jpeg
     from mindb_spark.multimodal.png import decode_png, is_png
 
     if is_png(payload):
@@ -110,6 +111,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         img = decode_gif(payload)
     elif is_bmp(payload):
         img = decode_bmp(payload)
+    elif is_jpeg(payload):
+        img = decode_jpeg(payload)
     else:
         try:
             import io
@@ -191,6 +194,7 @@ def resize_images(
     def _resize_one(payload: bytes) -> bytes:
         from mindb_spark.multimodal.bmp import decode_bmp, encode_bmp, is_bmp
         from mindb_spark.multimodal.gif import decode_gif, encode_gif, is_gif
+        from mindb_spark.multimodal.jpeg import decode_jpeg, encode_jpeg, is_jpeg
         from mindb_spark.multimodal.png import decode_png, encode_png, is_png
 
         if is_png(payload):
@@ -201,11 +205,13 @@ def resize_images(
             img, enc = decode_gif(payload), encode_gif
         elif is_bmp(payload):
             img, enc = decode_bmp(payload), encode_bmp
+        elif is_jpeg(payload):
+            img, enc = decode_jpeg(payload), encode_jpeg
         else:
             raise NotImplementedError(
-                "real resize of non-PNG/GIF/BMP images requires PIL, which "
-                "is not installed; PNG/GIF/BMP resize natively, or use "
-                "fake=True"
+                "real resize of non-PNG/GIF/BMP/JPEG images requires PIL, "
+                "which is not installed; those formats resize natively, or "
+                "use fake=True"
             )
         h, w = img.shape[:2]
         rows = np.minimum((np.arange(th) * h) // th, h - 1)
@@ -403,6 +409,7 @@ def sample_frames(
 
     def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mindb_spark.multimodal.gif import decode_gif_frames, is_gif
+        from mindb_spark.multimodal.jpeg import decode_jpeg, is_jpeg
         from mindb_spark.multimodal.png import decode_png, encode_png, is_png
 
         for pdf in batches:
@@ -413,6 +420,8 @@ def sample_frames(
                     frames = decode_gif_frames(raw)
                 elif is_png(raw):
                     frames = [decode_png(raw)]
+                elif is_jpeg(raw):
+                    frames = [decode_jpeg(raw)]
                 else:
                     raise NotImplementedError(
                         "real frame sampling covers GIF animations and PNG "

@@ -4,8 +4,9 @@ Like PNG (zlib) and WAV (RIFF), GIF needs no external library: the
 format is a palette header plus LZW-compressed pixel indices
 (spec: GIF87a/89a, https://www.w3.org/Graphics/GIF/spec-gif89a.txt).
 This makes ``decode_images(fake=False)`` real for GIF payloads too —
-true (height, width) and pixel data — leaving only inherently-complex
-codecs (JPEG/video) behind the PIL gate.
+true (height, width) and pixel data — leaving only true video
+containers behind the PIL gate (baseline JPEG decodes natively too —
+see jpeg.py).
 
 Scope (raises ``ValueError``/``NotImplementedError`` outside it):
 - decode: GIF87a/89a, global or local color table, interlaced or not,

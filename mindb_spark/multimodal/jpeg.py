@@ -1,0 +1,608 @@
+"""Minimal pure-stdlib baseline JPEG decoder/encoder (numpy only).
+
+JPEG needs no external library either — baseline sequential DCT
+(SOF0) is segment parsing + canonical Huffman + dequantize + inverse
+zigzag + 8x8 IDCT + YCbCr->RGB, all of which numpy expresses directly
+(spec: ITU-T T.81 / ISO 10918-1; quant + Huffman defaults from its
+Annex K). This closes the last common image format that was behind
+the PIL gate: ``decode_images(fake=False)`` / ``resize_images`` /
+``sample_frames`` are now real for PNG, GIF, BMP and baseline JPEG.
+
+Scope (raises ``ValueError``/``NotImplementedError`` outside it):
+- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with
+  any sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), multiple
+  DQT/DHT segments, restart markers (DRI/RSTn). Progressive (SOF2),
+  arithmetic coding and 12-bit are out of scope.
+- encode: quality-scaled Annex K quantization, the Annex K default
+  Huffman tables, 4:4:4 (color) or single-component (grayscale) —
+  enough for fixtures and resize round-trips, not an optimizing
+  encoder.
+
+The DCT is the orthonormal DCT-II matrix product (not a fast
+factorization): bit-exact testability beats speed for fixture-scale
+payloads; the Arrow batching around it is the production shape.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------- tables
+# zigzag scan order, ITU-T T.81 Figure A.6 (index = scan position)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 quantization tables (luminance / chrominance), raster order
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 default Huffman tables: (bits[1..16] counts, symbol values)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II basis: block_dct = D @ block @ D.T
+_DCT_D = np.array([
+    [
+        (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * n + 1) * k * np.pi / 16)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:3] == b"\xff\xd8\xff"
+
+
+# ----------------------------------------------------------------- huffman
+
+
+def _canonical_codes(counts, symbols):
+    """ITU-T T.81 Annex C canonical code assignment:
+    {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any real marker (0xFF xx, xx != 0)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return  # restart marker: caller consumes it
+                else:
+                    # real marker (EOI/next segment): pad with zero bits
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("truncated JPEG entropy data")
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_consume_rst(self):
+        """Byte-align and consume an RSTn marker (after a restart
+        interval)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ----------------------------------------------------------------- decode
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) RGB (or (h, w, 1) grayscale)
+    uint8."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                qt[tq] = tbl  # zigzag order
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + nsym])
+                huff[(tc, th)] = _canonical_codes(counts, symbols)
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tables >> 4, tables & 0x0F)
+            out = _decode_scan(
+                data, pos + seglen, frame, scan, qt, huff, restart_interval
+            )
+            return out
+        # else: APPn/COM/etc — skip
+        pos += seglen
+    raise ValueError("JPEG contains no scan data")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("JPEG sampling factors > 2 not supported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = -(-w // mcu_w)
+    mcuy = -(-h // mcu_h)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    D = _DCT_D
+    inv_zz = ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_and_consume_rst()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, comp in enumerate(comps):
+                dc_t, ac_t = scan[comp["id"]]
+                dct = huff.get((0, dc_t))
+                act = huff.get((1, ac_t))
+                if dct is None or act is None:
+                    raise ValueError("JPEG scan references undefined Huffman table")
+                q = qt.get(comp["tq"])
+                if q is None:
+                    raise ValueError("JPEG scan references undefined quant table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(reader, dct)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[inv_zz] = (coeffs * q).astype(np.float64)
+                        px = D.T @ block.reshape(8, 8) @ D + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample to full resolution and crop
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(full) != 3:
+        raise NotImplementedError(f"JPEG with {len(full)} components")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self):
+        if self.nacc:
+            self.acc = (self.acc << (8 - self.nacc)) | ((1 << (8 - self.nacc)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nacc = 0
+
+
+def _encode_codes(counts, symbols):
+    """symbol -> (code, length) for the canonical table."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _canonical_codes(counts, symbols).items()
+    }
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H/8, W/8, 64) quantized zigzag coefficients for a level-shifted
+    plane (H, W both multiples of 8), vectorized over all blocks."""
+    ph, pw = plane.shape
+    D = _DCT_D
+    blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("kn,ijnm,ml->ijkl", D, blocks, D.T)
+    zz = coef.reshape(ph // 8, pw // 8, 64)[:, :, ZIGZAG]
+    return np.round(zz / q).astype(np.int64)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w[, 1|3]) uint8 array as a baseline JPEG with the
+    Annex K default Huffman tables. ``subsample``: ``"444"`` (one block
+    per component per MCU) or ``"420"`` (2x2 luma blocks + 2x2-mean
+    downsampled chroma per MCU). ``restart_interval`` > 0 writes a DRI
+    segment and an RSTn marker (with predictor reset) every that many
+    MCUs."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsample not in ("444", "420"):
+        raise NotImplementedError("encode_jpeg supports 444 or 420 only")
+    qy = _scaled_qt(_QT_LUMA, quality)
+    qc = _scaled_qt(_QT_CHROMA, quality)
+    if ch == 3:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [qy, qc, qc]
+        tsel = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample == "420" else [(1, 1)] * 3
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+        qts = [qy]
+        tsel = [0]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux, mcuy = -(-w // mcu_w), -(-h // mcu_h)
+
+    # per component: pad to the MCU grid (edge replication), downsample
+    # chroma by block mean, level-shift, then quantize all blocks
+    qplanes = []
+    for ci, (p, q, (sh, sv)) in enumerate(zip(planes, qts, samp)):
+        tgt_h, tgt_w = mcuy * sv * 8, mcux * sh * 8
+        if (sh, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh
+            src = np.pad(
+                p,
+                ((0, mcuy * mcu_h - h), (0, mcux * mcu_w - w)),
+                mode="edge",
+            )
+            p = src.reshape(tgt_h, fy, tgt_w, fx).mean(axis=(1, 3))
+        else:
+            p = np.pad(p, ((0, tgt_h - h), (0, tgt_w - w)), mode="edge")
+        qplanes.append(_quantized_blocks(p - 128.0, q))
+
+    dc_tabs = [_encode_codes(*_HT_DC_LUMA), _encode_codes(*_HT_DC_CHROMA)]
+    ac_tabs = [_encode_codes(*_HT_AC_LUMA), _encode_codes(*_HT_AC_CHROMA)]
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+
+    def emit_magnitude(v: int, t: int):
+        wtr.write(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def emit_block(zzq, ci):
+        dct, act = dc_tabs[tsel[ci]], ac_tabs[tsel[ci]]
+        diff = int(zzq[0]) - pred[ci]
+        pred[ci] = int(zzq[0])
+        t = _category(diff)
+        code, ln = dct[t]
+        wtr.write(code, ln)
+        if t:
+            emit_magnitude(diff, t)
+        run = 0
+        nz = np.nonzero(zzq[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zzq[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = act[(run << 4) | s]
+            wtr.write(code, ln)
+            emit_magnitude(v, s)
+            run = 0
+        if last < 63:
+            code, ln = act[0x00]  # EOB
+            wtr.write(code, ln)
+
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        emit_block(
+                            qplanes[ci][my * sv + by, mx * sh + bx], ci
+                        )
+    wtr.flush()
+
+    # ---- assemble segments
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xDB, b"\x00" + qy.astype(np.uint8).tobytes()))
+    if ch == 3:
+        out.append(seg(0xDB, b"\x01" + qc.astype(np.uint8).tobytes()))
+
+    def dht(tc, th, table):
+        counts, symbols = table
+        return seg(
+            0xC4,
+            bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols),
+        )
+
+    out.append(dht(0, 0, _HT_DC_LUMA))
+    out.append(dht(1, 0, _HT_AC_LUMA))
+    if ch == 3:
+        out.append(dht(0, 1, _HT_DC_CHROMA))
+        out.append(dht(1, 1, _HT_AC_CHROMA))
+    ncomp = 3 if ch == 3 else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sh, sv = samp[c]
+        sof += bytes([c + 1, (sh << 4) | sv, 0 if c == 0 else 1])
+    out.append(seg(0xC0, sof))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        dc_t = 0 if c == 0 else 1
+        sos += bytes([c + 1, (dc_t << 4) | dc_t])
+    sos += b"\x00\x3f\x00"
+    out.append(seg(0xDA, sos))
+    out.append(bytes(wtr.out))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)

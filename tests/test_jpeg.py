@@ -1,0 +1,178 @@
+"""Stdlib baseline JPEG codec: spec-table checks, round-trips across
+subsampling/restart/odd-dims variants, and the DataFrame ops."""
+
+import numpy as np
+import pytest
+
+from mindb_spark.multimodal.jpeg import (
+    ZIGZAG,
+    _DCT_D,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_zigzag_matches_independent_diagonal_walk():
+    """Regenerate the scan order from the rule (anti-diagonals,
+    alternating direction) instead of trusting the table literal."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and (s - i) < 8]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals walk upward
+        order.extend(r * 8 + c for r, c in diag)
+    np.testing.assert_array_equal(ZIGZAG, np.array(order))
+
+
+def test_dct_matrix_is_orthonormal():
+    np.testing.assert_allclose(_DCT_D @ _DCT_D.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_roundtrip_smooth_444():
+    img = _smooth(48, 64)
+    payload = encode_jpeg(img, quality=95)
+    assert is_jpeg(payload)
+    got = decode_jpeg(payload)
+    assert got.shape == img.shape
+    assert _psnr(img, got) > 40
+
+
+def test_jpeg_roundtrip_420_and_sizes():
+    img = _smooth(50, 70)  # not MCU-aligned: exercises padding + crop
+    got = decode_jpeg(encode_jpeg(img, quality=92, subsample="420"))
+    assert got.shape == img.shape
+    assert _psnr(img, got) > 35
+    # 4:2:0 should be smaller than 4:4:4 at equal quality
+    assert len(encode_jpeg(img, 92, subsample="420")) < len(encode_jpeg(img, 92))
+
+
+def test_jpeg_flat_color_is_exact():
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    got = decode_jpeg(encode_jpeg(flat, quality=90))
+    np.testing.assert_array_equal(got, flat)
+
+
+def test_jpeg_grayscale_single_component():
+    yy, xx = np.mgrid[0:32, 0:40]
+    gray = ((yy + xx) % 256).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert got.shape == (32, 40, 1)
+    assert _psnr(gray[:, :, None], got) > 45
+
+
+def test_jpeg_odd_dims():
+    img = _smooth(13, 17)
+    got = decode_jpeg(encode_jpeg(img, quality=95))
+    assert got.shape == (13, 17, 3)
+    assert _psnr(img, got) > 40
+
+
+def test_jpeg_restart_markers_decode_identically():
+    img = _smooth(50, 70)
+    plain = decode_jpeg(encode_jpeg(img, quality=92))
+    rst = decode_jpeg(encode_jpeg(img, quality=92, restart_interval=3))
+    np.testing.assert_array_equal(plain, rst)
+    rst420 = decode_jpeg(
+        encode_jpeg(img, quality=92, subsample="420", restart_interval=2)
+    )
+    assert _psnr(img, rst420) > 35
+
+
+def test_jpeg_byte_stuffing_exercised():
+    """Noise at low quality reliably produces 0xFF entropy bytes, so the
+    FF00 stuffing path must run on encode and unstuff on decode."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=60)
+    assert b"\xff\x00" in payload  # stuffing actually happened
+    got = decode_jpeg(payload)
+    assert got.shape == img.shape
+    assert _psnr(img, got) > 15  # noise is the JPEG worst case
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"NOTAJPEG" + b"\x00" * 40)
+    payload = bytearray(encode_jpeg(_smooth(16, 16), quality=90))
+    # patch the SOF0 marker (FF C0) to progressive SOF2 (FF C2)
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(NotImplementedError):
+        encode_jpeg(_smooth(8, 8), subsample="422")
+
+
+def test_decode_images_real_jpeg(spark):
+    from mindb_spark.multimodal import decode_images
+
+    img = _smooth(24, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quality=95)))],
+        "doc_id long, content binary",
+    )
+    row = decode_images(df, fake=False).collect()[0]
+    assert (row.height, row.width, row.channels) == (24, 16, 3)
+    # features = 8-bin histogram of DECODED pixels; lossy codec, so
+    # compare against the histogram of our own decode (bit-exact path)
+    dec = decode_jpeg(encode_jpeg(img, quality=95)).reshape(-1)
+    hist = np.bincount(dec >> 5, minlength=8) / dec.size
+    np.testing.assert_allclose(np.array(row.features), hist, atol=1e-12)
+
+
+def test_resize_images_real_jpeg(spark):
+    from mindb_spark.multimodal import resize_images
+
+    img = _smooth(32, 32)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quality=95)))],
+        "doc_id long, content binary",
+    )
+    row = resize_images(df, target=(8, 16), fake=False).collect()[0]
+    assert (row.height, row.width) == (8, 16)
+    got = decode_jpeg(bytes(row.content))
+    assert got.shape == (8, 16, 3)
+    # resize = decode -> nearest-neighbor -> re-encode; both steps lossy,
+    # so check structural closeness, not equality
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    rows = np.minimum((np.arange(8) * 32) // 8, 31)
+    cols = np.minimum((np.arange(16) * 32) // 16, 31)
+    assert _psnr(dec[rows[:, None], cols[None, :]], got) > 30
+
+
+def test_sample_frames_real_jpeg_single_frame(spark):
+    from mindb_spark.multimodal import sample_frames
+    from mindb_spark.multimodal.png import decode_png
+
+    img = _smooth(10, 12)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quality=95)))],
+        "doc_id long, content binary",
+    )
+    rows = sample_frames(df, fake=False).collect()
+    assert len(rows) == 1 and rows[0].frame_no == 0
+    got = decode_png(bytes(rows[0].frame))
+    np.testing.assert_array_equal(got, decode_jpeg(encode_jpeg(img, quality=95)))
+
+
+def test_sniff_mime_jpeg(spark):
+    from mindb_spark.multimodal import sniff_mime
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(_smooth(8, 8))))],
+        "doc_id long, content binary",
+    )
+    assert df.select(sniff_mime("content").alias("m")).collect()[0].m == "image/jpeg"
