@@ -1086,6 +1086,80 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling from an actual video container
+    (`no_oracle`: MJPEG entropy coding is not SQL-expressible; the entry
+    embeds a bit-exact proof instead). Per document (16 sampled), a
+    deterministic 4-frame MJPEG AVI is muxed (multimodal/avi.py — RIFF
+    chunks around stdlib-JPEG frames), then `sample_frames(fake=False)`
+    demuxes and decodes it on executors. Proof: every emitted PNG frame
+    equals the independently demuxed+decoded frame bit-exactly. Output:
+    per-frame dims + mean pixel value."""
+    import numpy as np
+    import pandas as pd
+
+    from mindb_spark.multimodal import sample_frames
+    from mindb_spark.multimodal.avi import decode_avi_frames, encode_avi_mjpeg
+    from mindb_spark.multimodal.png import decode_png
+
+    def _payload(doc_id: int) -> bytes:
+        yy, xx = np.mgrid[0:16, 0:24]
+        frames = [
+            np.stack(
+                [(yy * 3 + doc_id + 17 * i) % 256, (xx * 2) % 256,
+                 ((yy + xx) * 2 + i) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            for i in range(4)
+        ]
+        return encode_avi_mjpeg(frames, fps=8, quality=93)
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 32 == 0)
+        .limit(16)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [_payload(int(i)) for i in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(build, schema="doc_id long, content binary")
+    out = sample_frames(payloads, every_n=2, fake=False).localCheckpoint()
+
+    rows = out.collect()
+    assert rows, "no documents sampled"
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        expected = decode_avi_frames(_payload(r.doc_id))
+        got = decode_png(bytes(r.frame))
+        assert (got == expected[r.frame_no]).all(), (
+            f"frame mismatch doc={r.doc_id} frame={r.frame_no}"
+        )
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert all(v == 2 for v in per_doc.values()), "expected frames 0 and 2"
+
+    def summarize(batches):
+        for pdf in batches:
+            imgs = [decode_png(bytes(p)) for p in pdf["frame"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "frame_no": pdf["frame_no"],
+                "height": [im.shape[0] for im in imgs],
+                "width": [im.shape[1] for im in imgs],
+                "mean_px": [round(float(im.mean()), 6) for im in imgs],
+            })
+
+    return out.mapInPandas(
+        summarize,
+        schema="doc_id long, frame_no int, height int, width int, mean_px double",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumsum window)."""
     from mindb_spark.operators.temporal import session_stats
@@ -1710,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_video": q_multimodal_video,
     }
 
 
@@ -2398,7 +2473,9 @@ select doc_id,
        case when substring(text, 1, 4) = 'GIF8' then 'image/gif'
             when substring(text, 1, 2) = 'BM' then 'image/bmp'
             when substring(text, 1, 4) = '%PDF' then 'application/pdf'
-            when substring(text, 1, 4) = 'RIFF' then 'audio/wav'
+            when substring(text, 1, 4) = 'RIFF'
+              then (case when substring(text, 9, 4) = 'AVI '
+                         then 'video/x-msvideo' else 'audio/wav' end)
             when substring(text, 1, 3) = 'ID3' then 'audio/mpeg'
             else 'application/octet-stream' end as mime
 from documents

@@ -44,14 +44,16 @@ _MAGIC = [
     ("47494638", "image/gif"),
     ("424D", "image/bmp"),
     ("25504446", "application/pdf"),
-    ("52494646", "audio/wav"),  # RIFF container (wav/avi)
+    ("52494646", "audio/wav"),  # RIFF container; AVI refined below
     ("494433", "audio/mpeg"),
     ("1A45DFA3", "video/webm"),
 ]
 
 
 def sniff_mime(binary_col) -> F.Column:
-    """Magic-byte mime sniffing as a pure JVM expression (no UDF)."""
+    """Magic-byte mime sniffing as a pure JVM expression (no UDF).
+    RIFF containers are refined by their form type at offset 9-12
+    (``AVI `` -> video, anything else -> the wav default)."""
     c = F.col(binary_col) if isinstance(binary_col, str) else binary_col
     expr = F.lit("application/octet-stream")
     for prefix, mime in reversed(_MAGIC):
@@ -59,7 +61,11 @@ def sniff_mime(binary_col) -> F.Column:
         expr = F.when(
             F.hex(F.substring(c, 1, nbytes)) == F.lit(prefix), F.lit(mime)
         ).otherwise(expr)
-    return expr
+    return F.when(
+        (F.hex(F.substring(c, 1, 4)) == F.lit("52494646"))
+        & (F.hex(F.substring(c, 9, 4)) == F.lit("41564920")),
+        F.lit("video/x-msvideo"),
+    ).otherwise(expr)
 
 
 def binary_metadata(
@@ -100,6 +106,7 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     ``NotImplementedError``. Features are the 8-bin histogram of decoded
     pixel bytes (value >> 5), normalized — the same feature shape the
     fake path emits, but computed from true pixels."""
+    from mindb_spark.multimodal.avi import is_avi as _is_avi
     from mindb_spark.multimodal.bmp import decode_bmp, is_bmp
     from mindb_spark.multimodal.gif import decode_gif, is_gif
     from mindb_spark.multimodal.jpeg import decode_jpeg, is_jpeg
@@ -113,6 +120,10 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         img = decode_bmp(payload)
     elif is_jpeg(payload):
         img = decode_jpeg(payload)
+    elif _is_avi(payload):
+        from mindb_spark.multimodal.avi import decode_avi_frames
+
+        img = decode_avi_frames(payload, max_frames=1)[0]
     else:
         try:
             import io
@@ -408,6 +419,7 @@ def sample_frames(
                 yield pd.DataFrame({id_col: out_id, "frame_no": out_no, "frame": out_frame})
 
     def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mindb_spark.multimodal.avi import decode_avi_frames, is_avi
         from mindb_spark.multimodal.gif import decode_gif_frames, is_gif
         from mindb_spark.multimodal.jpeg import decode_jpeg, is_jpeg
         from mindb_spark.multimodal.png import decode_png, encode_png, is_png
@@ -416,7 +428,9 @@ def sample_frames(
             out_id, out_no, out_frame = [], [], []
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(payload)
-                if is_gif(raw):
+                if is_avi(raw):
+                    frames = decode_avi_frames(raw)
+                elif is_gif(raw):
                     frames = decode_gif_frames(raw)
                 elif is_png(raw):
                     frames = [decode_png(raw)]
@@ -424,9 +438,10 @@ def sample_frames(
                     frames = [decode_jpeg(raw)]
                 else:
                     raise NotImplementedError(
-                        "real frame sampling covers GIF animations and PNG "
-                        "stills natively; other video formats require a "
-                        "media library this container lacks (use fake=True)"
+                        "real frame sampling covers MJPEG AVI video, GIF "
+                        "animations and PNG/JPEG stills natively; other "
+                        "video containers require a media library this "
+                        "container lacks (use fake=True)"
                     )
                 for fno in range(0, len(frames), every_n):
                     out_id.append(i)

@@ -236,6 +236,24 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+_DEFAULT_HUFF_CACHE: dict | None = None
+
+
+def _default_huff() -> dict:
+    """Annex K default tables, used when a scan references a table no
+    DHT defined — MJPEG-in-AVI frames routinely omit DHT and rely on
+    exactly these defaults (the OpenDML 'AVI1' convention)."""
+    global _DEFAULT_HUFF_CACHE
+    if _DEFAULT_HUFF_CACHE is None:
+        _DEFAULT_HUFF_CACHE = {
+            (0, 0): _canonical_codes(*_HT_DC_LUMA),
+            (1, 0): _canonical_codes(*_HT_AC_LUMA),
+            (0, 1): _canonical_codes(*_HT_DC_CHROMA),
+            (1, 1): _canonical_codes(*_HT_AC_CHROMA),
+        }
+    return _DEFAULT_HUFF_CACHE
+
+
 # ----------------------------------------------------------------- decode
 
 
@@ -340,8 +358,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
             mcu_count += 1
             for ci, comp in enumerate(comps):
                 dc_t, ac_t = scan[comp["id"]]
-                dct = huff.get((0, dc_t))
-                act = huff.get((1, ac_t))
+                dct = huff.get((0, dc_t), _default_huff().get((0, dc_t)))
+                act = huff.get((1, ac_t), _default_huff().get((1, ac_t)))
                 if dct is None or act is None:
                     raise ValueError("JPEG scan references undefined Huffman table")
                 q = qt.get(comp["tq"])

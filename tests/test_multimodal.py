@@ -69,11 +69,16 @@ def test_decode_images_real_png(spark):
     assert got[2].features == [0.0] * 7 + [1.0]
 
 
-def test_decode_images_real_non_png_requires_lib(payloads):
-    # non-PNG payloads still need PIL; the worker error surfaces through
-    # Spark as a PythonException carrying the NotImplementedError message
+def test_decode_images_real_unsupported_format_requires_lib(spark):
+    # formats outside the native codecs (PNG/GIF/BMP/JPEG/AVI) still
+    # need PIL; the worker error surfaces through Spark as a
+    # PythonException carrying the NotImplementedError message
+    tiff = spark.createDataFrame(
+        [(1, bytearray(b"II*\x00" + b"tiffdata" * 20))],
+        "doc_id long, content binary",
+    )
     with pytest.raises(Exception, match="requires PIL"):
-        decode_images(payloads, fake=False).collect()
+        decode_images(tiff, fake=False).collect()
 
 
 def test_resize_passthrough(payloads):
