@@ -1365,6 +1365,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(existing, batch)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level training-data dedup (Lee et al. 2022): per doc,
+    the number of maximal duplicated spans and the exact token count
+    inside corpus-duplicated 6-token windows. Two shuffles total
+    (window-hash count, per-doc island merge); all JVM expressions."""
+    from mindb_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), k=6, min_count=2)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by tf-idf (linear idf — engine-portable)."""
     from mindb_spark.operators.corpus import tfidf_top_terms
@@ -1785,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_video": q_multimodal_video,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -2041,6 +2052,43 @@ select md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) as fingerprint,
        min(doc_id) as doc_id, count(*) as dup_count
 from documents
 group by 1
+""",
+        "dedup_spans": r"""
+with toks as (
+  select doc_id, regexp_extract_all(text, '\S+') t from documents
+),
+sh as (
+  select doc_id, u.pos as pos, u.w as w from (
+    select doc_id,
+           unnest([{'pos': i - 1, 'w': array_to_string(t[i:i+5], ' ')}
+                   for i in range(1, len(t) - 6 + 2)]) u
+    from toks
+  )
+),
+dup as (
+  select doc_id, pos from (
+    select doc_id, pos, count(*) over (partition by w) c from sh
+  ) where c >= 2
+),
+brk as (
+  select doc_id, pos,
+         case when pos > lag(pos) over (partition by doc_id order by pos) + 6
+              then 1 else 0 end as b
+  from dup
+),
+isl as (
+  select doc_id, pos,
+         sum(b) over (partition by doc_id order by pos
+                      rows unbounded preceding) as span_id
+  from brk
+),
+spans as (
+  select doc_id, span_id, min(pos) as span_start, max(pos) + 6 as span_end
+  from isl group by 1, 2
+)
+select doc_id, count(*)::BIGINT as n_spans,
+       sum(span_end - span_start)::BIGINT as dup_tokens
+from spans group by 1
 """,
         "dedup_survivors": r"""
 with keep as (

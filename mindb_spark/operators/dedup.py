@@ -595,3 +595,95 @@ def simhash_pairs(
         )
     finally:
         sigs.unpersist()
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection at k-token granularity — the
+    substring-level training-data dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): any k-token window whose content occurs at least
+    ``min_count`` times across the corpus marks its tokens as
+    duplicated; overlapping duplicate windows within a doc merge into
+    maximal spans. Returns one row per span: (id, span_start,
+    span_end, n_windows) with token indices (start inclusive, end
+    exclusive, so ``span_end - span_start`` is the span's token count).
+
+    Scale design (the paper's suffix array is a single-machine
+    structure; this is the distributed equivalence): windows become
+    (id, pos, xxhash64(window)) rows — O(total tokens) of them — and
+    the whole operator is TWO shuffles, both on keys with map-side
+    locality: (1) one exchange on the window hash for a count-over-h
+    (duplicate windows survive), (2) one exchange on the doc id for the
+    per-doc island merge (lag + running sum). All JVM expressions, no
+    Python. Stop-window skew (a boilerplate k-gram occurring millions
+    of times) inflates nothing: the count-over-window only carries
+    (id, pos, h) rows, never pairs — unlike a pairwise self-join, the
+    output stays O(total tokens) no matter how hot a window is.
+    """
+    from mindb_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    win = widen(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select(
+        "_id",
+        F.posexplode(
+            F.when(F.size(toks) < k, F.array().cast("array<bigint>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - k + 1),
+                    lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+                )
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        win.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("c") >= min_count)
+        .select("_id", "pos")
+    )
+    byid = Window.partitionBy("_id").orderBy("pos")
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(F.col("pos") > F.lag("pos").over(byid) + k, 1).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("brk").over(byid.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+    )
+    return spans.select(
+        F.col("_id").alias(id_col), "span_start", "span_end", "n_windows"
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc rollup of ``duplicate_spans``: (id, n_spans, dup_tokens)
+    for every doc containing at least one duplicated span. Spans are
+    maximal and non-overlapping by construction, so ``dup_tokens`` (sum
+    of span lengths) is the exact count of tokens sitting inside
+    corpus-duplicated k-token windows — the quantity a curation
+    pipeline thresholds on before cutting or rewriting documents."""
+    spans = duplicate_spans(df, id_col, text_col, k=k, min_count=min_count)
+    return spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )

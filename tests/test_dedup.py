@@ -241,3 +241,120 @@ def test_survivors_from_components(spark):
     kept = sorted(r.doc_id for r in survivors_from_components(docs, comps).collect())
     # {1,2,5} -> keep 1; {6,7} -> keep 6; 0,3,4 untouched
     assert kept == [0, 1, 3, 4, 6]
+
+
+# ------------------------------------------------------- duplicated spans
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """Three docs sharing a 7-token sentence; with k=6 the shared
+    sentence yields two overlapping duplicate windows that must merge
+    into ONE maximal span covering exactly its 7 tokens."""
+    shared = "the quick brown fox jumps over fences"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} unrelated tail words here now"),
+            (3, "completely different content with no duplication at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: r
+        for r in D.duplicate_spans(docs, k=6, min_count=2).collect()
+    }
+    assert set(spans) == {1, 2}
+    # doc 1: shared starts at token 2 -> windows at pos 2,3 -> span [2, 9)
+    assert (spans[1].span_start, spans[1].span_end, spans[1].n_windows) == (2, 9, 2)
+    # doc 2: shared starts at token 0 -> span [0, 7)
+    assert (spans[2].span_start, spans[2].span_end, spans[2].n_windows) == (0, 7, 2)
+
+
+def test_duplicate_spans_merges_and_separates_islands(spark):
+    """Two duplicated regions separated by enough unique tokens must
+    stay TWO spans; back-to-back duplicated windows must merge."""
+    a = "one two three four five six"        # 6 tokens, duplicated
+    b = "red orange yellow green blue violet"  # 6 tokens, duplicated
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} u1 u2 u3 u4 u5 u6 u7 {b}"),
+            (2, f"{a} x1 x2 x3 x4 x5 x6 x7 {b}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in D.duplicate_spans(docs, k=6, min_count=2).collect()
+        if r.doc_id == 1
+    )
+    assert spans == [(0, 6), (13, 19)]
+
+
+def test_duplicate_span_stats_matches_duckdb(spark):
+    """Cross-engine pin on a corpus with whole-doc and partial dups."""
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh ii jj"),
+        (2, "aa bb cc dd ee ff gg hh ii jj"),       # exact dup of 1
+        (3, "zz yy aa bb cc dd ee ff xx ww vv uu"),  # partial overlap
+        (4, "totally unique words that never repeat anywhere else okay"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens)
+        for r in D.duplicate_span_stats(docs, k=6, min_count=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create table documents (doc_id bigint, text varchar)"
+    )
+    con.executemany("insert into documents values (?, ?)", rows)
+    sql = r"""
+with toks as (
+  select doc_id, regexp_extract_all(text, '\S+') t from documents
+),
+sh as (
+  select doc_id, u.pos as pos, u.w as w from (
+    select doc_id,
+           unnest([{'pos': i - 1, 'w': array_to_string(t[i:i+5], ' ')}
+                   for i in range(1, len(t) - 6 + 2)]) u
+    from toks
+  )
+),
+dup as (
+  select doc_id, pos from (
+    select doc_id, pos, count(*) over (partition by w) c from sh
+  ) where c >= 2
+),
+brk as (
+  select doc_id, pos,
+         case when pos > lag(pos) over (partition by doc_id order by pos) + 6
+              then 1 else 0 end as b
+  from dup
+),
+isl as (
+  select doc_id, pos,
+         sum(b) over (partition by doc_id order by pos
+                      rows unbounded preceding) as span_id
+  from brk
+),
+spans as (
+  select doc_id, span_id, min(pos) as span_start, max(pos) + 6 as span_end
+  from isl group by 1, 2
+)
+select doc_id, count(*) as n_spans, sum(span_end - span_start) as dup_tokens
+from spans group by 1
+"""
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == exp
+    assert 1 in got and 3 in got and 4 not in got
+    # whole-doc dup: all 10 tokens covered
+    assert got[1] == (1, 10)
+
+
+def test_duplicate_spans_plan_has_no_python(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i} a b c d e f g") for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = D.duplicate_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
