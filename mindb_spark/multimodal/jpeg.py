@@ -272,9 +272,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD8:  # stray SOI
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
             continue
+        pos += 2
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length field
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack_from(">H", data, pos)[0]

@@ -176,3 +176,16 @@ def test_sniff_mime_jpeg(spark):
         "doc_id long, content binary",
     )
     assert df.select(sniff_mime("content").alias("m")).collect()[0].m == "image/jpeg"
+
+
+def test_jpeg_fill_bytes_and_stray_markers_skipped():
+    """T.81 allows 0xFF fill bytes before any marker; splice some in
+    front of SOF and check the decode is unchanged."""
+    img = _smooth(16, 16)
+    payload = encode_jpeg(img, quality=90)
+    i = payload.index(b"\xff\xc0")
+    patched = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    np.testing.assert_array_equal(decode_jpeg(patched), decode_jpeg(payload))
+    # a standalone TEM marker (FF 01) must also be skipped
+    patched2 = payload[:i] + b"\xff\x01" + payload[i:]
+    np.testing.assert_array_equal(decode_jpeg(patched2), decode_jpeg(payload))
