@@ -1705,10 +1705,12 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver snapshots only the FIRST 50
     # entries.  The first 50 therefore hold (a) every no-oracle entry (so the
-    # driver's rows-only check still covers them), (b) the 22 entries that had
-    # never had a driver row before round 5, and (c) one representative per
-    # already-proven operator family.  The remaining 22 previously-proven
-    # entries sit at the tail; `tools/check_contract.py` covers them locally.
+    # driver's rows-only check still covers them), (b) every entry that has
+    # never had a driver row (the 22 pre-round-5 ones plus the round-5
+    # additions dedup_spans / multimodal codec entries), and (c) one
+    # representative per already-proven operator family.  The remaining
+    # previously-proven entries sit at the tail; `tools/check_contract.py`
+    # covers them locally.
     return {
         # -- no-oracle entries (rows-only driver check; must stay in-window)
         "ann_ivfpq": q_ann_ivfpq,
@@ -1747,15 +1749,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "vector_normalize": q_vector_normalize,
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
-        "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
-        "pipeline_curation": q_pipeline_curation,
-        "sample_mixture": q_sample_mixture,
+        # -- round-5 additions, never driver-checked before: in-window
+        "dedup_spans": q_dedup_spans,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_video": q_multimodal_video,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
@@ -1769,6 +1772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- room for ann_fused_query — streaming keeps
         # ---------------- stream_window_agg as its in-window row)
         "stream_dedup": q_stream_dedup,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_tokens": q_text_tokens,
+        "pipeline_curation": q_pipeline_curation,
+        "sample_mixture": q_sample_mixture,
         "knn_batch": q_knn_batch,
         "filtered_knn": q_filtered_knn,
         "dedup_survivors": q_dedup_survivors,
@@ -1791,11 +1799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "set_ops": q_set_ops,
         "contamination_check": q_contamination_check,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_gif_frames": q_multimodal_gif_frames,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_video": q_multimodal_video,
-        "dedup_spans": q_dedup_spans,
     }
 
 

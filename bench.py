@@ -87,6 +87,19 @@ BENCH_QUERIES = [
 ]
 
 
+def _quiesce(spark) -> None:
+    """Drop caches and force full GCs between bench phases. The timed
+    query loop already does this per query; the side probes need it just
+    as much — measured: the ANN amortized probe leaves enough heap debt
+    in the shared local-mode JVM to slow the MinHash scale probe 4-8x
+    (x8 80s -> 19s with a full GC in between), which would read as a
+    dedup regression when it's really cross-probe GC pressure."""
+    spark.catalog.clearCache()
+    for _ in range(2):
+        spark._jvm.System.gc()
+        time.sleep(0.5)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     import __spark_entry__ as E
@@ -252,6 +265,7 @@ def main() -> None:
             snap.query(qmat[i : i + 1], preliminary_top_k=500, final_top_k=50)
             ts.append(time.time() - t0)
         point_ms["resident_q1"] = round(sorted(ts)[2] * 1000, 2)
+        del snap, snap_rows  # free the driver-side snapshot before the next probe
         clustered = {
             "recall_at_50": round(float(np.mean(recs)), 4),
             "n_probe": params.n_probe,
@@ -266,6 +280,7 @@ def main() -> None:
     except Exception as e:
         print(f"# clustered recall probe failed: {e}", file=sys.stderr)
 
+    _quiesce(spark)
     # amortized batch latency on the sf embeddings: measures the ENTRY plan
     # (structureless-sf probe fallback — near-exhaustive by design; the
     # selective-plan number is clustered_heuristic_probe above)
@@ -280,6 +295,7 @@ def main() -> None:
     except Exception as e:
         print(f"# ann amortized probe failed: {e}", file=sys.stderr)
 
+    _quiesce(spark)
     # duplicate-dense dedup scaling probe (PERF_NOTES linearity probe,
     # promoted per VERDICT r3 #6): replicate the documents with per-copy
     # salt (near- but not exact-dups), then measure the SCALABLE dedup
@@ -320,12 +336,19 @@ def main() -> None:
         for r in (2, 8):
             rep = replicated(r)
             n_docs = rep.count()
-            t0 = time.time()
-            pairs = minhash_lsh_pairs(
-                rep, tau, k=k, num_hashes=nh, n_bands=nb
-            ).localCheckpoint()
-            n_pairs = pairs.count()
-            mh_s = time.time() - t0
+            # best-of-2 like the query loop: single-shot side probes on this
+            # box swing up to 5x run-to-run (host-level noise, measured on
+            # identical code/data), which would read as a dedup regression
+            mh_s = None
+            for _ in range(2):
+                _quiesce(spark)
+                t0 = time.time()
+                pairs = minhash_lsh_pairs(
+                    rep, tau, k=k, num_hashes=nh, n_bands=nb
+                ).localCheckpoint()
+                n_pairs = pairs.count()
+                dt = time.time() - t0
+                mh_s = dt if mh_s is None else min(mh_s, dt)
             dedup_scale[f"x{r}"] = {
                 "docs": n_docs,
                 "pairs": n_pairs,
@@ -346,6 +369,7 @@ def main() -> None:
     except Exception as e:
         print(f"# dedup scale probe failed: {e}", file=sys.stderr)
 
+    _quiesce(spark)
     # exact-quadratic vs LSH similarity at the same threshold (0.45): the
     # exact join is a BASELINE-ONLY oracle (O(n^2) by construction); the
     # banded LSH join is the linear scale path. Reported side-by-side so

@@ -29,15 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mindb_spark.functions.text import fingerprint, tokens, word_shingles
+from mindb_spark.functions.text import (
+    exploded_word_shingles,
+    fingerprint,
+    tokens,
+)
 from mindb_spark.session import widen
 
 
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id",
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
-    )
+    return exploded_word_shingles(df, id_col, text_col, k, out_id="_id")
 
 
 def ngram_contamination(

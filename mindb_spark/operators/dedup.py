@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mindb_spark.functions.text import fingerprint, word_shingles
+from mindb_spark.functions.text import exploded_word_shingles, fingerprint
 from mindb_spark.session import widen
 
 
@@ -66,17 +66,9 @@ def dedup_exact_survivors(
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(_id, shingle): one exploded row per distinct shingle of each doc.
-
-    Two deliberate plan choices, each worth ~6x here:
-    - shingling runs AFTER the widen exchange, so the regex/array work is
-      spread across all cores even when the scan is a single split;
-    - the Generate retains no extra columns (a Generate that also carries
-      the shingle array or its size copies/re-evaluates per exploded row).
-    """
-    return widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        F.col("_id"),
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
-    )
+    See ``exploded_word_shingles`` for the plan rationale (widen-first,
+    tokens materialized before the shingle transform, bare Generate)."""
+    return exploded_word_shingles(df, id_col, text_col, k, out_id="_id")
 
 
 def ngram_jaccard_pairs(
@@ -375,10 +367,7 @@ def minhash_signatures(
     family over the md5 string space, and reproducible in any engine with
     md5. Docs with no shingles are dropped (they can't collide).
     """
-    shingled = widen(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"),
-    )
+    shingled = exploded_word_shingles(df, id_col, text_col, k, out_id=id_col)
     return _signatures_from_shingled(shingled, id_col, num_hashes)
 
 

@@ -86,6 +86,15 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.driver.memory", driver_mem)
+        # whole-stage codegen emits one JIT-compiled class per distinct
+        # plan; a long session (61 bench queries + side probes) overflows
+        # the JVM's default 240m code cache, after which the JIT disables
+        # itself and late queries run interpreted (measured: the MinHash
+        # x8 probe degraded 5.4s -> 30-80s late in the bench session, data
+        # size independent). 1g keeps every compiled stage hot. Only
+        # effective for the first session in the process (JVM-launch flag),
+        # which is every real entry point here.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
