@@ -115,7 +115,13 @@ def exploded_word_shingles(df, id_col: str, text_col: str, k: int, out_id: str =
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """ARRAY<STRING> of character n-grams of the whitespace-normalized text."""
+    """ARRAY<STRING> of character n-grams of the whitespace-normalized text.
+
+    Hot-path note: the window ``transform`` captures the normalization
+    expression, and interpreted higher-order functions re-evaluate captured
+    expressions per element — at scale, materialize ``normalized_text`` in
+    its own projection first and pass that column here (the same trap and
+    fix as ``word_shingles`` vs ``word_shingles_from_tokens``)."""
     norm = normalized_text(col)
     length = F.length(norm)
     return F.when(length < n, F.array().cast("array<string>")).otherwise(

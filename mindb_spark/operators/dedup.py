@@ -617,19 +617,25 @@ def duplicate_spans(
     """
     from mindb_spark.functions.text import tokens
 
-    toks = tokens(text_col)
-    win = widen(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col))
-    ).select(
-        "_id",
-        F.posexplode(
-            F.when(F.size(toks) < k, F.array().cast("array<bigint>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - k + 1),
-                    lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+    # tokens materialized in their own projection BEFORE the sliding-window
+    # transform — handing the raw regexp expression to the (interpreted)
+    # higher-order function re-evaluates the regex per window; see
+    # functions.text.word_shingles_from_tokens for the measured 3-10x.
+    t = F.col("_toks")
+    win = (
+        widen(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", tokens(text_col).alias("_toks"))
+        .select(
+            "_id",
+            F.posexplode(
+                F.when(F.size(t) < k, F.array().cast("array<bigint>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - k + 1),
+                        lambda i: F.xxhash64(F.array_join(F.slice(t, i, k), " ")),
+                    )
                 )
-            )
-        ).alias("pos", "h"),
+            ).alias("pos", "h"),
+        )
     )
     dup = (
         win.withColumn("c", F.count("*").over(Window.partitionBy("h")))
