@@ -1901,8 +1901,14 @@ codes as (
 
 
 def _minhash_sql() -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring
+    # operators.dedup._signatures_from_shingled: ONE md5 per shingle,
+    # h_i = (a + i*b) mod 2^48 with a = hex[1..12], b = hex[17..28] forced
+    # odd. 48-bit halves keep a + 15*b < 2^52 (DuckDB errors on BIGINT
+    # overflow; Spark would silently wrap).
+    mod = 1 << 48
     mins = ",\n         ".join(
-        f"min(md5(concat('{i}:', shingle))) h{i}" for i in range(MINHASH_HASHES)
+        f"min((a + {i} * b) % {mod}) h{i}" for i in range(MINHASH_HASHES)
     )
     r = MINHASH_HASHES // MINHASH_BANDS
     bands = ",\n    ".join(
@@ -1916,9 +1922,15 @@ def _minhash_sql() -> str:
     )
     return f"""
 with {_SHINGLE_CTE.strip().rstrip()},
+sigsrc as (
+  select doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT a,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT b0
+  from ex
+),
 sigmins as (
   select doc_id, {mins}
-  from ex group by doc_id
+  from (select doc_id, a, b0 + 1 - (b0 % 2) b from sigsrc) group by doc_id
 ),
 sigs as (
   select doc_id,

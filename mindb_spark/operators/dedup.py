@@ -12,9 +12,10 @@ standard LLM-corpus cleaning passes), built Spark-first:
 
 Portability: the exact operators are defined purely in terms of md5 /
 regexp / array primitives so an independent SQL engine (DuckDB) reproduces
-them bit-for-bit — that's the correctness oracle. MinHash uses *string-min
-of md5(seed || shingle)*, which is engine-agnostic (no reliance on Spark's
-xxhash64 vs DuckDB's hash).
+them bit-for-bit — that's the correctness oracle. MinHash double-hashes
+one md5 per shingle (Kirsch-Mitzenmacher: h_i = (a + i*b) mod 2^48 over
+the digest's hex halves), which is engine-agnostic (no reliance on
+Spark's xxhash64 vs DuckDB's hash).
 
 Scale notes
 -----------
@@ -334,19 +335,44 @@ def survivors_from_components(
     return df.join(drop, id_col, "left_anti")
 
 
+#: modulus of the double-hashed MinHash family — 48 bits so that
+#: a + 15*b stays < 2^52, far inside signed-int64 range in EVERY engine
+#: (DuckDB errors on BIGINT overflow; Spark would silently wrap).
+_MINHASH_MOD = 1 << 48
+
+
 def _signatures_from_shingled(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """Signature aggregation over exploded (id, shingle) rows.
 
-    Kept as pure ``min`` columns so the aggregate stays on the codegen'd
-    HashAggregate path — adding a collect_list/collect_set to the same
-    groupBy would demote the whole aggregate to ObjectHashAggregate
-    (interpreted, ~3x slower for the 16 min columns).
+    Hash family: Kirsch-Mitzenmacher double hashing (Kirsch &
+    Mitzenmacher 2006, "Less Hashing, Same Performance...") over ONE md5
+    per shingle instead of ``num_hashes`` of them: with
+    a = md5[1..12] (48-bit hex int) and b = md5[17..28] forced odd,
+    h_i = (a + i*b) mod 2^48. One crypto hash per shingle row — the
+    signature stage's dominant cost at corpus scale was the 16
+    md5-and-hex-string materializations per row — and the mins now
+    compare int64s, not 32-char strings. Every operation is plain SQL
+    (substr / hex-to-int / + * %), so an independent engine (DuckDB)
+    reproduces the signatures bit-for-bit for the oracle.
+
+    The (a, b) projection is materialized BEFORE the groupBy so md5 runs
+    once per row (not once per min column), and the aggregate is pure
+    ``min`` columns so it stays on the codegen'd HashAggregate path —
+    adding a collect_list/collect_set to the same groupBy would demote
+    the whole aggregate to ObjectHashAggregate (interpreted, ~3x slower
+    for the 16 min columns).
     """
+    d = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(d, 1, 12), 16, 10).cast("long")
+    b0 = F.conv(F.substring(d, 17, 12), 16, 10).cast("long")
+    prepared = shingled.select(
+        F.col(id_col), a.alias("_a"), (b0 + 1 - (b0 % 2)).alias("_b")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.col("_a") + i * F.col("_b")) % F.lit(_MINHASH_MOD)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = shingled.groupBy(id_col).agg(*aggs)
+    sig = prepared.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
@@ -360,12 +386,15 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signature per doc: ARRAY<STRING> of length ``num_hashes``.
+    """MinHash signature per doc: ARRAY<BIGINT> of length ``num_hashes``.
 
-    Hash family i = md5(i || ':' || shingle); the signature element is the
-    lexicographic MIN over the doc's shingles — a valid min-wise permutation
-    family over the md5 string space, and reproducible in any engine with
-    md5. Docs with no shingles are dropped (they can't collide).
+    Hash family i: Kirsch-Mitzenmacher double hashing over one md5 per
+    shingle — h_i = (a + i*b) mod 2^48 with a, b 48-bit halves of
+    md5(shingle), b forced odd (see ``_signatures_from_shingled``); the
+    signature element is the MIN over the doc's shingles — a valid
+    min-wise family, one crypto hash per shingle instead of
+    ``num_hashes``, and reproducible in any engine with md5 + hex-to-int.
+    Docs with no shingles are dropped (they can't collide).
     """
     shingled = exploded_word_shingles(df, id_col, text_col, k, out_id=id_col)
     return _signatures_from_shingled(shingled, id_col, num_hashes)
@@ -427,7 +456,13 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws("|", *[F.col("signature")[b * r + i] for i in range(r)])
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[b * r + i].cast("string")
+                                    for i in range(r)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(n_bands)

@@ -90,11 +90,15 @@ def test_minhash_signatures_are_min_of_family(spark):
         t = text.split()
         return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
 
+    def km(s, i):
+        # independent recomputation of the Kirsch-Mitzenmacher family
+        d = hashlib.md5(s.encode()).hexdigest()
+        a, b0 = int(d[0:12], 16), int(d[16:28], 16)
+        return (a + i * (b0 | 1)) % (1 << 48)
+
     for doc_id, text in rows:
         for i in range(4):
-            exp = min(
-                hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles(text)
-            )
+            exp = min(km(s, i) for s in shingles(text))
             assert sigs[doc_id][i] == exp
 
 
