@@ -1439,6 +1439,22 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_search(codes, queries, k=10, id_col="vec_id")
 
 
+def q_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization search (beyond-reference, the tier below
+    SQ8): sign-bit words -> Hamming top-50 -> exact-cosine top-10 for 8
+    corpus queries. Stage 1 is integer xor/bit_count — bit-identical in
+    the DuckDB oracle — and stage 2's cosine is 6-dp-quantized like every
+    other scored entry."""
+    from mindb_spark.index.bq import bq_encode, bq_knn
+
+    emb = _emb(spark, sf_dir)
+    qrows = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    enc = bq_encode(emb, dim=64)
+    out = bq_knn(enc, emb, queries, dim=64, k=10, rerank=50)
+    return out.select("query_id", "vec_id", _fl6("score").alias("score"))
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 BM25_TERMS = ("hash", "scan", "table")
 CHUNK_SIZE = 256
@@ -1759,8 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_video": q_multimodal_video,
+        "bq_knn": q_bq_knn,
         "agg_pricing_summary": q_agg_pricing_summary,
-        "join_top_customers": q_join_top_customers,
         "window_top_events": q_window_top_events,
         "sessionize": q_sessionize,
         "stream_window_agg": q_stream_window_agg,
@@ -1772,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- room for ann_fused_query — streaming keeps
         # ---------------- stream_window_agg as its in-window row)
         "stream_dedup": q_stream_dedup,
+        "join_top_customers": q_join_top_customers,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
@@ -2679,6 +2696,45 @@ select vec_id,
        sum(c)::BIGINT as code_sum,
        md5(string_agg(c::VARCHAR, ',' order by pos)) as code_checksum
 from codes group by vec_id
+""",
+        "bq_knn": """
+with enc as (
+  select vec_id,
+    list_sum([case when embedding[i] > 0 then (1::BIGINT << (i-1)) else 0::BIGINT end
+              for i in range(1, 33)]) w0,
+    list_sum([case when embedding[i+32] > 0 then (1::BIGINT << (i-1)) else 0::BIGINT end
+              for i in range(1, 33)]) w1
+  from embeddings
+),
+q as (select vec_id query_id, w0 qw0, w1 qw1 from enc where vec_id < 8),
+ham as (
+  select q.query_id, e.vec_id,
+         bit_count(xor(e.w0, q.qw0)) + bit_count(xor(e.w1, q.qw1)) h
+  from enc e cross join q
+),
+cand as (
+  select query_id, vec_id from (
+    select *, row_number() over (partition by query_id order by h, vec_id) rn
+    from ham
+  ) where rn <= 50
+),
+qv as (
+  select vec_id query_id, embedding::DOUBLE[] qv from embeddings where vec_id < 8
+),
+scored as (
+  select c.query_id, c.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) s
+  from cand c
+  join embeddings e using (vec_id)
+  join qv q using (query_id)
+)
+select query_id, vec_id, floor(s * 1000000 + 0.5) / 1000000 as score
+from (
+  select *, row_number() over (partition by query_id order by s desc, vec_id) rn
+  from scored
+) where rn <= 10
 """,
         "sq_knn": f"""
 with {_SQ_CTE.strip()},

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "tfidf_top_terms",
     "sq_knn",
+    "bq_knn",
     "event_funnel",
     "retention_cohorts",
     "keyword_search",
