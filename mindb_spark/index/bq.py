@@ -34,6 +34,7 @@ below SQ8 (`index/sq.py`).
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -92,6 +93,91 @@ def encode_query(vec, dim: int) -> list[int]:
     return words
 
 
+def _unpack_bits(words):
+    """(n, nw) int64 words -> (n, nw*64) float32 0/1 bit matrix.
+
+    Bit ORDER is arbitrary but identical for corpus and queries, which is
+    all Hamming needs. float32 because the distance is computed as a GEMM
+    (exact: every value here is an integer < 2^24).
+    """
+    import numpy as np
+
+    u8 = np.ascontiguousarray(words, dtype="<i8").view(np.uint8)
+    return np.unpackbits(u8, axis=1).astype(np.float32)
+
+
+def _hamming_partial_topk(
+    encoded: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    rerank: int,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, id, hamming): per-Arrow-batch partial top-``rerank``.
+
+    The scale path for stage 1: each task emits at most
+    ``rerank * Q`` survivor rows instead of shuffling all N*Q scored
+    rows into the global window — the same partial-top-k discipline as
+    ``operators.topk.knn_batch``. The per-batch cut orders by the
+    composite key hamming * 2^44 + id, which is EXACTLY the
+    (hamming, id) lexicographic order of the global cut (ids must be
+    < 2^44 — ~17.6e12, any realistic corpus), so the final window over
+    the survivors returns the bit-identical result of the declarative
+    path (pinned by tests and the SQL oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mindb_spark.session import ship_package
+
+    spark = encoded.sparkSession
+    ship_package(spark)
+    nw = n_words(dim)
+    qids = np.array([int(q[0]) for q in queries], dtype=np.int64)
+    qwords = np.array(
+        [encode_query(v, dim) for _, v in queries], dtype=np.int64
+    )  # (Q, nw)
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_qwords = spark.sparkContext.broadcast(qwords)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Hamming as a GEMM over unpacked bits: |a xor b| = |a| + |b| - 2a.b
+        # for 0/1 vectors — one BLAS call per (batch, all queries) instead
+        # of materializing an (n, Q, nw) xor cube (numpy < 2 has no
+        # vectorized popcount; the GEMM form is ~40x faster even where it
+        # does). All values are integers < 2^24, exact in float32.
+        qbits = _unpack_bits(b_qwords.value)  # (Q, nw*64)
+        q_pop = qbits.sum(axis=1)  # (Q,)
+        qi = b_qids.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            words = np.stack(
+                [pdf[f"bq_w{w}"].to_numpy(dtype=np.int64) for w in range(nw)],
+                axis=1,
+            )  # (n, nw)
+            bits = _unpack_bits(words)  # (n, nw*64)
+            row_pop = bits.sum(axis=1)  # (n,)
+            ham = (
+                row_pop[:, None] + q_pop[None, :] - 2.0 * (bits @ qbits.T)
+            ).astype(np.int64)  # (n, Q)
+            key = ham * (1 << 44) + ids[:, None]  # (n, Q)
+            kk = min(rerank, key.shape[0])
+            idx = np.argpartition(key, kth=kk - 1, axis=0)[:kk]  # (kk, Q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi, kk),
+                    id_col: ids[idx.T.ravel()],
+                    "hamming": np.take_along_axis(ham, idx, axis=0).T.ravel(),
+                }
+            )
+
+    return encoded.select(id_col, *[f"bq_w{w}" for w in range(nw)]).mapInPandas(
+        cut, schema=f"query_id long, {id_col} long, hamming long"
+    )
+
+
 def bq_knn(
     encoded: DataFrame,
     raw: DataFrame,
@@ -101,12 +187,20 @@ def bq_knn(
     rerank: int = 50,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    partial: bool = True,
 ) -> DataFrame:
     """Two-stage BQ search: Hamming top-``rerank`` -> exact-cosine top-``k``.
 
     (query_id, id, score) with deterministic (score desc, id) tie-break
     on the final cut and (hamming, id) on the stage-1 cut, so results
     are exactly reproducible by the SQL oracle.
+
+    ``partial=True`` (default, the scale path) pre-cuts stage 1 per
+    Arrow batch so only ``<= rerank * Q`` rows per task reach the global
+    window — at cluster scale the all-rows shuffle is the bottleneck,
+    not the xor. ``partial=False`` keeps stage 1 fully declarative
+    (flat codegen expressions, no Python) — same result bit-for-bit;
+    useful for plan inspection and engines without Arrow.
     """
     nw = n_words(dim)
     spark = encoded.sparkSession
@@ -121,16 +215,20 @@ def bq_knn(
     )
     qdf = spark.createDataFrame(qrows, schema)
 
-    ham = F.lit(0)
-    for w in range(nw):
-        ham = ham + F.bit_count(F.col(f"bq_w{w}").bitwiseXOR(F.col(f"_qw{w}")))
+    if partial:
+        scans = _hamming_partial_topk(encoded, queries, dim, rerank, id_col)
+    else:
+        ham = F.lit(0)
+        for w in range(nw):
+            ham = ham + F.bit_count(
+                F.col(f"bq_w{w}").bitwiseXOR(F.col(f"_qw{w}"))
+            )
+        scans = encoded.crossJoin(
+            F.broadcast(qdf.select("query_id", *[f"_qw{w}" for w in range(nw)]))
+        ).select("query_id", F.col(id_col), ham.alias("hamming"))
     w_ham = Window.partitionBy("query_id").orderBy("hamming", id_col)
     cands = (
-        encoded.crossJoin(
-            F.broadcast(qdf.select("query_id", *[f"_qw{w}" for w in range(nw)]))
-        )
-        .select("query_id", F.col(id_col), ham.alias("hamming"))
-        .withColumn("_rn", F.row_number().over(w_ham))
+        scans.withColumn("_rn", F.row_number().over(w_ham))
         .where(F.col("_rn") <= rerank)
         .select("query_id", id_col)
     )

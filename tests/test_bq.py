@@ -69,10 +69,30 @@ def test_recall_vs_exact(spark, emb):
     assert float(np.mean(recalls)) >= 0.8, recalls
 
 
-def test_plan_stage1_is_codegen_no_python(spark, emb):
+def test_declarative_plan_stage1_is_codegen_no_python(spark, emb):
     enc = bq.bq_encode(emb, dim=64).localCheckpoint()
     row = emb.limit(1).collect()[0]
-    out = bq.bq_knn(enc, emb, [(0, list(row.embedding))], dim=64, k=5, rerank=20)
+    out = bq.bq_knn(
+        enc, emb, [(0, list(row.embedding))], dim=64, k=5, rerank=20, partial=False
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_partial_scale_path_is_bit_identical(spark, emb):
+    """The Arrow partial-top-R stage-1 cut must reproduce the declarative
+    path exactly, ties included (composite-key order == (hamming, id))."""
+    enc = bq.bq_encode(emb, dim=64).localCheckpoint()
+    rows = emb.limit(3).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows]
+
+    def canon(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.score, 9)) for r in df.collect()
+        )
+
+    a = canon(bq.bq_knn(enc, emb, queries, dim=64, k=10, rerank=30, partial=True))
+    b = canon(bq.bq_knn(enc, emb, queries, dim=64, k=10, rerank=30, partial=False))
+    assert a == b
+    assert len(a) == 30  # 3 queries x k=10
