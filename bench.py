@@ -183,15 +183,22 @@ def main() -> None:
         params = resolve_index_params(30_000, 64)
         idx_dir = "/tmp/bench_clustered_idx"
         t0 = time.time()
-        # COVERING build (round 5): stores the vector beside each code so
-        # the point-query probe below can exercise the fused path; column
-        # pruning keeps the batch-path scans unaffected (~15 MB extra
-        # write at 30k x 64, inside build_sec noise)
-        arts, _ = build_index(
-            vdf, params, idx_dir, n_buckets=16, carry_cols=("vector",)
-        )
+        # NON-covering build: the batch-probe index. Round 5 benched the
+        # batch path against a COVERING index (2x row width, 10x finer row
+        # groups via rows_per_file) and the driver's number of record
+        # regressed 4.1 -> 8.2 ms/q; round 6 separates the two — covering
+        # serves only the fused point-query / resident paths below, and
+        # covering-vs-noncovering scan cost is recorded side by side.
+        arts, _ = build_index(vdf, params, idx_dir, n_buckets=16)
         build_s = round(time.time() - t0, 3)
         codes = spark.read.parquet(f"{idx_dir}/codes")
+        idx_cov_dir = "/tmp/bench_clustered_idx_cov"
+        t0 = time.time()
+        arts_cov, _ = build_index(
+            vdf, params, idx_cov_dir, n_buckets=16, carry_cols=("vector",)
+        )
+        build_cov_s = round(time.time() - t0, 3)
+        codes_cov = spark.read.parquet(f"{idx_cov_dir}/codes")
         q_idx = rng.integers(0, 30_000, size=50)
         qmat = norm[q_idx] + 0.05 * rng.normal(size=(50, 64))
         queries = [(int(i), qmat[i]) for i in range(50)]
@@ -217,17 +224,41 @@ def main() -> None:
         # amortized ms/query at the HEURISTIC probe budget — the selective
         # plan that runs at 100x scale (the headline ANN latency number)
         heuristic_ms: dict[str, float] = {}
+        covering_ms: dict[str, float] = {}
         for nq in (16, 128, 512):
             bq = rng.integers(0, 30_000, size=nq)
             bqueries = [
                 (int(i), norm[bq[i]] + 0.05 * rng.normal(size=64)) for i in range(nq)
             ]
-            t0 = time.time()
-            ivf.search(
-                codes, vdf, arts, bqueries, preliminary_top_k=500, final_top_k=10,
-                n_probe=params.n_probe, max_trained_id=None, n_buckets=16,
-            ).count()
-            heuristic_ms[f"q{nq}"] = round((time.time() - t0) / nq * 1000, 1)
+            # best-of-2 per point: PERF_NOTES measured ~2x run-to-run host
+            # noise on single-shot timings; the min is the steady state
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                ivf.search(
+                    codes, vdf, arts, bqueries, preliminary_top_k=500,
+                    final_top_k=10, n_probe=params.n_probe,
+                    max_trained_id=None, n_buckets=16,
+                ).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            heuristic_ms[f"q{nq}"] = round(best / nq * 1000, 1)
+            if nq == 512:
+                # attribution probe (round-5 regression): same batch, same
+                # plan, COVERING codes table — isolates the wider-row /
+                # finer-row-group scan cost from host noise
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    ivf.search(
+                        codes_cov, vdf, arts_cov, bqueries,
+                        preliminary_top_k=500, final_top_k=10,
+                        n_probe=params.n_probe, max_trained_id=None,
+                        n_buckets=16, rescore_from_codes=False,
+                    ).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                covering_ms[f"q{nq}"] = round(best / nq * 1000, 1)
         # interactive point-query latency (Q=1): the fused covering path
         # reranks inside the pruned stage-1 scan; two-stage pays the full
         # data-table fetch. Median of 3 warm runs each.
@@ -237,7 +268,8 @@ def main() -> None:
             for _ in range(3):
                 t0 = time.time()
                 ivf.search(
-                    codes, vdf, arts, queries[:1], preliminary_top_k=500,
+                    codes_cov, vdf, arts_cov, queries[:1],
+                    preliminary_top_k=500,
                     final_top_k=50, n_probe=params.n_probe,
                     max_trained_id=None, n_buckets=16,
                     rescore_from_codes=fused,
@@ -252,11 +284,11 @@ def main() -> None:
 
         # covering codes already carry the vector column — no join needed
         snap_rows = (
-            codes.select("cluster_id", "id", "code", "bterm", "vector")
+            codes_cov.select("cluster_id", "id", "code", "bterm", "vector")
             .orderBy("cluster_id", "id").collect()
         )
         snap = ResidentSnapshot.assemble(
-            arts, params.n_probe, snap_rows, 64, arts.m, True
+            arts_cov, params.n_probe, snap_rows, 64, arts_cov.m, True
         )
         for _ in range(3):
             snap.query(qmat[:1], preliminary_top_k=500, final_top_k=50)
@@ -273,8 +305,10 @@ def main() -> None:
             "num_clusters": params.num_clusters,
             "n": 30_000,
             "build_sec": build_s,
+            "covering_build_sec": build_cov_s,
             "search_sec_50q": search_s,
             "heuristic_ms_per_query": heuristic_ms,
+            "covering_ms_per_query": covering_ms,
             "point_query_ms": point_ms,
         }
         print(f"# clustered heuristic-probe eval = {clustered}", file=sys.stderr)
@@ -413,24 +447,66 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "ann_recall_at_10": recall,
-                "ann_ms_per_query": ann_ms_per_query,
-                "clustered_heuristic_probe": clustered,
-                "dedup_scale": dedup_scale,
-                "similarity_exact_vs_lsh": sim_compare,
-                "baseline_only": ["similarity_join", "dedup_embedding"],
-                "errors": errors or None,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "ann_recall_at_10": recall,
+        "ann_ms_per_query": ann_ms_per_query,
+        "clustered_heuristic_probe": clustered,
+        "dedup_scale": dedup_scale,
+        "similarity_exact_vs_lsh": sim_compare,
+        "baseline_only": ["similarity_join", "dedup_embedding"],
+        "errors": errors or None,
+    }
+    # full detail to a file (+ stderr); the driver's stdout capture keeps
+    # only the LAST 2000 chars, so the final stdout line must be compact
+    # and complete or the round's own evidence records "parsed": null
+    # (BENCH_r04/r05 lesson). Progressive trimming guarantees the budget.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"# full bench JSON -> {full_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# could not write {full_path}: {e}", file=sys.stderr)
+    print(f"# FULL: {json.dumps(full)}", file=sys.stderr)
+
+    compact = dict(full)
+    compact.pop("dedup_scale", None)
+    compact.pop("similarity_exact_vs_lsh", None)
+    compact.pop("baseline_only", None)
+    if compact.get("errors") is None:
+        compact.pop("errors", None)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+
+    def _emit(d):
+        return json.dumps(d, separators=(",", ":"))
+
+    line = _emit(compact)
+    if len(line) > 1900 and clustered:
+        hm = clustered.get("heuristic_ms_per_query") or {}
+        pm = clustered.get("point_query_ms") or {}
+        compact["clustered_heuristic_probe"] = {
+            "recall_at_50": clustered.get("recall_at_50"),
+            "build_sec": clustered.get("build_sec"),
+            "heuristic_ms_per_query": hm,
+            "covering_q512": (clustered.get("covering_ms_per_query") or {}).get("q512"),
+            "fused_q1": pm.get("fused_q1"),
+            "resident_q1": pm.get("resident_q1"),
+        }
+        line = _emit(compact)
+    if len(line) > 1900:
+        # keep the slowest queries; fold the rest into one remainder key
+        items = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
+        keep = dict(items[:40])
+        keep["_other_total"] = round(sum(v for _, v in items[40:]), 2)
+        compact["queries"] = keep
+        line = _emit(compact)
+    print(line)
 
 
 if __name__ == "__main__":

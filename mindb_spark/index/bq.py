@@ -49,14 +49,20 @@ def n_words(dim: int) -> int:
 
 
 def _word_expr(vec, w: int):
-    """BIGINT word w: bit i set iff vec[w*32 + i] > 0 (0-based dims)."""
+    """BIGINT word w: bit i set iff vec[w*32 + i] > 0 (0-based dims).
+
+    NaN dims leave the bit UNSET: Spark SQL's ``NaN > 0`` is true (NaN
+    sorts above all numbers) while driver-side Python's is false, so the
+    comparison is guarded with isnan to keep ``bq_encode`` and
+    ``encode_query`` bit-identical on NaN-bearing vectors.
+    """
     window = F.slice(vec, w * BITS_PER_WORD + 1, BITS_PER_WORD)
     # 2^i via pow: shiftleft takes only a literal shift amount, and pow is
     # exact in double far beyond 2^31 (i <= 31 here)
     bits = F.transform(
         window,
         lambda x, i: F.when(
-            x > 0, F.pow(F.lit(2.0), i).cast("long")
+            (~F.isnan(x)) & (x > 0), F.pow(F.lit(2.0), i).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -162,6 +168,15 @@ def _hamming_partial_topk(
             ham = (
                 row_pop[:, None] + q_pop[None, :] - 2.0 * (bits @ qbits.T)
             ).astype(np.int64)  # (n, Q)
+            # the composite key below is order-equivalent to (hamming, id)
+            # ONLY for ids in [0, 2^44); validate per batch so an
+            # out-of-range id fails loudly instead of silently breaking
+            # the bit-identical-to-declarative guarantee
+            if ids.size and (ids.min() < 0 or ids.max() >= (1 << 44)):
+                raise ValueError(
+                    "bq partial top-k requires ids in [0, 2**44); got "
+                    f"range [{ids.min()}, {ids.max()}]"
+                )
             key = ham * (1 << 44) + ids[:, None]  # (n, Q)
             kk = min(rerank, key.shape[0])
             idx = np.argpartition(key, kth=kk - 1, axis=0)[:kk]  # (kk, Q)

@@ -36,9 +36,17 @@ def read_avi_frames(data: bytes, max_frames: int | None = None) -> list[bytes]:
         raise ValueError("not an AVI (bad RIFF signature)")
     frames: list[bytes] = []
     compression = None
+    # stream headers appear in declaration order; the Nth strh owns the
+    # NNdc/NNdb chunk prefix. Track which stream is the first 'vids' one
+    # (an audio-first AVI puts video at 01) and read biCompression from
+    # THAT stream's strf, not whichever strf comes first (an audio strf
+    # is a WAVEFORMATEX whose bytes would be misread as a codec fourcc).
+    n_strh = 0
+    video_stream = None  # int index of the first vids stream
+    want_video_strf = False
 
     def walk(pos: int, end: int):
-        nonlocal compression
+        nonlocal compression, n_strh, video_stream, want_video_strf
         while pos + 8 <= end:
             fourcc = data[pos : pos + 4]
             size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -46,10 +54,19 @@ def read_avi_frames(data: bytes, max_frames: int | None = None) -> list[bytes]:
             body_end = min(body_start + size, end)
             if fourcc in (b"RIFF", b"LIST"):
                 walk(body_start + 4, body_end)  # skip the list-type fourcc
-            elif fourcc == b"strf" and compression is None and size >= 40:
-                # first stream-format chunk: BITMAPINFOHEADER.biCompression
+            elif fourcc == b"strh" and size >= 4:
+                if data[body_start : body_start + 4] == b"vids" and video_stream is None:
+                    video_stream = n_strh
+                    want_video_strf = True
+                n_strh += 1
+            elif fourcc == b"strf" and want_video_strf and size >= 40:
+                # the video stream's format chunk: BITMAPINFOHEADER.biCompression
                 compression = data[body_start + 16 : body_start + 20]
-            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2] == b"00":
+                want_video_strf = False
+            elif (
+                fourcc[2:4] in (b"dc", b"db")
+                and fourcc[:2] == (b"%02d" % video_stream if video_stream is not None else b"00")
+            ):
                 if max_frames is None or len(frames) < max_frames:
                     frames.append(data[body_start:body_end])
             pos = body_start + size + (size & 1)  # even-byte padding

@@ -36,26 +36,17 @@ def is_gif(data: bytes) -> bool:
 
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
     """GIF-variant LZW: variable code width, clear/EOI codes, MSB-packed
-    little-endian bit order within bytes."""
+    little-endian bit order within bytes.
+
+    The bit reader is an inline LSB-first int accumulator (codes are
+    packed low-bit-first) and output entries are joined once at the end
+    — this replaced a per-BIT numpy-scalar reader that capped decode at
+    ~0.3 MB/s/core (round-6 throughput probe)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    # bit reader over the whole stream (GIF packs codes LSB-first)
-    bits = np.unpackbits(
-        np.frombuffer(data, dtype=np.uint8)[:, None], axis=1, bitorder="little"
-    ).ravel()
-    out = np.empty(n_pixels, dtype=np.uint8)
-    n_out = 0
-    pos = 0
-
-    def read_code(width):
-        nonlocal pos
-        if pos + width > bits.size:
-            return eoi
-        v = 0
-        for i in range(width):
-            v |= int(bits[pos + i]) << i
-        pos += width
-        return v
+    acc = nb = bi = 0
+    nbytes = len(data)
+    mask = 0  # (1 << width) - 1, kept in sync with width
 
     # dictionary: list of byte strings; rebuilt on CLEAR
     def fresh():
@@ -63,33 +54,47 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
 
     table = fresh()
     width = min_code_size + 1
+    mask = (1 << width) - 1
     prev: bytes | None = None
+    chunks: list[bytes] = []
+    n_out = 0
     while n_out < n_pixels:
-        code = read_code(width)
+        while nb < width and bi < nbytes:
+            acc |= data[bi] << nb
+            bi += 1
+            nb += 8
+        if nb < width:
+            break  # truncated stream: same as hitting EOI
+        code = acc & mask
+        acc >>= width
+        nb -= width
         if code == eoi:
             break
         if code == clear:
             table = fresh()
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
-        if code < len(table):
+        n = len(table)
+        if code < n:
             entry = table[code]
-        elif code == len(table) and prev is not None:
+        elif code == n and prev is not None:
             entry = prev + prev[:1]
         else:
             raise ValueError("corrupt GIF LZW stream")
-        take = min(len(entry), n_pixels - n_out)
-        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
-        n_out += take
+        chunks.append(entry)
+        n_out += len(entry)
         if prev is not None:
             table.append(prev + entry[:1])
         prev = entry
-        if len(table) >= (1 << width) and width < 12:
+        if n + 1 >= mask + 1 and width < 12:
             width += 1
+            mask = (1 << width) - 1
     if n_out < n_pixels:
         raise ValueError("truncated GIF pixel data")
-    return out
+    joined = b"".join(chunks)
+    return np.frombuffer(joined, dtype=np.uint8)[:n_pixels].copy()
 
 
 def decode_gif(data: bytes) -> np.ndarray:

@@ -159,76 +159,103 @@ def _canonical_codes(counts, symbols):
     return out
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    byte-unstuffing; stops at any real marker (0xFF xx, xx != 0)."""
+def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded bytes from ``pos``, 0xFF00-unstuffed, split into the
+    per-restart-interval segments delimited by RSTn markers, ending at
+    the first real marker (or EOF).
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
+    One vectorized numpy pass finds every 0xFF; the Python loop below it
+    runs per MARKER (~1/256 bytes for stuffing), not per byte — this
+    replaced a per-byte ``_BitReader._fill`` that capped decode at
+    ~0.03 MB/s/core (round-6 throughput probe)."""
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    n = arr.size
+    ff = np.nonzero(arr == 0xFF)[0]
+    segs: list[bytes] = []
+    parts: list[np.ndarray] = []
+    prev = 0
+    for p in ff.tolist():
+        nxt = int(arr[p + 1]) if p + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed: keep the FF, drop the 00
+            parts.append(arr[prev : p + 1])
+            prev = p + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            parts.append(arr[prev:p])
+            segs.append(np.concatenate(parts).tobytes() if parts else b"")
+            parts = []
+            prev = p + 2
+        else:  # real marker (EOI / next segment): end of entropy data
+            parts.append(arr[prev:p])
+            segs.append(np.concatenate(parts).tobytes())
+            return segs
+    parts.append(arr[prev:n])
+    segs.append(np.concatenate(parts).tobytes())
+    return segs
 
-    def _fill(self):
-        d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                self.bitbuf = (self.bitbuf << 8) | 0
-                self.nbits += 8
-                continue
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    return  # restart marker: caller consumes it
-                else:
-                    # real marker (EOI/next segment): pad with zero bits
-                    self.bitbuf = (self.bitbuf << 8) | 0
-                    self.nbits += 8
+
+_DECTAB_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _build_dectab(table: dict, ac: bool) -> tuple[list[int], list[int]]:
+    """Two 16-bit LUTs per Huffman table — the vectorized-Huffman stage.
+
+    ``lut[next16bits]`` = ``(code_length << 8) | symbol`` (0 = invalid
+    window): ONE list index resolves any code.
+
+    ``full[next16bits]`` resolves code AND the magnitude bits that
+    follow it in the same window, so the hot loop's common case is a
+    single index + a few shifts:
+      - AC, coefficient (s > 0, code+s <= 16 bits):
+        ``(consumed << 16) | (run << 12) | (value + 1024)`` (> 0)
+      - AC, EOB: ``-consumed`` (< 0)
+      - DC (t == 0 or code+t <= 16): ``(consumed << 16) | (diff + 2048)``
+      - 0: fall back to the two-step lut path (ZRL, overlong codes).
+    Values fit: |AC value| <= 1023 (s <= 10), |DC diff| <= 2047 (t <= 11).
+
+    Built with numpy slice/vector fills (one per codeword) and cached by
+    table content: frames sharing tables (every MJPEG stream, any fixed
+    encoder) pay the ~3 ms build once."""
+    key = (ac, tuple(sorted(table.items())))
+    cached = _DECTAB_CACHE.get(key)
+    if cached is None:
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        fullarr = np.zeros(1 << 16, dtype=np.int32)
+        for (length, code), sym in table.items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            arr[base : base + span] = (length << 8) | sym
+            if ac:
+                s = sym & 0x0F
+                if s == 0:
+                    if sym == 0x00:  # EOB
+                        fullarr[base : base + span] = -length
+                    continue  # ZRL -> slow path
+                if length + s > 16:
                     continue
+                tail = np.arange(span, dtype=np.int32)
+                mag = (tail >> (16 - length - s)) & ((1 << s) - 1)
+                diff = np.where(mag >= (1 << (s - 1)), mag, mag - (1 << s) + 1)
+                fullarr[base : base + span] = (
+                    ((length + s) << 16) | ((sym >> 4) << 12)
+                ) + (diff + 1024)
             else:
-                self.pos += 1
-            self.bitbuf = (self.bitbuf << 8) | b
-            self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
-                raise ValueError("truncated JPEG entropy data")
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_and_consume_rst(self):
-        """Byte-align and consume an RSTn marker (after a restart
-        interval)."""
-        self.bitbuf = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected JPEG restart marker")
-
-
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+                t = sym
+                if t == 0:
+                    fullarr[base : base + span] = (length << 16) | 2048
+                elif length + t <= 16:
+                    tail = np.arange(span, dtype=np.int32)
+                    mag = (tail >> (16 - length - t)) & ((1 << t) - 1)
+                    diff = np.where(
+                        mag >= (1 << (t - 1)), mag, mag - (1 << t) + 1
+                    )
+                    fullarr[base : base + span] = ((length + t) << 16) + (
+                        diff + 2048
+                    )
+        cached = (arr.tolist(), fullarr.tolist())
+        if len(_DECTAB_CACHE) > 32:  # bound: 32 x 512 KiB worst case
+            _DECTAB_CACHE.clear()
+        _DECTAB_CACHE[key] = cached
+    return cached
 
 
 def _extend(v: int, t: int) -> int:
@@ -326,6 +353,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
+            # baseline files MAY legally carry one scan per component
+            # (non-interleaved); this decoder handles only the single
+            # interleaved-scan layout, so a partial first scan must raise
+            # rather than return planes that were never decoded
+            if set(scan) != {c["id"] for c in frame["comps"]}:
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG is not "
+                    f"supported: first SOS covers components {sorted(scan)} "
+                    f"of {sorted(c['id'] for c in frame['comps'])}"
+                )
             out = _decode_scan(
                 data, pos + seglen, frame, scan, qt, huff, restart_interval
             )
@@ -333,6 +370,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # else: APPn/COM/etc — skip
         pos += seglen
     raise ValueError("JPEG contains no scan data")
+
+
+def _halfwords(seg: bytes) -> list[int]:
+    """Big-endian 16-bit halfwords of an (odd-padded) entropy segment."""
+    if len(seg) & 1:
+        seg += b"\x00"
+    return np.frombuffer(seg, dtype=">u2").tolist()
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -344,63 +388,166 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcux = -(-w // mcu_w)
     mcuy = -(-h // mcu_h)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    reader = _BitReader(data, pos)
+
+    # per-component decode state, hoisted out of the MCU loop: Huffman
+    # dicts + 8-bit LUT fast path, raster-order quant tables, and a flat
+    # Python list accumulating raster-order coefficients for EVERY block
+    # (dequant/IDCT run batched over all blocks afterwards)
+    zz = ZIGZAG.tolist()
+    dluts, aluts, q_raster, flats = [], [], [], []
+    for comp in comps:
+        dc_t, ac_t = scan[comp["id"]]
+        dct = huff.get((0, dc_t), _default_huff().get((0, dc_t)))
+        act = huff.get((1, ac_t), _default_huff().get((1, ac_t)))
+        if dct is None or act is None:
+            raise ValueError("JPEG scan references undefined Huffman table")
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references undefined quant table")
+        dluts.append(_build_dectab(dct, ac=False))
+        aluts.append(_build_dectab(act, ac=True))
+        qr = np.empty(64, dtype=np.float64)
+        qr[ZIGZAG] = q.astype(np.float64)
+        q_raster.append(qr)
+        flats.append([])
+    blocks_per_mcu = [(ci, comps[ci]["v"] * comps[ci]["h"]) for ci in range(len(comps))]
+
+    segs = _split_entropy_segments(data, pos)
     pred = [0] * len(comps)
-    D = _DCT_D
-    inv_zz = ZIGZAG
+    # inline bit-reader state over the current unstuffed segment, read as
+    # big-endian HALFWORDS (refills consume exactly 2 bytes, always from
+    # an even offset): `acc` holds `nb` MSB-first bits and is re-masked
+    # at every refill so it stays a one/two-limb int; exhausted streams
+    # refill with zero halfwords (the previous reader's zero-fill
+    # behavior at a truncated stream). Every refill is ONE branch adding
+    # 16 bits — enough for any code and any magnitude field.
+    masks = [(1 << i) - 1 for i in range(17)]
+    seg_i = 0
+    hw = _halfwords(segs[0])
+    hwn = len(hw)
+    hwi = acc = nb = 0
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for _my in range(mcuy):
+        for _mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_and_consume_rst()
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("expected JPEG restart marker")
+                hw = _halfwords(segs[seg_i])
+                hwn = len(hw)
+                hwi = acc = nb = 0
                 pred = [0] * len(comps)
             mcu_count += 1
-            for ci, comp in enumerate(comps):
-                dc_t, ac_t = scan[comp["id"]]
-                dct = huff.get((0, dc_t), _default_huff().get((0, dc_t)))
-                act = huff.get((1, ac_t), _default_huff().get((1, ac_t)))
-                if dct is None or act is None:
-                    raise ValueError("JPEG scan references undefined Huffman table")
-                q = qt.get(comp["tq"])
-                if q is None:
-                    raise ValueError("JPEG scan references undefined quant table")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        coeffs = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(reader, dct)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[ci] += diff
-                        coeffs[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
+            for ci, nblk in blocks_per_mcu:
+                dlut, dfull = dluts[ci]
+                alut, afull = aluts[ci]
+                flat = flats[ci]
+                p = pred[ci]
+                for _b in range(nblk):
+                    blk = [0.0] * 64
+                    # ---- DC: category + magnitude, usually one LUT hit
+                    if nb < 16:
+                        acc = ((acc & masks[nb]) << 16) | (
+                            hw[hwi] if hwi < hwn else 0
+                        )
+                        hwi += 1
+                        nb += 16
+                    v = dfull[(acc >> (nb - 16)) & 0xFFFF]
+                    if v:
+                        nb -= v >> 16
+                        p += (v & 0xFFF) - 2048
+                    else:
+                        v = dlut[(acc >> (nb - 16)) & 0xFFFF]
+                        if not v:
+                            raise ValueError("invalid JPEG Huffman code")
+                        t = v & 0xFF
+                        nb -= v >> 8
+                        if t:
+                            if nb < t:
+                                acc = ((acc & masks[nb]) << 16) | (
+                                    hw[hwi] if hwi < hwn else 0
+                                )
+                                hwi += 1
+                                nb += 16
+                            nb -= t
+                            mag = (acc >> nb) & masks[t]
+                            p += (
+                                mag
+                                if mag >= (1 << (t - 1))
+                                else mag - (1 << t) + 1
+                            )
+                    blk[0] = p
+                    # ---- AC: (run, size, value), usually one LUT hit
+                    k = 1
+                    while k < 64:
+                        if nb < 16:
+                            acc = ((acc & masks[nb]) << 16) | (
+                                hw[hwi] if hwi < hwn else 0
+                            )
+                            hwi += 1
+                            nb += 16
+                        v = afull[(acc >> (nb - 16)) & 0xFFFF]
+                        if v > 0:
+                            nb -= v >> 16
+                            k += (v >> 12) & 0xF
                             if k > 63:
                                 raise ValueError("JPEG AC index overflow")
-                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            blk[zz[k]] = (v & 0xFFF) - 1024
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[inv_zz] = (coeffs * q).astype(np.float64)
-                        px = D.T @ block.reshape(8, 8) @ D + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample to full resolution and crop
+                        elif v < 0:  # EOB (packed as -code_length)
+                            nb += v
+                            break
+                        else:  # slow path: ZRL or an overlong codeword
+                            v = alut[(acc >> (nb - 16)) & 0xFFFF]
+                            if not v:
+                                raise ValueError("invalid JPEG Huffman code")
+                            rs = v & 0xFF
+                            nb -= v >> 8
+                            s = rs & 0x0F
+                            if s == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB (defensive; afull covers it)
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            if nb < s:
+                                acc = ((acc & masks[nb]) << 16) | (
+                                    hw[hwi] if hwi < hwn else 0
+                                )
+                                hwi += 1
+                                nb += 16
+                            nb -= s
+                            mag = (acc >> nb) & masks[s]
+                            blk[zz[k]] = (
+                                mag
+                                if mag >= (1 << (s - 1))
+                                else mag - (1 << s) + 1
+                            )
+                            k += 1
+                    flat.extend(blk)
+                pred[ci] = p
+
+    # batched dequant + IDCT + scatter: blocks arrive in (my, mx, by, bx)
+    # order per component, so a transpose/reshape assembles each plane
+    # with no per-block Python
+    D = _DCT_D
     full = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
-        full.append(p[:h, :w])
+        cv, ch = comp["v"], comp["h"]
+        coef = np.asarray(flats[ci], dtype=np.float64).reshape(-1, 64)
+        coef *= q_raster[ci]
+        px = (D.T @ coef.reshape(-1, 8, 8)) @ D + 128.0
+        plane = (
+            px.reshape(mcuy, mcux, cv, ch, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * ch * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return y[:, :, None]

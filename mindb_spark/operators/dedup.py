@@ -638,9 +638,15 @@ def duplicate_spans(
     span_end, n_windows) with token indices (start inclusive, end
     exclusive, so ``span_end - span_start`` is the span's token count).
 
+    Window identity is a 128-bit key — TWO independent xxhash64 values
+    per window (seeds differ via a leading literal column) — so two
+    distinct windows count as the same only on a joint collision
+    (~2^-128·pairs): negligible even at multi-trillion-token corpora,
+    where a single 64-bit hash would produce expected collisions.
+
     Scale design (the paper's suffix array is a single-machine
     structure; this is the distributed equivalence): windows become
-    (id, pos, xxhash64(window)) rows — O(total tokens) of them — and
+    (id, pos, hash128(window)) rows — O(total tokens) of them — and
     the whole operator is TWO shuffles, both on keys with map-side
     locality: (1) one exchange on the window hash for a count-over-h
     (duplicate windows survive), (2) one exchange on the doc id for the
@@ -663,12 +669,22 @@ def duplicate_spans(
         .select(
             "_id",
             F.posexplode(
-                F.when(F.size(t) < k, F.array().cast("array<bigint>")).otherwise(
+                F.when(
+                    F.size(t) < k,
+                    F.array().cast("array<struct<h1:bigint,h2:bigint>>"),
+                ).otherwise(
                     F.transform(
                         F.sequence(F.lit(1), F.size(t) - k + 1),
-                        lambda i: F.xxhash64(F.array_join(F.slice(t, i, k), " ")),
+                        lambda i: F.struct(
+                            F.xxhash64(
+                                F.array_join(F.slice(t, i, k), " ")
+                            ).alias("h1"),
+                            F.xxhash64(
+                                F.lit(1), F.array_join(F.slice(t, i, k), " ")
+                            ).alias("h2"),
+                        ),
                     )
-                )
+                ).cast("array<struct<h1:bigint,h2:bigint>>")
             ).alias("pos", "h"),
         )
     )

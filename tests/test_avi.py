@@ -123,3 +123,53 @@ def test_sniff_mime_avi_vs_wav(spark):
     got = {r.doc_id: r.mime for r in df.select(
         "doc_id", sniff_mime("content").alias("mime")).collect()}
     assert got == {1: "video/x-msvideo", 2: "audio/wav"}
+
+
+def test_audio_first_stream_video_frames_found():
+    """An AVI declaring an audio stream FIRST stores video chunks as 01dc
+    and its first strf is a WAVEFORMATEX — the demuxer must key on the
+    first 'vids' strh's stream index, not assume stream 00 / first strf."""
+
+    def chunk(fourcc, body):
+        return (
+            fourcc + struct.pack("<I", len(body)) + body
+            + (b"\x00" * (len(body) & 1))
+        )
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    frames = [np.full((16, 16, 3), c, np.uint8) for c in (10, 200)]
+    avi = encode_avi_mjpeg(frames, fps=5)
+    # re-mux: parse out hdrl/movi, prepend an audio strl, rename 00dc->01dc
+    pos, parts = 12, {}
+    while pos + 8 <= len(avi):
+        fcc = avi[pos : pos + 4]
+        size = struct.unpack_from("<I", avi, pos + 4)[0]
+        body = avi[pos + 8 : pos + 8 + size]
+        parts[body[:4] if fcc == b"LIST" else fcc] = body
+        pos += 8 + size + (size & 1)
+    hdrl = parts[b"hdrl"]
+    sz = struct.unpack_from("<I", hdrl, 8)[0]
+    avih, vids_strl = hdrl[12 : 12 + sz], hdrl[12 + sz + (sz & 1) :]
+    auds_strl = lst(
+        b"strl",
+        chunk(b"strh", b"auds" + b"\x00" * 52)
+        # WAVEFORMATEX (PCM) padded to 40 bytes: the old reader misread
+        # offset 16..20 of this as the video biCompression fourcc
+        + chunk(
+            b"strf",
+            struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00" * 24,
+        ),
+    )
+    body = (
+        b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih) + auds_strl + vids_strl)
+        + lst(b"movi", parts[b"movi"][4:].replace(b"00dc", b"01dc"))
+    )
+    avi2 = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert len(read_avi_frames(avi2)) == 2
+    imgs = decode_avi_frames(avi2)
+    assert abs(float(imgs[0].mean()) - 10) < 3
+    assert abs(float(imgs[1].mean()) - 200) < 3

@@ -96,3 +96,25 @@ def test_partial_scale_path_is_bit_identical(spark, emb):
     b = canon(bq.bq_knn(enc, emb, queries, dim=64, k=10, rerank=30, partial=False))
     assert a == b
     assert len(a) == 30  # 3 queries x k=10
+
+
+def test_nan_dims_encode_identically(spark):
+    """Spark SQL's ``NaN > 0`` is true while Python's is false; the
+    isnan guard keeps bq_encode and encode_query bit-identical (NaN
+    dims leave the bit unset on both paths)."""
+    vec = [1.0, -1.0, float("nan"), 0.5] + [0.0] * 60
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    row = bq.bq_encode(df, 64).first()
+    assert [row.bq_w0, row.bq_w1] == bq.encode_query(vec, 64)
+
+
+def test_partial_topk_rejects_out_of_range_ids(spark, emb):
+    """The stage-1 composite key is (hamming, id)-order-equivalent only
+    for ids in [0, 2**44); out-of-range ids must fail loudly."""
+    bad = emb.limit(5).selectExpr(
+        "vec_id + cast(pow(2, 44) as long) as vec_id", "embedding"
+    )
+    enc = bq.bq_encode(bad, 64)
+    q = [(0, [1.0] * 64)]
+    with pytest.raises(Exception, match=r"2\*\*44"):
+        bq.bq_knn(enc, bad, q, 64, k=2, rerank=3).collect()

@@ -1,6 +1,8 @@
 """Stdlib baseline JPEG codec: spec-table checks, round-trips across
 subsampling/restart/odd-dims variants, and the DataFrame ops."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -189,3 +191,20 @@ def test_jpeg_fill_bytes_and_stray_markers_skipped():
     # a standalone TEM marker (FF 01) must also be skipped
     patched2 = payload[:i] + b"\xff\x01" + payload[i:]
     np.testing.assert_array_equal(decode_jpeg(patched2), decode_jpeg(payload))
+
+
+def test_jpeg_multi_scan_baseline_raises():
+    """A baseline file whose first SOS covers only SOME frame components
+    (legal: one scan per component, non-interleaved) must raise instead
+    of returning an image with never-decoded zero planes."""
+    payload = bytearray(encode_jpeg(_smooth(16, 16), quality=90))
+    i = payload.index(b"\xff\xda")
+    ns = payload[i + 4]
+    assert ns == 3  # color fixture: interleaved 3-component scan
+    # shrink the scan to component 1 only: ns=1 keeps (cs, tables) of the
+    # first component and the header length must match 2 + 1 + 2*ns + 3
+    payload[i + 4] = 1
+    new = payload[: i + 5] + payload[i + 5 : i + 7] + payload[i + 11 :]
+    new[i + 2 : i + 4] = struct.pack(">H", 2 + 1 + 2 * 1 + 3)
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(new))
