@@ -1242,6 +1242,10 @@ class VectorDB:
         return {
             "rows": int(snap.ids.size),
             "tail_rows": int(snap.tail_ids.size),
+            "masked_rows": (
+                0 if snap.live_mask is None
+                else int(snap.ids.size - snap.live_mask.sum())
+            ),
             "bytes": snap.nbytes(),
             "fingerprint": list(snap.fingerprint),
         }
@@ -1288,10 +1292,15 @@ class VectorDB:
             )
 
         if stale:
-            # lock-free Spark work; adds-only -> cheap tail reload, else a
-            # budgeted rebuild (None when over budget or untrained)
+            # lock-free Spark work, cheapest repair first: adds-only ->
+            # tail reload; trained-row deletes -> tombstone mask (one
+            # id-column scan, big arrays shared); only a retrain or a
+            # >10%-dead mask -> budgeted full rebuild (None when over
+            # budget or untrained)
             budget = getattr(self, "_resident_budget", None)
             refreshed = snap.refresh_tail(self, max_bytes=budget)
+            if refreshed is None:
+                refreshed = snap.refresh_deletes(self, max_bytes=budget)
             if refreshed is None:
                 refreshed = ResidentSnapshot.build(self, budget)
             with self._lock:

@@ -25,11 +25,14 @@ latency — WITHOUT giving up the Spark path:
   ``tests/test_resident.py``).
 - Staleness: the snapshot records the manifest counters it was built
   from. Post-pin ADDS only grow the tail → the snapshot refreshes just
-  the tail block (one cheap pruned scan). Deletes or a retrain change
-  the indexed set → full rebuild. ``VectorDB.query`` checks validity
-  under the handle lock before every resident serve and falls back to
-  the Spark path whenever the snapshot cannot be (re)validated within
-  budget.
+  the tail block (one cheap pruned scan). DELETES of trained rows set a
+  tombstone mask (``refresh_deletes``: one id-column scan — at 10M rows
+  ~80 MB of ids vs the multi-GB vector reload a rebuild pays) until the
+  dead fraction passes ``_REBUILD_DEAD_FRACTION``; only a retrain or a
+  mask that dense forces a full rebuild. ``VectorDB.query`` checks
+  validity under the handle lock before every resident serve and falls
+  back to the Spark path whenever the snapshot cannot be (re)validated
+  within budget.
 
 The snapshot is the SERVING-TIER cache for RAM-sized indexes (the only
 regime the reference supports at all); beyond-RAM corpora stay on the
@@ -67,6 +70,11 @@ def _lex_top(primary: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
 class ResidentSnapshot:
     """Immutable driver-side snapshot of one trained DB (see module doc)."""
 
+    # dead fraction above which refresh_deletes refuses and the caller
+    # rebuilds: past this point the snapshot wastes enough RAM (and every
+    # query wastes enough masked gather work) that the one-off reload wins
+    _REBUILD_DEAD_FRACTION = 0.10
+
     def __init__(
         self,
         artifacts,
@@ -82,6 +90,7 @@ class ResidentSnapshot:
         tail_vectors: np.ndarray,
         tail_metadata: np.ndarray,
         fingerprint: tuple,
+        live_mask: np.ndarray | None = None,
     ):
         self.artifacts = artifacts
         self.n_probe = n_probe
@@ -96,6 +105,11 @@ class ResidentSnapshot:
         self.tail_vectors = tail_vectors
         self.tail_metadata = tail_metadata
         self.fingerprint = fingerprint  # manifest counters at build time
+        # tombstone mask over the indexed rows (None = all live): rows
+        # deleted SINCE the build are masked out of every query without
+        # touching the big shared arrays — identical results to a fresh
+        # rebuild because masking preserves the CSR's (cell, id) order
+        self.live_mask = live_mask
 
     # ------------------------------------------------------------ sizing
     @staticmethod
@@ -115,6 +129,8 @@ class ResidentSnapshot:
             + self.vectors.nbytes + self.tail_ids.nbytes
             + self.tail_vectors.nbytes
         )
+        if self.live_mask is not None:
+            base += self.live_mask.nbytes
         meta = sum(len(s) if s else 0 for s in self.metadata)
         meta += sum(len(s) if s else 0 for s in self.tail_metadata)
         return int(base + meta)
@@ -306,6 +322,64 @@ class ResidentSnapshot:
             self.artifacts, self.n_probe,
             self.ids, self.codes, self.bterm, self.cell_ids, self.cell_off,
             self.vectors, self.metadata, t_ids, t_vecs, t_meta, new_fp,
+            live_mask=self.live_mask,
+        )
+
+    def refresh_deletes(
+        self, db, max_bytes: int | None = None
+    ) -> "ResidentSnapshot | None":
+        """Tombstone-mask revalidation when trained rows were DELETED
+        (and any mix of adds/tail deletes happened alongside): one
+        id-column scan recomputes which snapshot rows are still live —
+        at 10M rows that collects ~80 MB of ids instead of re-reading
+        multi-GB of vectors+metadata (measured ≫10x cheaper than
+        ``build``, PERF_NOTES). The big arrays are SHARED with the old
+        snapshot; only the boolean mask and the tail block are new, so a
+        concurrently serving thread never observes torn state.
+
+        Returns None — caller falls back to a full rebuild — when the
+        indexed set itself was re-trained (fingerprint positions 0/2/4),
+        when the dead fraction passes ``_REBUILD_DEAD_FRACTION`` (the
+        snapshot would waste RAM and per-query gather work), or when the
+        budget no longer fits."""
+        from pyspark.sql import functions as F
+
+        manifest = dict(db._manifest)
+        new_fp = self.manifest_fingerprint(manifest)
+        old = self.fingerprint
+        # 0 index_version, 2 max_trained_id, 4 num_vectors_trained_on:
+        # unchanged means the snapshot's indexed ROWS are still the
+        # index's rows — deletions only shrink the live subset, which the
+        # mask expresses. (Position 5, num_trained_vectors_removed, is
+        # exactly what this path absorbs; 1/3 are tail growth.)
+        if (new_fp[0], new_fp[2], new_fp[4]) != (old[0], old[2], old[4]):
+            return None
+        dim = self.vectors.shape[1] if self.vectors.size else int(db.vector_dimension)
+        tail_bound = max(
+            0, int(manifest.get("max_id", -1)) - int(manifest.get("max_trained_id", -1))
+        )
+        est = self.estimate_bytes(
+            int(self.ids.size), dim, int(self.codes.shape[1])
+        ) + self.estimate_tail_bytes(tail_bound, dim)
+        if max_bytes is not None and est > max_bytes:
+            return None
+        watermark = int(manifest["max_trained_id"])
+        live = db.vectors().select("id", "vector", "metadata")
+        # column-pruned scan: only the id column leaves parquet
+        live_ids = np.array(
+            [r.id for r in live.select("id").where(F.col("id") <= watermark).collect()],
+            dtype=np.int64,
+        )
+        mask = np.isin(self.ids, live_ids, assume_unique=True)
+        dead = int(self.ids.size - mask.sum())
+        if self.ids.size and dead / self.ids.size > self._REBUILD_DEAD_FRACTION:
+            return None
+        t_ids, t_vecs, t_meta = self._collect_tail(live, watermark, dim)
+        return ResidentSnapshot(
+            self.artifacts, self.n_probe,
+            self.ids, self.codes, self.bterm, self.cell_ids, self.cell_off,
+            self.vectors, self.metadata, t_ids, t_vecs, t_meta, new_fp,
+            live_mask=None if dead == 0 else mask,
         )
 
     # ------------------------------------------------------------- query
@@ -353,6 +427,15 @@ class ResidentSnapshot:
                 # same float32 accumulation order as the scan kernel:
                 # d = coarse-d2 gather; += bterm; += per-subspace gathers
                 d = np.repeat(probed_d2[qi][hit].astype(np.float32), counts)
+                if self.live_mask is not None:
+                    # tombstone cut BEFORE scoring: identical to a fresh
+                    # rebuild (masking preserves the CSR's (cell, id)
+                    # order) and skips the dead rows' gather work
+                    alive = self.live_mask[rows_idx]
+                    rows_idx = rows_idx[alive]
+                    d = d[alive]
+                    total = int(rows_idx.size)
+            if total:
                 d += self.bterm[rows_idx]
                 codes_rows = self.codes[rows_idx]
                 for j in range(m):

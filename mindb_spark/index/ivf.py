@@ -132,6 +132,7 @@ def adc_candidates(
     carry_cols: tuple = (),
     normalize_rows: bool = False,
     bucket_scheme: str = "range",
+    _emit_raw: bool = False,
 ) -> DataFrame:
     """Stage 1: ADC-score PQ codes in the probed cells; top-prelim_k per query.
 
@@ -485,6 +486,11 @@ def adc_candidates(
             f", {c} {codes.schema[c].dataType.simpleString()}" for c in carry_cols
         )
     scored = pruned.select(*scan_cols).mapInPandas(score, schema=out_schema)
+    if _emit_raw:
+        # probe hook (tools/ann_probe_attrib.py): the task-level partial
+        # top-k output, BEFORE the global exact cut — isolates scan/Arrow
+        # cost from the window's shuffle+sort in latency attribution
+        return scored
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.col(id_col))
     return (
         scored.withColumn("_rank", F.row_number().over(w))
@@ -521,16 +527,21 @@ def rerank_exact(
     from pyspark.sql.functions import pandas_udf
 
     spark = candidates.sparkSession
-    pos = {int(q): i for i, q in enumerate(query_ids)}
+    qarr = np.asarray(query_ids, dtype=np.int64)
+    order = np.argsort(qarr)
     qmat = np.asarray(query_vectors_normalized, dtype=np.float64)
-    bq = spark.sparkContext.broadcast((pos, qmat))
+    # sorted ids + matching query rows: the kernel maps qid -> row via
+    # searchsorted (vectorized) — a dict-based Series.map ran the lookup
+    # per row in Python and cost ~1 s at 256k candidate rows (measured,
+    # tools/ann_stage2_probe.py round 6)
+    bq = spark.sparkContext.broadcast((qarr[order], qmat[order]))
 
     normalized = assume_normalized
 
     @pandas_udf("double")
     def _score(qid: pd.Series, vec: pd.Series) -> pd.Series:
-        qpos, qm = bq.value
-        idx = qid.map(qpos).to_numpy(dtype=np.int64)
+        qsorted, qm = bq.value
+        idx = np.searchsorted(qsorted, qid.to_numpy(dtype=np.int64))
         mat = np.array(vec.tolist(), dtype=np.float64)
         if not normalized:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -615,9 +626,18 @@ def search(
         # scan for free
         codes = codes.where(F.col(id_col) <= max_trained_id)
 
+    # Fused whenever the codes table is covering: the in-scan rescore
+    # strictly dominates the two-stage rerank at EVERY batch size — the
+    # kernel reads stored vectors for rows the scan already touches,
+    # while stage 2 pays a full vectors-table scan + broadcast join +
+    # dedup/window shuffles for the same rows (measured at 30k/Q=512:
+    # fused 1.0 s vs two-stage 3.9 s, stage 2 alone 3.1 s of it —
+    # tools/ann_stage2_probe.py, round 6; the small-Q gate that used to
+    # live here predated that measurement). Per-task memory stays
+    # bounded: the accumulation holds <= prelim rows/query/chunk of
+    # (id, dist, score) scalars, never the vectors themselves.
     fused = (
         rescore_from_codes
-        and len(qids) * preliminary_top_k <= _SMALL_FETCH_IDS
         and vector_col in codes.columns
         and all(c in codes.columns for c in extra_cols)
     )

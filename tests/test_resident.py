@@ -71,18 +71,69 @@ def test_resident_tail_refresh_on_add(trained_db):
     assert got2["cosine_similarity"] == want["cosine_similarity"]
 
 
-def test_resident_rebuild_on_trained_delete(trained_db, corpus):
+def test_resident_tombstone_mask_on_trained_delete(trained_db, corpus):
+    """A sparse trained-row delete is absorbed by the tombstone mask —
+    shared arrays, one id-column scan — and the masked results are
+    bit-identical to both a fresh full rebuild and the Spark path."""
     db = trained_db
     q = corpus[0]
     assert db.enable_resident_serving() is True
     before = db.query(q, final_top_k=3)
     victim = before["ids"][0]
     db.remove([victim])
-    after = db.query(q, final_top_k=3)
+    after = db.query(q, preliminary_top_k=500, final_top_k=3)
     assert victim not in after["ids"]
+    info = db.resident_info()
+    # mask, not rebuild: the snapshot still HOLDS all 6000 indexed rows,
+    # one of them tombstoned
+    assert info["rows"] == 6000 and info["masked_rows"] == 1
     want = _spark_results(db, [q], 500, 3)[0]
-    db.enable_resident_serving()
+    db.enable_resident_serving()  # fresh FULL rebuild (5999 live rows)
+    assert db.resident_info()["masked_rows"] == 0
     got = db.query(q, preliminary_top_k=500, final_top_k=3)
+    # masked == rebuilt == Spark, ids and float64 scores
+    assert after["ids"] == got["ids"] == want["ids"]
+    assert (
+        after["cosine_similarity"]
+        == got["cosine_similarity"]
+        == want["cosine_similarity"]
+    )
+
+
+def test_resident_mask_then_add_keeps_mask(trained_db, corpus):
+    """Adds after a masked delete take the tail-refresh path and must
+    PRESERVE the tombstone mask (the indexed set didn't change)."""
+    db = trained_db
+    q = corpus[2]
+    assert db.enable_resident_serving() is True
+    victim = db.query(q, final_top_k=3)["ids"][0]
+    db.remove([victim])
+    db.query(q, final_top_k=3)  # absorbs the delete into the mask
+    assert db.resident_info()["masked_rows"] == 1
+    probe = np.full(24, -0.5, dtype=np.float32)
+    db.add([(probe, {"tail": True})])
+    got = db.query(q, preliminary_top_k=500, final_top_k=3)
+    info = db.resident_info()
+    assert info["masked_rows"] == 1 and info["tail_rows"] == 1
+    assert victim not in got["ids"]
+    want = _spark_results(db, [q], 500, 3)[0]
+    assert got["ids"] == want["ids"]
+    assert got["cosine_similarity"] == want["cosine_similarity"]
+
+
+def test_resident_dense_deletes_force_rebuild(trained_db, corpus):
+    """Past _REBUILD_DEAD_FRACTION the mask refuses and the serve path
+    falls through to a full rebuild (RAM reclaimed, mask cleared)."""
+    db = trained_db
+    assert db.enable_resident_serving() is True
+    q = corpus[1]
+    db.query(q, final_top_k=3)
+    victims = list(range(700))  # >10% of 6000
+    db.remove(victims)
+    got = db.query(q, preliminary_top_k=500, final_top_k=3)
+    info = db.resident_info()
+    assert info["rows"] == 6000 - 700 and info["masked_rows"] == 0
+    want = _spark_results(db, [q], 500, 3)[0]
     assert got["ids"] == want["ids"]
     assert got["cosine_similarity"] == want["cosine_similarity"]
 
