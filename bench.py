@@ -211,13 +211,13 @@ def main() -> None:
         ivf.search(
             codes_cov, vdf, arts_cov, queries[:8], preliminary_top_k=500,
             final_top_k=50, n_probe=params.n_probe, max_trained_id=None,
-            n_buckets=16,
+            n_buckets=16, approx_rows=30_000,
         ).count()
         t0 = time.time()
         out = ivf.search(
             codes_cov, vdf, arts_cov, queries, preliminary_top_k=500,
             final_top_k=50, n_probe=params.n_probe, max_trained_id=None,
-            n_buckets=16,
+            n_buckets=16, approx_rows=30_000,
         ).collect()
         search_s = round(time.time() - t0, 3)
         qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -243,7 +243,7 @@ def main() -> None:
                 ivf.search(
                     codes_cov, vdf, arts_cov, bqueries, preliminary_top_k=500,
                     final_top_k=10, n_probe=params.n_probe,
-                    max_trained_id=None, n_buckets=16,
+                    max_trained_id=None, n_buckets=16, approx_rows=30_000,
                 ).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
@@ -259,7 +259,7 @@ def main() -> None:
                         codes, vdf, arts, bqueries,
                         preliminary_top_k=500, final_top_k=10,
                         n_probe=params.n_probe, max_trained_id=None,
-                        n_buckets=16,
+                        n_buckets=16, approx_rows=30_000,
                     ).count()
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)

@@ -1204,6 +1204,11 @@ class VectorDB:
                 metadata_filter is None
                 and self._manifest["num_trained_vectors_removed"] == 0
             ),
+            # O(1) manifest counter: enables the cost-based fused-vs-
+            # two-stage routing (estimated Arrow ship volume of the
+            # covering scan vs stage 2's fixed shuffle overhead)
+            approx_rows=int(self._manifest.get("num_vectors_trained_on") or 0)
+            or None,
         )
         return out.select("query_id", "id", "metadata", "cosine_similarity")
 

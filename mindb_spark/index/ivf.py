@@ -49,6 +49,59 @@ _RANK_CHUNK = 16384
 # scan instead of joining against a full-table scan (the small-Q path)
 _SMALL_FETCH_IDS = 4096
 
+def _one_chunk(col):
+    """Single pyarrow Array from a Table column (concatenating chunks)."""
+    return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+
+
+def _fixed_width_matrix(arr, width: int | None = None) -> np.ndarray | None:
+    """(n, w) numpy view over a uniform-width pyarrow binary/list array.
+
+    Zero-copy for the data payload (the whole point of the Arrow-native
+    scan: converting a list<double> column through pandas materializes a
+    Python ndarray PER ROW, measured ~4 ms/MB — the dominant cost of the
+    fused covering scan at 1M+ rows). Returns None when the array is
+    ragged or carries nulls; callers fall back to the slow per-row path.
+    """
+    import pyarrow as pa
+
+    if arr.null_count:
+        return None
+    n = len(arr)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + n + 1]
+        widths = np.diff(offs)
+        w = int(widths[0]) if n else (width or 0)
+        if (width is not None and w != width) or (n and not (widths == w).all()):
+            return None
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        return data[offs[0] : offs[-1]].reshape(n, w)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        if arr.values.null_count:
+            return None
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        w = int(widths[0]) if n else (width or 0)
+        if (width is not None and w != width) or (n and not (widths == w).all()):
+            return None
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat[offs[0] : offs[-1]].reshape(n, w)
+    return None
+
+
+# fused-vs-two-stage routing: estimated vector bytes the fused kernel
+# would ship through Arrow into Python (scanned rows x d x 8) above
+# which the two-stage plan wins. The fused rescore reads the stored
+# vector of EVERY scanned row (Arrow list-column -> per-row ndarray
+# conversion is the cost, ~4 ms/MB measured on local[32]), while
+# two-stage scans codes-only and pays ~1-2 s of fixed stage-2 shuffle
+# overhead instead — measured crossover ~300-400 MB at 1M x 64-d
+# (tools/midq_curve_probe.py: Q=512 fused 11.1 vs two-stage 7.1 ms/q at
+# ~512 MB shipped; Q=1 fused 1.1 s vs 2.0 s at ~36 MB), rounded down
+_FUSED_MAX_SHIP_BYTES = 256 << 20
+
 
 def rank_centroids(
     artifacts: IndexArtifacts, queries: np.ndarray, n_probe: int
@@ -259,7 +312,7 @@ def adc_candidates(
     # emitted rows bounded and the global window does the exact cut.
     CHUNK = 65536
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(batches) -> Iterator:
         A_, d2p_, probe_q_, cell2p_, B_, qids, prelim, qraw_ = b.value
         m = A_.shape[1]
         At = np.ascontiguousarray(A_.transpose(1, 2, 0))  # (m, 256, Q), once
@@ -357,28 +410,32 @@ def adc_candidates(
                             "ij,ij->i", vec_c[rows_k], qraw_[q_s[sel2]]
                         )
                     )
-                    for c in carry_cols:
-                        out_c[c].append(carry_c[c][rows_k])
+                    if carry_cols:
+                        rk = pa.array(rows_k)
+                        for c in carry_cols:
+                            out_c[c].append(carry_c[c].take(rk))
 
-        def rebatched(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            """Coalesce incoming Arrow batches up to CHUNK rows.
+        import pyarrow as pa
+
+        def rebatched(it):
+            """Coalesce incoming Arrow record batches up to CHUNK rows.
 
             The Arrow transfer size is a session-wide memory knob (sized
             for wide vector rows); the scan kernel's efficiency wants the
             larger CHUNK over these ~40-byte code rows — buffering here
             decouples the two (a CHUNK of codes is a few MB)."""
-            buf: list[pd.DataFrame] = []
+            buf: list = []
             held = 0
-            for pdf in it:
-                if pdf.empty:
+            for b in it:
+                if b.num_rows == 0:
                     continue
-                buf.append(pdf)
-                held += len(pdf)
+                buf.append(b)
+                held += b.num_rows
                 if held >= CHUNK:
-                    yield pd.concat(buf, ignore_index=True)
+                    yield pa.Table.from_batches(buf)
                     buf, held = [], 0
             if buf:
-                yield pd.concat(buf, ignore_index=True)
+                yield pa.Table.from_batches(buf)
 
         # TASK-LEVEL accumulation: every chunk's per-query partial top-k
         # lands in these lists; ONE exact per-query cut runs at the end
@@ -391,21 +448,40 @@ def adc_candidates(
         out_q, out_id, out_d = [], [], []
         out_s = [] if rescore else None
         out_c = {c: [] for c in carry_cols} if rescore else None
-        for pdf in rebatched(batches):
-            n_rows = len(pdf)
-            ids_all = pdf[id_col].to_numpy(dtype=np.int64)
-            cells_all = pdf["cluster_id"].to_numpy(dtype=np.int64)
-            code_all = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
+        for tbl in rebatched(batches):
+            n_rows = tbl.num_rows
+            ids_all = _one_chunk(tbl.column(id_col)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+            cells_all = _one_chunk(tbl.column("cluster_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+            code_arr = _one_chunk(tbl.column("code"))
+            code_all = _fixed_width_matrix(code_arr, m)
+            if code_all is None:  # ragged/null codes: slow per-row path
+                code_all = np.frombuffer(
+                    b"".join(code_arr.to_pylist()), dtype=np.uint8
+                ).reshape(-1, m)
             bt_all = (
-                pdf["bterm"].to_numpy(dtype=np.float32) if B_ is None else None
+                _one_chunk(tbl.column("bterm")).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float32, copy=False)
+                if B_ is None else None
             )
             if rescore:
-                vec_all = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+                vec_arr = _one_chunk(tbl.column(vector_col))
+                vmat = _fixed_width_matrix(vec_arr)
+                if vmat is None:
+                    vmat = np.array(vec_arr.to_pylist(), dtype=np.float64)
+                vec_all = vmat.astype(np.float64, copy=False)
                 if normalize_rows:
                     nrm = np.linalg.norm(vec_all, axis=1, keepdims=True)
                     nrm[nrm == 0] = 1.0
-                    vec_all /= nrm
-                carry_all = {c: pdf[c].to_numpy() for c in carry_cols}
+                    vec_all = vec_all / nrm  # new array: the view is read-only
+                # carry columns stay pyarrow end to end (take/filter):
+                # converting e.g. metadata strings to Python objects per
+                # scanned row is the same tax the vector path just shed
+                carry_all = {c: _one_chunk(tbl.column(c)) for c in carry_cols}
             # compact probed-cell index; UNPROBED cells -> -1 and are
             # dropped here (the scan may be unfiltered when the probe set
             # is dense — see the selectivity-aware pruning above)
@@ -419,7 +495,10 @@ def adc_candidates(
                 bt_c = bt_all[start:end] if bt_all is not None else None
                 vec_c = vec_all[start:end] if rescore else None
                 carry_c = (
-                    {c: a[start:end] for c, a in carry_all.items()}
+                    {
+                        c: a.slice(start, min(end, n_rows) - start)
+                        for c, a in carry_all.items()
+                    }
                     if rescore else None
                 )
                 probed_mask = p_idx >= 0
@@ -433,7 +512,8 @@ def adc_candidates(
                         bt_c = bt_c[probed_mask]
                     if vec_c is not None:
                         vec_c = vec_c[probed_mask]
-                        carry_c = {c: a[probed_mask] for c, a in carry_c.items()}
+                        pm = pa.array(probed_mask)
+                        carry_c = {c: a.filter(pm) for c, a in carry_c.items()}
                 if bt_c is None:
                     # legacy no-bterm codes: the per-row cell term is
                     # query-independent, so materialize it once per chunk
@@ -451,7 +531,7 @@ def adc_candidates(
             d_all = np.concatenate(out_d)
             s_all = np.concatenate(out_s) if rescore else None
             c_all = (
-                {c: np.concatenate(v) for c, v in out_c.items()}
+                {c: pa.concat_arrays(v) for c, v in out_c.items()}
                 if rescore else None
             )
             oq = np.argsort(q_all, kind="stable")
@@ -465,17 +545,21 @@ def adc_candidates(
                 else:
                     keep_l.append(np.arange(s2, e2))
             keep = np.concatenate(keep_l)
-            out_pdf = {
-                "query_id": q_s[keep],
-                id_col: i_s[keep],
-                "adc_dist": d_s[keep],
-            }
+            names = ["query_id", id_col, "adc_dist"]
+            arrays = [
+                pa.array(q_s[keep]),
+                pa.array(i_s[keep]),
+                pa.array(d_s[keep].astype(np.float64, copy=False)),
+            ]
             if rescore:
                 kept_src = oq[keep]  # back to pre-sort positions
-                out_pdf["score"] = s_all[kept_src]
+                names.append("score")
+                arrays.append(pa.array(s_all[kept_src]))
+                ks = pa.array(kept_src)
                 for c in carry_cols:
-                    out_pdf[c] = c_all[c][kept_src]
-            yield pd.DataFrame(out_pdf)
+                    names.append(c)
+                    arrays.append(c_all[c].take(ks))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     scan_cols = ["cluster_id", id_col, "code"] + (["bterm"] if has_bterm else [])
     out_schema = f"query_id long, {id_col} long, adc_dist double"
@@ -485,7 +569,13 @@ def adc_candidates(
         out_schema += ", score double" + "".join(
             f", {c} {codes.schema[c].dataType.simpleString()}" for c in carry_cols
         )
-    scored = pruned.select(*scan_cols).mapInPandas(score, schema=out_schema)
+    # Arrow-native scan (mapInArrow): the mapInPandas list-column ->
+    # per-row-ndarray conversion cost scaled with SCANNED rows x d and
+    # dominated the fused covering path at 1M+ rows; pyarrow arrays
+    # flatten to numpy zero-copy (_fixed_width_matrix) and carry columns
+    # ride through as Arrow take/filter without ever becoming Python
+    # objects.
+    scored = pruned.select(*scan_cols).mapInArrow(score, schema=out_schema)
     if _emit_raw:
         # probe hook (tools/ann_probe_attrib.py): the task-level partial
         # top-k output, BEFORE the global exact cut — isolates scan/Arrow
@@ -571,6 +661,34 @@ def rerank_exact(
     )
 
 
+def route_fused(
+    approx_rows: int | None,
+    n_probe: int,
+    num_clusters: int,
+    q: int,
+    d: int,
+    preliminary_top_k: int,
+) -> bool:
+    """Cost-based fused-vs-two-stage choice for a covering codes table.
+
+    True -> fuse the exact rescore into the stage-1 scan. The fused
+    kernel ships the stored vector of every SCANNED row through Arrow
+    into Python, so its marginal cost is the probed-cell union's bytes:
+    scanned ~ n x (1 - (1 - n_probe/k)^Q), shipped = scanned x d x 8.
+    Two-stage instead pays ~1-2 s of fixed stage-2 shuffle overhead
+    (full vectors-table fetch scan + broadcast join + dedup + window) —
+    measured crossover ~300-400 MB shipped at 1M x 64-d
+    (tools/midq_curve_probe.py), gated at ``_FUSED_MAX_SHIP_BYTES``.
+    Without a row-count estimate, fuse only small batches (the union is
+    bounded by Q x n_probe cells, but n is unknown, so small Q is the
+    only provably-small ship)."""
+    if approx_rows is None:
+        return q * preliminary_top_k <= _SMALL_FETCH_IDS
+    p = min(1.0, n_probe / max(1, num_clusters))
+    union_frac = 1.0 - (1.0 - p) ** q
+    return approx_rows * union_frac * d * 8 <= _FUSED_MAX_SHIP_BYTES
+
+
 def search(
     codes: DataFrame,
     vectors: DataFrame,
@@ -587,8 +705,15 @@ def search(
     assume_normalized: bool = True,
     rescore_from_codes: bool = True,
     bucket_scheme: str = "range",
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Full two-stage query (+ exact search of the unindexed tail).
+
+    ``approx_rows`` (the indexed row count, an estimate is fine) enables
+    cost-based fused-vs-two-stage routing on covering tables — see the
+    ``fused`` gate below. Callers that know the corpus size (VectorDB's
+    O(1) counter, the bench probes) should pass it; without it the fused
+    path is taken only for small batches, which is always safe.
 
     ``assume_normalized=False`` lets callers pass the RAW vectors table:
     corpus-side normalization then happens inside the Arrow kernels (numpy,
@@ -626,20 +751,23 @@ def search(
         # scan for free
         codes = codes.where(F.col(id_col) <= max_trained_id)
 
-    # Fused whenever the codes table is covering: the in-scan rescore
-    # strictly dominates the two-stage rerank at EVERY batch size — the
-    # kernel reads stored vectors for rows the scan already touches,
-    # while stage 2 pays a full vectors-table scan + broadcast join +
-    # dedup/window shuffles for the same rows (measured at 30k/Q=512:
-    # fused 1.0 s vs two-stage 3.9 s, stage 2 alone 3.1 s of it —
-    # tools/ann_stage2_probe.py, round 6; the small-Q gate that used to
-    # live here predated that measurement). Per-task memory stays
-    # bounded: the accumulation holds <= prelim rows/query/chunk of
-    # (id, dist, score) scalars, never the vectors themselves.
-    fused = (
+    # Fused-vs-two-stage routing on covering tables. Fused eliminates
+    # stage 2's full-table fetch + broadcast join + dedup/window
+    # shuffles (~1-2 s of fixed cost; measured 3.9 s -> 1.0 s at
+    # 30k/Q=512, tools/ann_stage2_probe.py) — but its kernel must ship
+    # the stored vector of EVERY scanned row through Arrow into Python,
+    # and a large batch probes nearly every cell, so at 1M x 64-d and
+    # Q >= 32 that ~512 MB ship made fused SLOWER than two-stage
+    # (tools/midq_curve_probe.py). Route on the estimated ship volume:
+    # scanned rows ~ n x (1 - (1 - n_probe/k)^Q), the probed-cell union.
+    fused_capable = (
         rescore_from_codes
         and vector_col in codes.columns
         and all(c in codes.columns for c in extra_cols)
+    )
+    fused = fused_capable and route_fused(
+        approx_rows, n_probe, artifacts.num_clusters, len(qids),
+        qmat.shape[1], preliminary_top_k,
     )
     if fused:
         scored = adc_candidates(

@@ -110,14 +110,28 @@ def knn_batch(
 
     out_schema = f"{query_id_col} long, {id_col} long, {score_col} double"
 
-    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial_topk(batches) -> Iterator:
+        # Arrow-native (mapInArrow): the vector list-column flattens to a
+        # zero-copy (n, d) numpy view — the mapInPandas per-row-ndarray
+        # conversion cost scaled with the CORPUS here, not the result
+        # (same fix as index/ivf's scan kernel, measured ~4 ms/MB saved)
+        import pyarrow as pa
+
+        from mindb_spark.index.ivf import _fixed_width_matrix
+
         qm = b_qmat.value  # (Q, d)
         qi = b_qids.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(pdf[vector_col].tolist(), dtype=np.float64)  # (n, d)
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            vec_arr = batch.column(1)
+            mat = _fixed_width_matrix(vec_arr)
+            if mat is None:  # ragged/null vectors: slow per-row path
+                mat = np.array(vec_arr.to_pylist(), dtype=np.float64)
+            mat = mat.astype(np.float64, copy=False)
             if not normalized:
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0
@@ -126,14 +140,16 @@ def knn_batch(
             kk = min(k, scores.shape[0])
             # partial top-k per query within this Arrow batch
             idx = np.argpartition(-scores, kth=kk - 1, axis=0)[:kk]  # (kk, Q)
-            rows = {
-                query_id_col: np.repeat(qi, kk),
-                id_col: ids[idx.T.ravel()],
-                score_col: np.take_along_axis(scores, idx, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qi, kk)),
+                    pa.array(ids[idx.T.ravel()]),
+                    pa.array(np.take_along_axis(scores, idx, axis=0).T.ravel()),
+                ],
+                names=[query_id_col, id_col, score_col],
+            )
 
-    partial = corpus.select(id_col, vector_col).mapInPandas(partial_topk, schema=out_schema)
+    partial = corpus.select(id_col, vector_col).mapInArrow(partial_topk, schema=out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc(score_col), F.col(id_col))
     return (
         partial.withColumn("_rank", F.row_number().over(w))
