@@ -32,7 +32,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -608,14 +607,16 @@ def rerank_exact(
     dot product and cut to final_top_k per query. Inner join against the
     live table drops deleted ids.
 
-    The dot product runs as an Arrow-vectorized kernel against a broadcast
-    (Q, d) query matrix — one einsum per batch. The declarative alternative
-    (zip_with + aggregate array expression) executes interpreted (Spark
-    higher-order functions are outside whole-stage codegen), which at
-    Q x prelim_k = 256k candidate rows costs ~80 s vs <1 s vectorized.
+    The dot product runs as an Arrow-native kernel (mapInArrow) against
+    a broadcast (Q, d) query matrix — one einsum per batch, the vector
+    column flattened to a zero-copy (n, d) view, extra columns riding
+    through as Arrow arrays without ever becoming Python objects. The
+    declarative alternative (zip_with + aggregate array expression)
+    executes interpreted (Spark higher-order functions are outside
+    whole-stage codegen), which at Q x prelim_k = 256k candidate rows
+    costs ~80 s vs <1 s vectorized; the earlier pandas_udf variant paid
+    a per-row ndarray conversion on the same rows.
     """
-    from pyspark.sql.functions import pandas_udf
-
     spark = candidates.sparkSession
     qarr = np.asarray(query_ids, dtype=np.int64)
     order = np.argsort(qarr)
@@ -628,17 +629,6 @@ def rerank_exact(
 
     normalized = assume_normalized
 
-    @pandas_udf("double")
-    def _score(qid: pd.Series, vec: pd.Series) -> pd.Series:
-        qsorted, qm = bq.value
-        idx = np.searchsorted(qsorted, qid.to_numpy(dtype=np.int64))
-        mat = np.array(vec.tolist(), dtype=np.float64)
-        if not normalized:
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            mat = mat / norms
-        return pd.Series(np.einsum("ij,ij->i", mat, qm[idx]))
-
     # Dedup is cheap insurance, not dead weight: stage 1 and the exact
     # tail search are *normally* disjoint (codes hold ids <= watermark),
     # but a tail-index append racing the query's two unsynchronized reads
@@ -646,13 +636,44 @@ def rerank_exact(
     # put an id in both sources (or twice in the codes table); without
     # the dedup that id would occupy two of the final_top_k slots.
     cand = candidates.select("query_id", id_col).dropDuplicates(["query_id", id_col])
-    joined = vectors.join(F.broadcast(cand), id_col, "inner")
-    scored = joined.select(
-        "query_id",
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        _score(F.col("query_id"), F.col(vector_col)).alias(score_col),
+    joined = vectors.join(F.broadcast(cand), id_col, "inner").select(
+        "query_id", F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.col(vector_col),
     )
+
+    extras = tuple(extra_cols)
+    out_schema = f"query_id long, {id_col} long" + "".join(
+        f", {c} {joined.schema[c].dataType.simpleString()}" for c in extras
+    ) + f", {score_col} double"
+
+    def _score_batches(batches) -> Iterator:
+        import pyarrow as pa
+
+        qsorted, qm = bq.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            qid = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            vec_arr = batch.column(batch.num_columns - 1)
+            mat = _fixed_width_matrix(vec_arr)
+            if mat is None:  # ragged/null vectors: slow per-row path
+                mat = np.array(vec_arr.to_pylist(), dtype=np.float64)
+            mat = mat.astype(np.float64, copy=False)
+            if not normalized:
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                mat = mat / norms
+            idx = np.searchsorted(qsorted, qid)
+            scores = np.einsum("ij,ij->i", mat, qm[idx])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns - 1)]
+                + [pa.array(scores)],
+                names=["query_id", id_col, *extras, score_col],
+            )
+
+    scored = joined.mapInArrow(_score_batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.col(id_col))
     return (
         scored.withColumn("_rank", F.row_number().over(w))
