@@ -133,22 +133,44 @@ def fit_pca(
 def _project_df(
     df: DataFrame, vector_col: str, mean: np.ndarray, pca: np.ndarray, out_col: str = "_proj"
 ) -> DataFrame:
-    """Add a PCA-projected copy of the vector column (Arrow-batched numpy)."""
-    from pyspark.sql.functions import pandas_udf
+    """PCA-projected copy of the vector column as a one-column DataFrame.
 
+    Arrow-native (mapInArrow): input vectors flatten to one zero-copy
+    (n, d) view per batch and the projected rows are emitted as a list
+    array built from one flat buffer — the mapInPandas per-row ndarray
+    conversion ran over the WHOLE corpus here (training's projection
+    pass). Training consumers only read ``out_col``, so the other
+    columns are dropped rather than carried."""
     from mindb_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    b_mean = df.sparkSession.sparkContext.broadcast(mean)
-    b_pca = df.sparkSession.sparkContext.broadcast(pca)
+    b = df.sparkSession.sparkContext.broadcast((mean, pca))
 
-    @pandas_udf("array<double>")
-    def proj(v: pd.Series) -> pd.Series:
-        mat = np.array(v.tolist(), dtype=np.float64)
-        out = (mat - b_mean.value) @ b_pca.value
-        return pd.Series(list(out))
+    def proj(batches) -> Iterator:
+        import pyarrow as pa
 
-    return df.withColumn(out_col, proj(F.col(vector_col)))
+        from mindb_spark.arrowkit import fixed_width_matrix, one_chunk
+
+        mean_, pca_ = b.value
+        p = pca_.shape[1]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vec_arr = one_chunk(pa.Table.from_batches([batch]).column(vector_col))
+            mat = fixed_width_matrix(vec_arr)
+            if mat is None:  # ragged/null vectors: slow per-row path
+                mat = np.array(vec_arr.to_pylist(), dtype=np.float64)
+            out = (mat.astype(np.float64, copy=False) - mean_) @ pca_
+            n = out.shape[0]
+            lst = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * p),
+                pa.array(np.ascontiguousarray(out).ravel()),
+            )
+            yield pa.RecordBatch.from_arrays([lst], names=[out_col])
+
+    return df.select(vector_col).mapInArrow(
+        proj, schema=f"{out_col} array<double>"
+    )
 
 
 def train_centroids_subsampling(
@@ -215,17 +237,28 @@ def train_centroids_two_level(
 
     b_coarse = spark.sparkContext.broadcast(coarse)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign(batches) -> Iterator:
+        # Arrow-native full-corpus pass: zero-copy flatten in, projected
+        # rows passed through as the untouched Arrow list array
+        import pyarrow as pa
+
+        from mindb_spark.arrowkit import fixed_width_matrix, one_chunk
+
         C = b_coarse.value
         c2 = (C**2).sum(axis=1)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            mat = np.array(pdf[proj_col].tolist(), dtype=np.float64)
-            cid = assign_cells(mat, C, c2)
-            yield pd.DataFrame({"_coarse": cid, proj_col: pdf[proj_col]})
+            arr = one_chunk(pa.Table.from_batches([batch]).column(proj_col))
+            mat = fixed_width_matrix(arr)
+            if mat is None:
+                mat = np.array(arr.to_pylist(), dtype=np.float64)
+            cid = assign_cells(mat.astype(np.float64, copy=False), C, c2)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cid.astype(np.int32)), arr], names=["_coarse", proj_col]
+            )
 
-    assigned = projected.select(proj_col).mapInPandas(assign, schema=f"_coarse int, {proj_col} array<double>")
+    assigned = projected.select(proj_col).mapInArrow(assign, schema=f"_coarse int, {proj_col} array<double>")
     assigned = assigned.persist()
     try:
         bins = {r["_coarse"]: r["cnt"] for r in assigned.groupBy("_coarse").agg(F.count("*").alias("cnt")).collect()}
@@ -401,14 +434,30 @@ def encode_all(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
     )
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def enc(batches) -> Iterator:
+        # Arrow-native (mapInArrow): the vector column flattens to one
+        # zero-copy (n, d) view per batch — the mapInPandas per-row
+        # ndarray conversion scaled with the whole corpus here (this is
+        # the full index-population pass) — and the emitted code column
+        # is built from ONE flat buffer instead of n Python bytes
+        # objects; covering carry columns (vector, metadata) pass
+        # through as untouched Arrow arrays.
+        import pyarrow as pa
+
+        from mindb_spark.arrowkit import fixed_width_matrix, one_chunk
+
         mean, pca, centroids, codebooks = b_art.value
         c2 = (centroids**2).sum(axis=1)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            t = pa.Table.from_batches([batch])
+            ids_arr = one_chunk(t.column(id_col))
+            vec_arr = one_chunk(t.column(vector_col))
+            mat = fixed_width_matrix(vec_arr)
+            if mat is None:  # ragged/null vectors: slow per-row path
+                mat = np.array(vec_arr.to_pylist(), dtype=np.float64)
+            mat = mat.astype(np.float64, copy=False)
             proj = (mat - mean) @ pca
             cid = assign_cells(proj, centroids, c2)
             residuals = (proj - centroids[cid]).astype(np.float32)
@@ -416,17 +465,26 @@ def encode_all(
             # query-independent half of the ADC distance, precomputed once
             # per row so the scan needs no per-(query, cell) tables
             bterm = PQ.cell_code_term(codes, cid, centroids, codebooks)
-            out_pdf = {
-                id_col: ids,
-                "cluster_id": cid.astype(np.int32),
-                "code": [c.tobytes() for c in codes],
-                "bterm": bterm,
-            }
-            for c in carry:
-                out_pdf[c] = pdf[c].reset_index(drop=True)
-            yield pd.DataFrame(out_pdf)
+            n, m_ = codes.shape
+            code_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [
+                    None,
+                    pa.py_buffer((np.arange(n + 1, dtype=np.int32) * m_).tobytes()),
+                    pa.py_buffer(np.ascontiguousarray(codes).tobytes()),
+                ],
+            )
+            arrays = [
+                ids_arr,
+                pa.array(cid.astype(np.int32)),
+                code_arr,
+                pa.array(bterm.astype(np.float32, copy=False)),
+            ] + [one_chunk(t.column(c)) for c in carry]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[id_col, "cluster_id", "code", "bterm", *carry]
+            )
 
-    out = df.select(*in_cols).mapInPandas(
+    out = df.select(*in_cols).mapInArrow(
         enc,
         schema=f"{id_col} long, cluster_id int, code binary, bterm float"
         + carry_schema,

@@ -48,47 +48,8 @@ _RANK_CHUNK = 16384
 # scan instead of joining against a full-table scan (the small-Q path)
 _SMALL_FETCH_IDS = 4096
 
-def _one_chunk(col):
-    """Single pyarrow Array from a Table column (concatenating chunks)."""
-    return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
-
-
-def _fixed_width_matrix(arr, width: int | None = None) -> np.ndarray | None:
-    """(n, w) numpy view over a uniform-width pyarrow binary/list array.
-
-    Zero-copy for the data payload (the whole point of the Arrow-native
-    scan: converting a list<double> column through pandas materializes a
-    Python ndarray PER ROW, measured ~4 ms/MB — the dominant cost of the
-    fused covering scan at 1M+ rows). Returns None when the array is
-    ragged or carries nulls; callers fall back to the slow per-row path.
-    """
-    import pyarrow as pa
-
-    if arr.null_count:
-        return None
-    n = len(arr)
-    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
-        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-        bufs = arr.buffers()
-        offs = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + n + 1]
-        widths = np.diff(offs)
-        w = int(widths[0]) if n else (width or 0)
-        if (width is not None and w != width) or (n and not (widths == w).all()):
-            return None
-        data = np.frombuffer(bufs[2], dtype=np.uint8)
-        return data[offs[0] : offs[-1]].reshape(n, w)
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-        if arr.values.null_count:
-            return None
-        offs = arr.offsets.to_numpy(zero_copy_only=False)
-        widths = np.diff(offs)
-        w = int(widths[0]) if n else (width or 0)
-        if (width is not None and w != width) or (n and not (widths == w).all()):
-            return None
-        flat = arr.values.to_numpy(zero_copy_only=False)
-        return flat[offs[0] : offs[-1]].reshape(n, w)
-    return None
-
+from mindb_spark.arrowkit import fixed_width_matrix as _fixed_width_matrix
+from mindb_spark.arrowkit import one_chunk as _one_chunk
 
 # fused-vs-two-stage routing: estimated vector bytes the fused kernel
 # would ship through Arrow into Python (scanned rows x d x 8) above

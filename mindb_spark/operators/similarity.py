@@ -89,28 +89,54 @@ def cosine_pairs(
     pairs = a.join(b, F.col("_ba") <= F.col("_bb"))
     thr = float(threshold)
 
-    def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # column access, not itertuples: pandas renames _-prefixed fields
-            for ba, bb, la, va, lb, vb in zip(
-                pdf["_ba"], pdf["_bb"], pdf["_ids_a"], pdf["_vecs_a"], pdf["_ids_b"], pdf["_vecs_b"]
-            ):
-                ids_a = np.asarray(la, dtype=np.int64)
-                ids_b = np.asarray(lb, dtype=np.int64)
-                mat_a = np.array([np.asarray(v, dtype=np.float64) for v in va])
-                mat_b = np.array([np.asarray(v, dtype=np.float64) for v in vb])
-                sims = mat_a @ mat_b.T
+    def score_blocks(batches) -> Iterator:
+        # Arrow-native: ONE zero-copy flatten per batch (nested_matrix),
+        # then each block pair is a GEMM over slice VIEWS — no per-block
+        # Python conversion of ids or vectors at all
+        import pyarrow as pa
+
+        from mindb_spark.arrowkit import flat_values, nested_matrix, one_chunk
+
+        def cols(batch):
+            t = pa.Table.from_batches([batch])
+            ba = one_chunk(t.column("_ba")).to_numpy(zero_copy_only=False)
+            bb = one_chunk(t.column("_bb")).to_numpy(zero_copy_only=False)
+            ids_a = flat_values(one_chunk(t.column("_ids_a")))
+            ids_b = flat_values(one_chunk(t.column("_ids_b")))
+            va = nested_matrix(one_chunk(t.column("_vecs_a")))
+            vb = nested_matrix(one_chunk(t.column("_vecs_b")))
+            return ba, bb, ids_a, ids_b, va, vb
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ba_c, bb_c, (ia_f, ia_o), (ib_f, ib_o), (ma, ma_o), (mb, mb_o) = cols(batch)
+            ma = ma.astype(np.float64, copy=False)
+            mb = mb.astype(np.float64, copy=False)
+            out_a, out_b, out_s = [], [], []
+            for r in range(batch.num_rows):
+                ids_a = ia_f[ia_o[r] : ia_o[r + 1]].astype(np.int64, copy=False)
+                ids_b = ib_f[ib_o[r] : ib_o[r + 1]].astype(np.int64, copy=False)
+                sims = ma[ma_o[r] : ma_o[r + 1]] @ mb[mb_o[r] : mb_o[r + 1]].T
                 ii, jj = np.nonzero(sims >= thr)
                 ia, ib = ids_a[ii], ids_b[jj]
                 keep = ia != ib
-                if ba == bb:
-                    keep &= ia < ib  # same block: each pair appears at (i,j) and (j,i)
-                ia, ib, s = ia[keep], ib[keep], sims[ii[keep], jj[keep]]
-                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-                yield pd.DataFrame({"id_a": lo, "id_b": hi, score_col: s})
+                if ba_c[r] == bb_c[r]:
+                    keep &= ia < ib  # same block: pair appears at (i,j) and (j,i)
+                out_a.append(ia[keep])
+                out_b.append(ib[keep])
+                out_s.append(sims[ii[keep], jj[keep]])
+            ia = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+            ib = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+            s = np.concatenate(out_s) if out_s else np.empty(0, dtype=np.float64)
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(lo), pa.array(hi), pa.array(s)],
+                names=["id_a", "id_b", score_col],
+            )
 
     try:
-        return pairs.mapInPandas(
+        return pairs.mapInArrow(
             score_blocks, f"id_a long, id_b long, {score_col} double"
         ).localCheckpoint(eager=True)
     finally:
@@ -118,23 +144,43 @@ def cosine_pairs(
 
 
 def _score_packed_buckets(threshold: float, score_col: str):
-    """mapInPandas kernel over packed (_ids, _vecs) buckets: per-bucket
-    GEMM, exact-threshold verification, each unordered pair emitted once.
-    Shared by the LSH- and IVF-bucketed joins."""
+    """Arrow-native kernel over packed (_ids, _vecs) buckets: ONE
+    zero-copy flatten per batch, then per-bucket GEMM over slice views
+    (no per-bucket Python conversion), exact-threshold verification,
+    each unordered pair emitted once. Shared by the LSH- and
+    IVF-bucketed joins (use with ``mapInArrow``)."""
     thr = float(threshold)
 
-    def score_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for ids, vecs in zip(pdf["_ids"], pdf["_vecs"]):
-                ids = np.asarray(ids, dtype=np.int64)
-                mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-                sims = mat @ mat.T
+    def score_buckets(batches) -> Iterator:
+        import pyarrow as pa
+
+        from mindb_spark.arrowkit import flat_values, nested_matrix, one_chunk
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            ids_f, ids_o = flat_values(one_chunk(t.column("_ids")))
+            mat, mat_o = nested_matrix(one_chunk(t.column("_vecs")))
+            mat = mat.astype(np.float64, copy=False)
+            out_a, out_b, out_s = [], [], []
+            for r in range(batch.num_rows):
+                ids = ids_f[ids_o[r] : ids_o[r + 1]].astype(np.int64, copy=False)
+                sub = mat[mat_o[r] : mat_o[r + 1]]
+                sims = sub @ sub.T
                 ii, jj = np.nonzero(sims >= thr)
                 keep = ids[ii] < ids[jj]  # each unordered pair once, no self
-                ia, ib = ids[ii[keep]], ids[jj[keep]]
-                yield pd.DataFrame(
-                    {"id_a": ia, "id_b": ib, score_col: sims[ii[keep], jj[keep]]}
-                )
+                out_a.append(ids[ii[keep]])
+                out_b.append(ids[jj[keep]])
+                out_s.append(sims[ii[keep], jj[keep]])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a)),
+                    pa.array(np.concatenate(out_b)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["id_a", "id_b", score_col],
+            )
 
     return score_buckets
 
@@ -227,7 +273,7 @@ def cosine_pairs_lsh(
         .where(F.size("_ids") > 1)
     )
     return (
-        packed.mapInPandas(
+        packed.mapInArrow(
             _score_packed_buckets(threshold, score_col),
             f"id_a long, id_b long, {score_col} double",
         )
@@ -327,7 +373,7 @@ def cosine_pairs_ivf(
     )
     try:
         return (
-            packed.mapInPandas(
+            packed.mapInArrow(
                 _score_packed_buckets(threshold, score_col),
                 f"id_a long, id_b long, {score_col} double",
             )
