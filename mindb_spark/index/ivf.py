@@ -596,7 +596,14 @@ def rerank_exact(
     # — or a crash between a codes append and its manifest save — can
     # put an id in both sources (or twice in the codes table); without
     # the dedup that id would occupy two of the final_top_k slots.
-    cand = candidates.select("query_id", id_col).dropDuplicates(["query_id", id_col])
+    # The dedup runs AFTER scoring as a window over (query_id, id): the
+    # rank window below already exchanges on query_id, which satisfies
+    # this clustering too, so the dedup adds a sort to THAT stage
+    # instead of shuffling the candidate pairs in a stage of their own
+    # (a 256k-row dropDuplicates here measured ~1.2 s, tools/
+    # ann_stage2_probe.py). Duplicate pairs score identically (one
+    # vectors row per id), so which survives is immaterial.
+    cand = candidates.select("query_id", id_col)
     joined = vectors.join(F.broadcast(cand), id_col, "inner").select(
         "query_id", F.col(id_col), *[F.col(c) for c in extra_cols],
         F.col(vector_col),
@@ -635,11 +642,21 @@ def rerank_exact(
             )
 
     scored = joined.mapInArrow(_score_batches, schema=out_schema)
+    w_dup = Window.partitionBy("query_id", id_col).orderBy(F.desc(score_col))
     w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.col(id_col))
     return (
-        scored.withColumn("_rank", F.row_number().over(w))
+        # ONE exchange for both windows: hash(query_id) clusters
+        # (query_id, id) too, so the dedup window adds only a sort on
+        # the same stage. Without the explicit repartition,
+        # EnsureRequirements would pick hash(query_id, id) for the dedup
+        # window — which does NOT satisfy the rank window — and shuffle
+        # the scored rows twice.
+        scored.repartition("query_id")
+        .withColumn("_dup", F.row_number().over(w_dup))
+        .where(F.col("_dup") == 1)
+        .withColumn("_rank", F.row_number().over(w))
         .where(F.col("_rank") <= final_top_k)
-        .drop("_rank")
+        .drop("_dup", "_rank")
     )
 
 
@@ -761,10 +778,26 @@ def search(
         ).select(
             "query_id", F.col(id_col), *extra_cols,
             F.col("score").alias("cosine_similarity"),
-        # same crash-dup insurance as rerank_exact's dropDuplicates: a
-        # codes append whose manifest save never landed can duplicate an
-        # id; tiny input (<= Q x prelim rows), so the shuffle is free
-        ).dropDuplicates(["query_id", id_col])
+        )
+        # same crash-dup insurance as rerank_exact's dedup: a codes
+        # append whose manifest save never landed can duplicate an id.
+        # Expressed as a window over (query_id, id) — NOT dropDuplicates
+        # — because hash(query_id) from stage 1's prelim window already
+        # satisfies this clustering, so the dedup costs one extra sort
+        # on the SAME exchange instead of its own shuffle stage (the
+        # fused path then runs ONE exchange total; dropDuplicates'
+        # hash(query_id, id) shuffle was a third of its stage count).
+        # Keep-best order: duplicate rows are normally bit-identical,
+        # and if a re-encode ever made them differ the highest cosine
+        # deterministically survives.
+        w_dup = Window.partitionBy("query_id", id_col).orderBy(
+            F.desc("cosine_similarity")
+        )
+        scored = (
+            scored.withColumn("_dup", F.row_number().over(w_dup))
+            .where(F.col("_dup") == 1)
+            .drop("_dup")
+        )
         if max_trained_id is not None:
             tail = vectors.where(F.col(id_col) > max_trained_id)
             from mindb_spark.operators.topk import knn_batch
