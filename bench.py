@@ -303,6 +303,25 @@ def main() -> None:
             snap.query(qmat[i : i + 1], preliminary_top_k=500, final_top_k=50)
             ts.append(time.time() - t0)
         point_ms["resident_q1"] = round(sorted(ts)[2] * 1000, 2)
+        # ROUTED amortized latency: what the API actually delivers for a
+        # batch at this corpus size — Database.search routes any batch
+        # whose ADC work fits the resident budget (30k rows x n_probe
+        # cells ~ 178k pairs, well under the 4M cap) to the snapshot,
+        # NOT to a Spark job. heuristic_ms_per_query above is the
+        # Spark-path cost (what runs past the budget at 100x scale);
+        # this key records the served number. Best-of-2 per point.
+        routed_ms: dict[str, float] = {}
+        for nq in (16, 128, 512):
+            bq2 = rng.integers(0, 30_000, size=nq)
+            bmat = norm[bq2] + 0.05 * rng.normal(size=(nq, 64))
+            snap.query(bmat[:8], preliminary_top_k=500, final_top_k=10)  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                snap.query(bmat, preliminary_top_k=500, final_top_k=10)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            routed_ms[f"q{nq}"] = round(best / nq * 1000, 2)
         del snap, snap_rows  # free the driver-side snapshot before the next probe
         clustered = {
             "recall_at_50": round(float(np.mean(recs)), 4),
@@ -313,6 +332,7 @@ def main() -> None:
             "noncovering_build_sec": build_s,
             "search_sec_50q": search_s,
             "heuristic_ms_per_query": heuristic_ms,
+            "routed_ms_per_query": routed_ms,
             "two_stage_ms_per_query": two_stage_ms,
             "point_query_ms": point_ms,
         }
@@ -456,6 +476,19 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # bench schema revision: bumped whenever a key's MEANING changes so
+        # cross-round diffs compare like with like. v2 (round 6): build_sec
+        # became the COVERING build (noncovering_build_sec carries the old
+        # quantity) and heuristic_ms_per_query became the fused covering
+        # path (two_stage_ms_per_query carries the classic plan). v3
+        # (round 7): + routed_ms_per_query (resident-served batch latency).
+        "bench_schema": 3,
+        # measurement discipline, recorded in the artifact itself: headline
+        # queries and per-point ANN latencies are best-of-N wall clock with
+        # cache-clear + JVM GC quiesce between passes; point_query_ms is a
+        # median of 3-5 warm runs.
+        "runs": 2,
+        "discipline": "best-of-2 wall clock, clearCache+System.gc between passes; point_query_ms median-of-3/5 warm",
         "queries": timings,
         "sf": sf_val,
         "ann_recall_at_10": recall,
@@ -484,6 +517,7 @@ def main() -> None:
     compact.pop("dedup_scale", None)
     compact.pop("similarity_exact_vs_lsh", None)
     compact.pop("baseline_only", None)
+    compact.pop("discipline", None)  # long string; lives in BENCH_FULL.json
     if compact.get("errors") is None:
         compact.pop("errors", None)
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
@@ -499,6 +533,7 @@ def main() -> None:
             "recall_at_50": clustered.get("recall_at_50"),
             "build_sec": clustered.get("build_sec"),
             "heuristic_ms_per_query": hm,
+            "routed_ms_per_query": clustered.get("routed_ms_per_query"),
             "two_stage_q512": (clustered.get("two_stage_ms_per_query") or {}).get("q512"),
             "fused_q1": pm.get("fused_q1"),
             "resident_q1": pm.get("resident_q1"),

@@ -365,12 +365,18 @@ class ResidentSnapshot:
             return None
         watermark = int(manifest["max_trained_id"])
         live = db.vectors().select("id", "vector", "metadata")
-        # column-pruned scan: only the id column leaves parquet
-        live_ids = np.array(
-            [r.id for r in live.select("id").where(F.col("id") <= watermark).collect()],
-            dtype=np.int64,
+        # column-pruned scan: only the id column leaves parquet, and it
+        # leaves as ONE Arrow/pandas int64 block (8 bytes/id — ~80 MB at
+        # 10M rows) rather than a Row object per id (~10x that transient
+        # footprint). No assume_unique: if the vectors table ever carries
+        # a duplicate id (the crash-dup shape), isin must still be exact.
+        live_ids = (
+            live.select("id")
+            .where(F.col("id") <= watermark)
+            .toPandas()["id"]
+            .to_numpy(dtype=np.int64)
         )
-        mask = np.isin(self.ids, live_ids, assume_unique=True)
+        mask = np.isin(self.ids, live_ids)
         dead = int(self.ids.size - mask.sum())
         if self.ids.size and dead / self.ids.size > self._REBUILD_DEAD_FRACTION:
             return None
@@ -391,8 +397,15 @@ class ResidentSnapshot:
         n_probe: int | None = None,
     ) -> list[dict]:
         """Serve a (Q, d) float batch; one reference-shaped dict per query
-        (``{ids, metadata, cosine_similarity}``), bit-identical to the
-        Spark two-stage path (same kernels, same cut orders)."""
+        (``{ids, metadata, cosine_similarity}``), bit-identical to a fresh
+        rebuild / the Spark two-stage path on the same live set (same
+        kernels, same cut orders). Caveat when serving through a DELETE
+        tombstone mask with a saturated ``preliminary_top_k``: the Spark
+        path lets deleted ids occupy stage-1 prelim slots (dropped only
+        at the stage-2 join) while the mask prelim-cuts over live rows
+        only, so the masked snapshot can return MORE live results — it
+        matches a fresh rebuild, not the slot-starved Spark answer
+        (pinned by tests/test_resident.py::test_tight_prelim_semantics)."""
         from mindb_spark.index.ivf import rank_centroids_chunked
 
         qmat = np.asarray(query_vectors, dtype=np.float64)

@@ -634,6 +634,16 @@ def rerank_exact(
                 norms[norms == 0] = 1.0
                 mat = mat / norms
             idx = np.searchsorted(qsorted, qid)
+            # containment guard: a candidate row whose query_id is not in
+            # query_ids must fail loudly, not score against a neighbor
+            # (the pre-round-6 dict map surfaced this as a KeyError).
+            idx = np.minimum(idx, qsorted.size - 1)
+            if not np.array_equal(qsorted[idx], qid):
+                bad = qid[qsorted[idx] != qid]
+                raise ValueError(
+                    f"rerank_exact: candidate query_id(s) {bad[:5].tolist()} "
+                    "not present in query_ids"
+                )
             scores = np.einsum("ij,ij->i", mat, qm[idx])
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns - 1)]

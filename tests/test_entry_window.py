@@ -65,7 +65,6 @@ def test_every_query_has_oracle_or_is_pinned():
     mod = _entry_module()
     oracles = mod.oracle_sql()
     for name in mod.queries():
-        assert name in oracles or name in mod._PINNED_NO_ORACLE or name in (
-            # rows-only-by-nature entries intentionally outside the pin set
-            "multimodal_decode", "multimodal_frames", "multimodal_resize",
-        ), f"{name} has no oracle and is not pinned/known rows-only"
+        assert name in oracles or name in mod._PINNED_NO_ORACLE, (
+            f"{name} has no oracle and is not pinned"
+        )

@@ -121,6 +121,39 @@ def test_resident_mask_then_add_keeps_mask(trained_db, corpus):
     assert got["cosine_similarity"] == want["cosine_similarity"]
 
 
+def test_tight_prelim_semantics(trained_db, corpus):
+    """Saturated-prelim caveat pinned (resident.query docstring): with
+    trained-row deletes the Spark path lets dead ids occupy stage-1
+    prelim slots (dropped only at the stage-2 join), while the masked
+    snapshot prelim-cuts over LIVE rows only — so under a tight
+    preliminary_top_k the mask matches a fresh rebuild, which can hold
+    MORE live results than the slot-starved Spark answer."""
+    db = trained_db
+    q = corpus[0]
+    db.disable_resident_serving()
+    before = db.query(q, preliminary_top_k=10, final_top_k=10)
+    assert len(before["ids"]) == 10  # prelim==k: results ARE the prelim slots
+
+    assert db.enable_resident_serving() is True
+    victims = before["ids"][:9]
+    db.remove(victims)
+    masked = db.query(q, preliminary_top_k=10, final_top_k=10)
+    assert db.resident_info()["masked_rows"] == 9
+    assert not set(victims) & set(masked["ids"])
+    assert len(masked["ids"]) == 10  # live-row prelim cut: full k returned
+
+    spark_after = _spark_results(db, [q], 10, 10)[0]
+    assert not set(victims) & set(spark_after["ids"])
+    # the 9 dead ids still held their stage-1 slots on the Spark path
+    assert len(spark_after["ids"]) < 10
+
+    db.enable_resident_serving()  # fresh full rebuild over live rows
+    assert db.resident_info()["masked_rows"] == 0
+    rebuilt = db.query(q, preliminary_top_k=10, final_top_k=10)
+    assert masked["ids"] == rebuilt["ids"]
+    assert masked["cosine_similarity"] == rebuilt["cosine_similarity"]
+
+
 def test_resident_dense_deletes_force_rebuild(trained_db, corpus):
     """Past _REBUILD_DEAD_FRACTION the mask refuses and the serve path
     falls through to a full rebuild (RAM reclaimed, mask cleared)."""
