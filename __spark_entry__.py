@@ -702,6 +702,67 @@ def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", _fl6("cosine_similarity").alias("score"))
 
 
+_FILTERED_TRAINED_DB: dict = {}
+
+
+def _filtered_trained_db(spark: SparkSession, sf_dir: str):
+    """A genuinely IVF-TRAINED VectorDB over the sf embeddings, cached per
+    sf_dir. The raw tables are below FLAT_INDEX_CUTOFF (5000), so the
+    corpus is the embeddings replicated x11 with per-replica circular
+    shifts — norm-preserving and SQL-expressible (DuckDB list slicing), so
+    the oracle reproduces every replica exactly. Ids are assigned by
+    ``add`` in list order: id = replica*N + vec_id."""
+    if sf_dir in _FILTERED_TRAINED_DB:
+        return _FILTERED_TRAINED_DB[sf_dir]
+    import shutil
+
+    import numpy as np
+
+    from mindb_spark.core.database import VectorDB
+
+    rows = _emb(spark, sf_dir).orderBy("vec_id").collect()
+    base = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = [int(r.label) for r in rows]
+    n = base.shape[0]
+    path = os.path.join(
+        "/tmp/mindb_filtered_trained", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    db = VectorDB(spark, "filtered_trained", base_path=path)
+    data = []
+    for rep in range(11):
+        rolled = np.roll(base, -rep, axis=1)
+        data.extend(
+            (rolled[i].tolist(), {"label": labels[i], "bucket": int(i % 25)})
+            for i in range(n)
+        )
+    db.add(data)
+    db.train()
+    assert db.is_trained, "replicated corpus must clear FLAT_INDEX_CUTOFF"
+    _FILTERED_TRAINED_DB[sf_dir] = (db, base)
+    return _FILTERED_TRAINED_DB[sf_dir]
+
+
+def q_filtered_knn_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-routed filtered kNN on a TRAINED index (the reference's
+    declared next feature, README "Metadata", on the trained path): a 4%
+    metadata filter routes to EXACT kNN over the filtered subset — a
+    post-filtered probe would rank mostly-discarded candidates and starve
+    below k — so results are exact and oracle-checkable while the DB is
+    genuinely IVF-trained. Embedded invariant: the exact route was taken."""
+    db, base = _filtered_trained_db(spark, sf_dir)
+    out = db.query_df(
+        base[1], preliminary_top_k=50, final_top_k=40,
+        metadata_filter="get_json_object(metadata, '$.bucket') = '0'",
+    )
+    assert db._last_filter_route[0] == "exact", db._last_filter_route
+    return out.select(
+        "id",
+        F.get_json_object("metadata", "$.label").cast("int").alias("label"),
+        _fl6("cosine_similarity").alias("score"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest event per customer at each order's date.
 
@@ -1851,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "knn_batch": q_knn_batch,
         "filtered_knn": q_filtered_knn,
+        "filtered_knn_trained": q_filtered_knn_trained,
         "dedup_survivors": q_dedup_survivors,
         "dedup_components_star": q_dedup_components_star,
         "text_langid": q_text_langid,
@@ -2509,6 +2571,34 @@ select f.vec_id, f.label,
 from f cross join q
 order by list_dot_product(f.v, q.qv) desc, f.vec_id
 limit 10
+""",
+        # the trained-path entry's corpus is the embeddings replicated x11
+        # with per-replica circular shifts (norm-preserving); ids follow the
+        # entry's add order: id = replica * N + vec_id. Normalization runs
+        # AFTER the roll, mirroring the ingest path's math on the rolled
+        # vector. The 4% bucket filter routes to the exact-subset scan, so
+        # the trained index never perturbs the values.
+        "filtered_knn_trained": f"""
+with {_NORM_EMB_CTE.strip()},
+q as (select v qv from emb where vec_id = 1),
+n as (select count(*) c from embeddings),
+rolled as (
+  select (r.range * n.c + b.vec_id)::BIGINT as id,
+         (b.embedding[r.range+1:] || b.embedding[1:r.range]) as rv,
+         b.label
+  from embeddings b cross join range(11) r cross join n
+  where b.vec_id % 25 = 0
+),
+rep as (
+  select id, label,
+         list_transform(rv, x -> x::DOUBLE / sqrt(list_dot_product(rv::DOUBLE[], rv::DOUBLE[]))) as v
+  from rolled
+)
+select rep.id, rep.label::INT as label,
+       floor(list_dot_product(rep.v, q.qv) * 1000000 + 0.5) / 1000000 as score
+from rep cross join q
+order by list_dot_product(rep.v, q.qv) desc, rep.id
+limit 40
 """,
         "asof_join": """
 select o.o_orderkey, o.o_custkey,

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "stream_window_agg",
     "stream_interval_join",
     "filtered_knn",
+    "filtered_knn_trained",
     "asof_join",
     "agg_rollup",
     "set_ops",

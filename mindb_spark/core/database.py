@@ -1133,6 +1133,37 @@ class VectorDB:
         return False
 
     # ------------------------------------------------------------- query
+    # Selectivity routing for filtered queries on a TRAINED index. Below
+    # the threshold, exact kNN over the filtered subset beats the probe:
+    # the probe scans ~n_probe/num_clusters of the corpus (~37% at the
+    # reference heuristics) ranking candidates the filter then mostly
+    # discards, while the exact scan touches only sel*n rows. 5% keeps a
+    # wide margin under that crossover (full-d float math costs more per
+    # row than the ADC's m gathers). The boost cap bounds the stage-2
+    # broadcast join fan-in per query (Q x prelim candidate rows).
+    _FILTER_EXACT_SELECTIVITY = 0.05
+    _FILTER_PRELIM_CAP = 100_000
+
+    def _filter_selectivity(self, metadata_filter: str, filtered: DataFrame) -> float:
+        """Fraction of live rows matching ``metadata_filter``, cached per
+        (filter, data state): one column-pruned predicate count the first
+        time a filter is seen, O(1) dict hits afterwards. The key carries
+        every manifest counter a mutation moves, so any add/remove/train
+        through any handle invalidates stale entries naturally."""
+        m = self._manifest
+        key = (
+            metadata_filter, m.get("data_version"), m.get("max_id"),
+            m.get("num_new_vectors"), m.get("num_trained_vectors_removed"),
+        )
+        cache = getattr(self, "_filter_sel_cache", None)
+        if cache is None:
+            cache = self._filter_sel_cache = {}
+        if key not in cache:
+            if len(cache) > 256:  # bound the handle-side memory
+                cache.clear()
+            cache[key] = filtered.count() / max(1, self.num_vectors_fast)
+        return cache[key]
+
     def query_df(
         self,
         query_vectors,
@@ -1151,10 +1182,25 @@ class VectorDB:
         ``get_json_object(metadata, '$.key')``. This is the reference's own
         declared next feature (README "Metadata"). Flat path: the filter is
         applied BEFORE scoring (exact pre-filtered kNN, filter pushed into
-        the scan). Trained path: applied to the rerank join, so results are
-        exact over the filtered set but a very selective filter can return
-        fewer than k rows — raise ``preliminary_top_k`` to compensate
-        (standard IVF-with-filter behavior).
+        the scan). Trained path: selectivity-aware routing —
+
+        - the filter's match count is measured once per (filter, data
+          state) with a column-pruned predicate scan and cached on the
+          handle (an O(columns-of-the-filter) job, cheap next to a
+          starved probe retry loop);
+        - at or below ``_FILTER_EXACT_SELECTIVITY`` the query runs as
+          EXACT kNN over the filtered subset (the flat O5 scan): the
+          subset is small enough that full-precision scoring beats the
+          probe, results are exact, and k rows come back whenever the
+          subset holds k — a post-filtered probe would rank mostly-
+          discarded candidates and silently starve below k;
+        - above it the IVF path runs with ``preliminary_top_k`` boosted
+          by 1/selectivity (capped at ``_FILTER_PRELIM_CAP`` to bound the
+          stage-2 join fan-in) so ~``preliminary_top_k`` candidates
+          survive the post-filter in expectation.
+
+        The chosen route is recorded on the handle as
+        ``_last_filter_route`` for probes/tests.
         """
         with self._lock:
             # pick up removes/retrains made through OTHER handles of this
@@ -1175,6 +1221,25 @@ class VectorDB:
                 hits.join(vectors.select("id", "metadata"), "id")
                 .select("query_id", "id", "metadata", "cosine_similarity")
             )
+
+        if metadata_filter is not None:
+            sel = self._filter_selectivity(metadata_filter, vectors)
+            if sel <= self._FILTER_EXACT_SELECTIVITY:
+                from mindb_spark.operators.topk import knn_batch
+
+                self._last_filter_route = ("exact", sel, None)
+                hits = knn_batch(vectors, queries, final_top_k)
+                return (
+                    hits.join(vectors.select("id", "metadata"), "id")
+                    .select("query_id", "id", "metadata", "cosine_similarity")
+                )
+            import math
+
+            preliminary_top_k = min(
+                int(math.ceil(preliminary_top_k / max(sel, 1e-9))),
+                self._FILTER_PRELIM_CAP,
+            )
+            self._last_filter_route = ("boosted", sel, preliminary_top_k)
 
         from mindb_spark.index import ivf
 

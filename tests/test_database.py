@@ -272,6 +272,65 @@ def test_trained_query_with_metadata_filter(spark, tmp_path, monkeypatch):
     db.delete()
 
 
+def test_filtered_query_selectivity_routing(spark, tmp_path, monkeypatch):
+    """Selectivity-aware filtered ANN (VERDICT r6 #2): a 1% filter on a
+    trained DB routes to EXACT kNN over the filtered subset — full k
+    results even under a tight preliminary_top_k that would starve the
+    post-filtered probe — while a broad filter stays on the IVF path
+    with preliminary_top_k boosted by 1/selectivity."""
+    import math
+
+    import numpy as np
+
+    import mindb_spark.core.heuristics as H
+
+    monkeypatch.setattr(H, "FLAT_INDEX_CUTOFF", 100)
+    db = VectorDB(spark, "selroute", base_path=str(tmp_path))
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(1000, 16))
+    db.add([
+        (v.tolist(), {"lang": "rare" if i % 100 == 0 else "common"})
+        for i, v in enumerate(mat)
+    ])
+    db.train()
+    assert db.is_trained
+
+    q = mat[0]
+    rare = "get_json_object(metadata, '$.lang') = 'rare'"
+    # prelim 20 at 1% selectivity: the post-filtered probe would keep
+    # ~0.2 candidates in expectation — the exact route must return k
+    res = db.query(q, preliminary_top_k=20, final_top_k=5, metadata_filter=rare)
+    route = db._last_filter_route
+    assert route[0] == "exact" and abs(route[1] - 0.01) < 1e-9
+    assert len(res["ids"]) == 5
+    assert all(m["lang"] == "rare" for m in res["metadata"])
+    # and the answer IS the exact filtered brute force
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    ids = np.arange(0, 1000, 100)
+    order = ids[np.argsort(-(norm[ids] @ qn), kind="stable")][:5]
+    assert res["ids"] == [int(i) for i in order]
+
+    # broad filter (99%): IVF path, prelim boosted by 1/selectivity
+    common = "get_json_object(metadata, '$.lang') = 'common'"
+    res2 = db.query(q, preliminary_top_k=10, final_top_k=5, metadata_filter=common)
+    route2 = db._last_filter_route
+    assert route2[0] == "boosted" and abs(route2[1] - 0.99) < 1e-9
+    assert route2[2] == math.ceil(10 / 0.99)
+    assert len(res2["ids"]) == 5
+    assert all(m["lang"] == "common" for m in res2["metadata"])
+
+    # the selectivity count is cached per (filter, data state): same key
+    # on a repeat query, invalidated (new key) by any mutation
+    assert len(db._filter_sel_cache) == 2
+    db.query(q, final_top_k=3, metadata_filter=rare)
+    assert len(db._filter_sel_cache) == 2
+    db.add([(mat[0].tolist(), {"lang": "rare"})])
+    db.query(q, final_top_k=3, metadata_filter=rare)
+    assert len(db._filter_sel_cache) == 3
+    db.delete()
+
+
 def test_trained_persistence_roundtrip(spark, tmp_path, monkeypatch):
     """A TRAINED database reopened from disk (manifest + artifacts + codes
     incl. the precomputed bterm column) serves identical two-stage results."""
