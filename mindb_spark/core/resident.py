@@ -192,19 +192,24 @@ class ResidentSnapshot:
         # carry: a codes append whose manifest save never landed can
         # duplicate an id, and an undeduped snapshot would emit that id
         # in two of the final_top_k slots
-        rows = (
+        # Arrow collect: the table lands as contiguous buffers (ids/bterm/
+        # codes/vectors each one block) that the snapshot arrays VIEW
+        # zero-copy — a Row collect materializes ~10x the data size in
+        # Python objects (a 1M x 768-d snapshot would transiently need
+        # tens of GB of Rows vs ~6 GB of Arrow buffers)
+        table = (
             codes_df.select(*cols)
             .where(F.col("id") <= watermark)
             .dropDuplicates(["id"])
             .join(live, "id")
             .orderBy("cluster_id", "id")
-            .collect()
+            .toArrow()
         )
         t_ids, t_vecs, t_meta = cls._collect_tail(live, watermark, d)
-        return cls.assemble(
+        return cls.assemble_from_arrow(
             artifacts,
             int(manifest["index_params"]["n_probe"]),
-            rows, d, m, has_bterm,
+            table, d, m, has_bterm,
             t_ids, t_vecs, t_meta,
             cls.manifest_fingerprint(manifest),
         )
@@ -240,9 +245,75 @@ class ResidentSnapshot:
         metadata = np.array(
             [getattr(r, "metadata", None) for r in rows], dtype=object
         )
-        if has_bterm:
-            bterm = np.fromiter((r.bterm for r in rows), dtype=np.float32, count=n)
-        else:
+        bterm = (
+            np.fromiter((r.bterm for r in rows), dtype=np.float32, count=n)
+            if has_bterm else None
+        )
+        return cls._from_arrays(
+            artifacts, n_probe, ids, cells, codes, bterm, vectors, metadata,
+            d, m, t_ids, t_vecs, t_meta, fingerprint,
+        )
+
+    @classmethod
+    def assemble_from_arrow(
+        cls,
+        artifacts,
+        n_probe: int,
+        table,
+        d: int,
+        m: int,
+        has_bterm: bool,
+        t_ids=None,
+        t_vecs=None,
+        t_meta=None,
+        fingerprint: tuple = (),
+    ) -> "ResidentSnapshot":
+        """Build the snapshot from an Arrow table of codes-join rows
+        (``cluster_id, id, code[, bterm], vector, metadata``, SORTED by
+        (cluster_id, id)). The numeric arrays are zero-copy VIEWS over
+        the table's buffers (the views keep the buffers alive), so peak
+        driver memory is ~the data size, not the Row-object blowup."""
+        from mindb_spark import arrowkit as AK
+
+        n = table.num_rows
+        ids = AK.one_chunk(table.column("id")).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        cells = AK.one_chunk(table.column("cluster_id")).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        codes = AK.fixed_width_matrix(AK.one_chunk(table.column("code")), m)
+        if codes is None:  # ragged/null codes: impossible post-build, but safe
+            codes = np.frombuffer(
+                b"".join(bytes(c) for c in table.column("code").to_pylist()),
+                dtype=np.uint8,
+            ).reshape(n, m) if n else np.empty((0, m), dtype=np.uint8)
+        vectors = AK.fixed_width_matrix(AK.one_chunk(table.column("vector")), d)
+        if vectors is None:
+            vectors = np.array(
+                table.column("vector").to_pylist(), dtype=np.float64
+            ).reshape(n, d)
+        vectors = vectors.astype(np.float64, copy=False)
+        metadata = (
+            AK.one_chunk(table.column("metadata")).to_numpy(zero_copy_only=False)
+            if "metadata" in table.column_names
+            else np.array([None] * n, dtype=object)
+        )
+        bterm = (
+            AK.one_chunk(table.column("bterm")).to_numpy(
+                zero_copy_only=False).astype(np.float32, copy=False)
+            if has_bterm else None
+        )
+        return cls._from_arrays(
+            artifacts, n_probe, ids, cells, codes, bterm, vectors, metadata,
+            d, m, t_ids, t_vecs, t_meta, fingerprint,
+        )
+
+    @classmethod
+    def _from_arrays(
+        cls, artifacts, n_probe, ids, cells, codes, bterm, vectors, metadata,
+        d, m, t_ids, t_vecs, t_meta, fingerprint,
+    ) -> "ResidentSnapshot":
+        n = ids.size
+        if bterm is None:
             # legacy codes tables: materialize the per-row cell term once
             # (query-independent; same math as the scan kernel's fallback)
             bterm = np.empty(n, dtype=np.float32)
@@ -273,14 +344,20 @@ class ResidentSnapshot:
     def _collect_tail(live, watermark: int, d: int):
         from pyspark.sql import functions as F
 
-        tail_rows = live.where(F.col("id") > watermark).collect()
-        t_ids = np.array([r.id for r in tail_rows], dtype=np.int64)
-        t_vecs = (
-            np.array([r.vector for r in tail_rows], dtype=np.float64).reshape(
-                len(tail_rows), d
-            )
-        )
-        t_meta = np.array([r.metadata for r in tail_rows], dtype=object)
+        from mindb_spark import arrowkit as AK
+
+        tail = live.where(F.col("id") > watermark).toArrow()
+        n = tail.num_rows
+        t_ids = AK.one_chunk(tail.column("id")).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        t_vecs = AK.fixed_width_matrix(AK.one_chunk(tail.column("vector")), d)
+        if t_vecs is None:
+            t_vecs = np.array(
+                tail.column("vector").to_pylist(), dtype=np.float64
+            ).reshape(n, d)
+        t_vecs = t_vecs.astype(np.float64, copy=False)
+        t_meta = AK.one_chunk(tail.column("metadata")).to_numpy(
+            zero_copy_only=False)
         return t_ids, t_vecs, t_meta
 
     def refresh_tail(self, db, max_bytes: int | None = None) -> "ResidentSnapshot | None":

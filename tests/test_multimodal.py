@@ -81,6 +81,46 @@ def test_decode_images_real_unsupported_format_requires_lib(spark):
         decode_images(tiff, fake=False).collect()
 
 
+def test_real_decode_prefers_native(monkeypatch):
+    """The decode gate must pick a NATIVE decoder over the ~1 MB/s stdlib
+    entropy loop whenever one is importable (tools/codec_throughput_probe
+    measured ~30x). PIL is absent in this container, so a stub module is
+    injected driver-side and _real_decode is called directly: a PNG whose
+    stdlib decode would return 24x17x3 must come back with the stub's
+    4x5x3 shape — proof the native path won the gate — while an AVI
+    payload must still route to the stdlib MJPEG demuxer (PIL can't read
+    AVI)."""
+    import sys
+    import types
+
+    from mindb_spark.multimodal import columns as C
+    from mindb_spark.multimodal.avi import encode_avi_mjpeg
+    from mindb_spark.multimodal.png import encode_png
+
+    opened = []
+
+    def _open(buf):
+        opened.append(buf.read(4))
+        return np.zeros((4, 5, 3), dtype=np.uint8)  # np.asarray passes through
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=_open)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    rng = np.random.default_rng(3)
+    png = encode_png(rng.integers(0, 256, (24, 17, 3), dtype=np.uint8))
+    h, w, ch, hist = C._real_decode(png)
+    assert (h, w, ch) == (4, 5, 3), "native decoder did not win the gate"
+    assert opened == [png[:4]]
+    np.testing.assert_allclose(hist, [1.0] + [0.0] * 7)  # all-zero stub pixels
+
+    frames = [np.full((8, 8, 3), 128, dtype=np.uint8)]
+    avi = encode_avi_mjpeg(frames, fps=5)
+    h, w, ch, _ = C._real_decode(avi)
+    assert (h, w, ch) == (8, 8, 3)
+    assert len(opened) == 1  # the AVI did NOT go through the stub
+
+
 def test_resize_passthrough(payloads):
     out = {r.doc_id: r for r in resize_images(payloads, (32, 48)).collect()}
     assert all(r.height == 32 and r.width == 48 for r in out.values())

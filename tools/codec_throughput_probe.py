@@ -98,6 +98,27 @@ def main() -> None:
         lambda d: av.decode_avi_frames(d), avi_b, max(1, reps // 2)
     )
 
+    # native-decoder lane: the decode gate (multimodal/columns.py
+    # _native_image_module) prefers PIL whenever importable — measure it
+    # in the SAME harness on the same payloads so the stdlib-vs-native
+    # ratio is on record (absent in this container: record null so the
+    # artifact says "unmeasured", not "equal")
+    from mindb_spark.multimodal.columns import _native_image_module
+
+    Image = _native_image_module()
+    if Image is not None:
+        import io
+
+        def _pil(payload: bytes):
+            np.asarray(Image.open(io.BytesIO(payload)))
+
+        out["pil_jpeg_420_mbps"] = _time(_pil, j420, max(reps, 20))
+        out["pil_png_mbps"] = _time(_pil, png_b, max(reps, 20))
+        out["pil_gif_mbps"] = _time(_pil, gif_b, max(reps, 20))
+    else:
+        out["pil_jpeg_420_mbps"] = None
+        out["pil_note"] = "PIL not installed: stdlib floor is the measured ceiling"
+
     print(json.dumps(out))
 
 
