@@ -9,10 +9,13 @@ that fetch entirely; this probe records the resulting Q-curve
 shape — no interior per-query maximum on the fused path — is measured,
 not argued.
 
-Usage: python tools/midq_curve_probe.py [n_vectors]
+Usage: python tools/midq_curve_probe.py [n_vectors] [best_of] [q_list]
 Reuses the corpus/index under /tmp/midq_probe when present (delete the
 dir to force a rebuild). ~30 min at 10M on local[32] (covering build
-dominates); 1M runs in ~3 min.
+dominates); 1M runs in ~3 min. ``best_of`` (default 2) repeats each
+(Q, mode) cell that many times and keeps the minimum — VERDICT r6 #6
+asks for best-of-4 at Q in {64,128,256} to separate router error from
+host noise; ``q_list`` is comma-separated (default 1,32,64,128,256,512).
 """
 
 from __future__ import annotations
@@ -26,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+BEST_OF = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+Q_LIST = (
+    tuple(int(x) for x in sys.argv[3].split(","))
+    if len(sys.argv) > 3
+    else (1, 32, 64, 128, 256, 512)
+)
 D, C, N_PARTS = 64, 256, 64
 WORK = "/tmp/midq_probe"
 
@@ -119,17 +128,22 @@ def main() -> None:
 
     run(8, "fused")  # warm kernels + page cache
     run(8, "two_stage")
-    print("Q      fused_ms/q   two_stage_ms/q   routed_ms/q", flush=True)
-    for nq in (1, 32, 64, 128, 256, 512):
+    print(
+        f"Q      fused_ms/q   two_stage_ms/q   routed_ms/q   (best-of-{BEST_OF})",
+        flush=True,
+    )
+    for nq in Q_LIST:
         out = []
         for mode in ("fused", "two_stage", "auto"):
             best = None
-            for _ in range(2):
+            for _ in range(BEST_OF):
                 dt = run(nq, mode)
                 best = dt if best is None else min(best, dt)
             out.append(best / nq * 1000)
+        delta = (out[2] - min(out[0], out[1])) / max(min(out[0], out[1]), 1e-9)
         print(
-            f"{nq:<6d} {out[0]:10.1f}   {out[1]:10.1f}   {out[2]:10.1f}",
+            f"{nq:<6d} {out[0]:10.1f}   {out[1]:10.1f}   {out[2]:10.1f}"
+            f"   routed-vs-best {delta * 100:+.0f}%",
             flush=True,
         )
 
