@@ -51,16 +51,23 @@ _SMALL_FETCH_IDS = 4096
 from mindb_spark.arrowkit import fixed_width_matrix as _fixed_width_matrix
 from mindb_spark.arrowkit import one_chunk as _one_chunk
 
-# fused-vs-two-stage routing: estimated vector bytes the fused kernel
-# would ship through Arrow into Python (scanned rows x d x 8) above
-# which the two-stage plan wins. The fused rescore reads the stored
-# vector of EVERY scanned row (Arrow list-column -> per-row ndarray
-# conversion is the cost, ~4 ms/MB measured on local[32]), while
-# two-stage scans codes-only and pays ~1-2 s of fixed stage-2 shuffle
-# overhead instead — measured crossover ~300-400 MB at 1M x 64-d
-# (tools/midq_curve_probe.py: Q=512 fused 11.1 vs two-stage 7.1 ms/q at
-# ~512 MB shipped; Q=1 fused 1.1 s vs 2.0 s at ~36 MB), rounded down
-_FUSED_MAX_SHIP_BYTES = 256 << 20
+# Fused-vs-two-stage routing: a d-AWARE cost model (round 7). The fused
+# kernel's marginal cost is Arrow-shipping the stored vector of every
+# SCANNED row into Python (~4 s/GB measured on local[32] at d=64 and
+# d=768); the two-stage alternative instead pays stage 2 — a FULL scan
+# of the vectors table (candidate ids are id-uniform, nothing prunes
+# it) plus ~1.3 s of fixed broadcast-join/dedup/window stage overhead.
+# BOTH sides scale with n x d x 8, so a fixed ship-bytes cap cannot
+# transfer across dimensions: the 256 MB cap measured at d=64 (1M
+# crossover ~300-400 MB, tools/midq_curve_probe.py) routed the 1M x
+# 768-d point query to two-stage at 2x the latency (412 MB ship vs a
+# 5.9 GB stage-2 scan: fused 1.59 s, two-stage 3.10 s —
+# tools/scale_probe_768d.py). Fuse when the modeled ship time
+# undercuts the modeled stage-2 time; the model reproduces every
+# measured decision at 30k/1M/10M x 64-d and 1M x 768-d.
+_ARROW_SEC_PER_BYTE = 4e-9   # Arrow ship + rescore-kernel cost per byte
+_SCAN_SEC_PER_BYTE = 0.8e-9  # JVM parquet scan cost per vectors-table byte
+_STAGE2_FIXED_SEC = 1.3      # stage-2 join/dedup/window scheduling floor
 
 
 def rank_centroids(
@@ -684,18 +691,24 @@ def route_fused(
     kernel ships the stored vector of every SCANNED row through Arrow
     into Python, so its marginal cost is the probed-cell union's bytes:
     scanned ~ n x (1 - (1 - n_probe/k)^Q), shipped = scanned x d x 8.
-    Two-stage instead pays ~1-2 s of fixed stage-2 shuffle overhead
-    (full vectors-table fetch scan + broadcast join + dedup + window) —
-    measured crossover ~300-400 MB shipped at 1M x 64-d
-    (tools/midq_curve_probe.py), gated at ``_FUSED_MAX_SHIP_BYTES``.
-    Without a row-count estimate, fuse only small batches (the union is
-    bounded by Q x n_probe cells, but n is unknown, so small Q is the
-    only provably-small ship)."""
+    Two-stage instead pays stage 2: a full vectors-table scan (n x d x
+    8 JVM-side parquet bytes — candidate ids are id-uniform, so nothing
+    prunes it) plus a fixed shuffle/join/window overhead. Both sides
+    scale with d, so the comparison is modeled TIME, not a bytes cap
+    (see the constants above for the 768-d evidence). Without a
+    row-count estimate, fuse only small batches (the union is bounded
+    by Q x n_probe cells, but n is unknown, so small Q is the only
+    provably-small ship)."""
     if approx_rows is None:
         return q * preliminary_top_k <= _SMALL_FETCH_IDS
     p = min(1.0, n_probe / max(1, num_clusters))
     union_frac = 1.0 - (1.0 - p) ** q
-    return approx_rows * union_frac * d * 8 <= _FUSED_MAX_SHIP_BYTES
+    row_bytes = d * 8
+    ship_sec = approx_rows * union_frac * row_bytes * _ARROW_SEC_PER_BYTE
+    stage2_sec = (
+        approx_rows * row_bytes * _SCAN_SEC_PER_BYTE + _STAGE2_FIXED_SEC
+    )
+    return ship_sec <= stage2_sec
 
 
 def search(
