@@ -594,3 +594,28 @@ def test_index_tail_counters_exact_after_interleaved_remove(spark, tmp_path):
     assert db.index_tail() == 0  # nothing new above the watermark
     assert db.num_vectors_fast == db.num_vectors == 6046
     db.delete()
+
+
+def test_evaluate_recall(spark, tmp_path, monkeypatch):
+    """evaluate_recall measures the trained path against exact kNN on
+    sampled stored vectors (round 7: the operator-facing signal for the
+    prelim-vs-corpus-size recall tradeoff). On a small well-clustered
+    corpus where preliminary_top_k covers half the rows, recall must be
+    ~1; untrained DBs are exact by construction."""
+    import mindb_spark.core.heuristics as H
+
+    monkeypatch.setattr(H, "FLAT_INDEX_CUTOFF", 100)
+    db = VectorDB(spark, "receval", base_path=str(tmp_path))
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16)) * 4.0
+    mat = centers[rng.integers(0, 8, size=1000)] + rng.normal(size=(1000, 16))
+    db.add([(v.tolist(), {}) for v in mat])
+    assert db.evaluate_recall(n_queries=4) == 1.0  # untrained -> exact path
+    db.train()
+    assert db.is_trained
+    r = db.evaluate_recall(n_queries=8, final_top_k=10, preliminary_top_k=500)
+    assert 0.95 <= r <= 1.0
+    # a starved budget must read LOWER OR EQUAL, never higher
+    r_tight = db.evaluate_recall(n_queries=8, final_top_k=10, preliminary_top_k=12)
+    assert r_tight <= r + 1e-9
+    db.delete()

@@ -10,21 +10,47 @@ the DEFAULT heuristics (at 1M x 768 that is PCA 256, m=32, two-level,
 k=6324, n_probe=445) and reports:
 
 - build s and ms/vector (covering layout)
-- recall@50 vs exact brute force over 64 held-out queries
-- the Q in {1, 128, 512} latency curve, fused vs two-stage vs ROUTED,
-  with the router's estimated Arrow ship volume per point (the fused
-  kernel ships scanned_rows x d x 8 bytes; at 768-d the same scan
-  fraction ships 12x the bytes of d=64, so the crossover moves)
+- PCA explained variance (sampled) — the projection-loss signal
+- recall@50 vs exact brute force over 64 held-out queries, swept over
+  ``preliminary_top_k`` (the reference's fixed default is 500 with a
+  "5-10x final_top_k" rule, mindb.py:368-373 — no n-scaling, so the
+  sweep documents how the budget must grow with corpus size)
+- the Q-curve, fused vs two-stage vs ROUTED, with the router's
+  estimated Arrow ship volume per point (the fused kernel ships
+  scanned_rows x d x 8 bytes; at 768-d the same scan fraction ships
+  12x the bytes of d=64 — round 7 replaced the fixed ship-bytes cap
+  with a d-aware cost model after this probe caught the Q=1 misroute)
 - resident snapshot: assemble time, bytes, Q=1 and Q=16 latency
 
-Synthetic clustered data (the real FIQA pickles are blob-stripped in this
-snapshot); the cluster subspace spans <=256 dims + isotropic noise, which
-is the low-intrinsic-dimension shape PCA-256 assumes — the same proxy
-regime PERF_NOTES documents for the d=64 probes.
+Synthetic clustered data (the real FIQA pickles are blob-stripped in
+this snapshot), in TWO spectra:
 
-Usage: python tools/scale_probe_768d.py [n_vectors] [dim]
-Work files under /tmp/scale_probe_768d (a 1M x 768 run writes ~13 GB:
-vectors + covering codes). ~25-45 min at 1M on local[32].
+- ``decay`` (default): within-cluster noise with a steep power-law
+  spectrum (std_i ~ 1/(i+1), total energy equal to the flat case) —
+  the low-intrinsic-dimension shape real text embeddings have and the
+  reference's own PCA-256 default assumes. PCA-256 loses <1% of the
+  noise variance here, so the defaults' recall contract is expected
+  to hold at any n.
+- ``flat``: full-rank isotropic noise — the PCA-256 WORST case. At 1M
+  rows the top-500-by-exact-projected-distance candidate set already
+  caps recall@50 at 0.676 (numpy side experiment, engine-independent:
+  any PCA-256+PQ engine, the reference's Faiss stack included, hits
+  the same information-theoretic ceiling); preliminary_top_k=2000
+  lifts the ceiling to 0.978. The sweep shows what the engine
+  actually delivers on both sides of the knob.
+
+Usage:
+  python tools/scale_probe_768d.py [n] [dim] [spectrum] [key=val ...]
+    spectrum: decay (default) | flat
+    curve=0        skip the Q-curve (recall/resident only)
+    resident=0     skip the resident section
+    prelims=500,2000   preliminary_top_k values for the recall sweep
+
+Work files under /tmp/scale_probe_768d_{spectrum} (a 1M x 768 run
+writes ~13 GB: vectors + covering codes). Corpus, index and brute-force
+ground truth are REUSED when present — delete the dir to force a
+rebuild. ~25-45 min cold at 1M on local[32]; warm re-runs skip the
+build (~174 s) and the ground-truth fold (~197 s).
 """
 
 from __future__ import annotations
@@ -37,10 +63,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-D = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+_pos = [a for a in sys.argv[1:] if "=" not in a]
+_kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+N = int(_pos[0]) if len(_pos) > 0 else 1_000_000
+D = int(_pos[1]) if len(_pos) > 1 else 768
+SPECTRUM = _pos[2] if len(_pos) > 2 else "decay"
+RUN_CURVE = _kv.get("curve", "1") != "0"
+RUN_RESIDENT = _kv.get("resident", "1") != "0"
+PRELIMS = tuple(int(x) for x in _kv.get("prelims", "500,2000").split(","))
 C, N_PARTS = 256, 64
-WORK = "/tmp/scale_probe_768d"
+WORK = f"/tmp/scale_probe_768d_{SPECTRUM}"
+if SPECTRUM == "flat" and not os.path.isdir(WORK) and os.path.isdir(
+    "/tmp/scale_probe_768d"
+):
+    WORK = "/tmp/scale_probe_768d"  # legacy dir from the first flat run
+
+
+def noise_scale(d: int) -> np.ndarray:
+    """Per-coordinate noise std for the chosen spectrum, total variance d
+    (same energy as isotropic) so the two regimes differ only in SHAPE."""
+    if SPECTRUM == "flat":
+        return np.ones(d, dtype=np.float32)
+    s = 1.0 / (np.arange(d, dtype=np.float64) + 1.0)
+    s *= np.sqrt(d / np.sum(s * s))
+    return s.astype(np.float32)
 
 
 def main() -> None:
@@ -54,12 +100,14 @@ def main() -> None:
     )
     from mindb_spark.index import build as B
     from mindb_spark.index import ivf
+    from mindb_spark.index.build import IndexArtifacts
 
     rng = np.random.default_rng(11)
     # same center-separation ratio as the d=64 probes: pair distance
     # s*sqrt(2d) vs noise norm sqrt(d) is s*sqrt(2) regardless of d
     centers = (rng.normal(size=(C, D)) * 4.0).astype(np.float32)
-    bc = spark.sparkContext.broadcast(centers)
+    nscale = noise_scale(D)
+    bc = spark.sparkContext.broadcast((centers, nscale))
     base, rem = divmod(N, N_PARTS)
 
     def gen(batches):
@@ -72,129 +120,162 @@ def main() -> None:
                     continue
                 start = pid * base + min(pid, rem)
                 r = np.random.default_rng(1000 + pid)
+                ctrs, nsc = bc.value
                 a = r.integers(0, C, size=per)
-                m = bc.value[a] + r.normal(size=(per, D)).astype(np.float32)
+                m = ctrs[a] + r.normal(size=(per, D)).astype(np.float32) * nsc
                 m /= np.linalg.norm(m, axis=1, keepdims=True)
                 ids = np.arange(start, start + per, dtype=np.int64)
                 yield pd.DataFrame({"id": ids, "vector": list(m.astype(np.float64))})
 
-    t0 = time.time()
-    (
-        spark.range(N_PARTS).repartition(N_PARTS, "id")
-        .mapInPandas(gen, schema="id long, vector array<double>")
-        .write.mode("overwrite").parquet(f"{WORK}/vectors")
-    )
-    print(f"gen+write: {time.time() - t0:.1f}s for {N} x {D}", flush=True)
-    vdf = spark.read.parquet(f"{WORK}/vectors")
-
     params = resolve_index_params(N, D)
     two_level = use_two_level_clustering(N, D, None)
-    print(
-        f"defaults: pca={params.pca_dimension} m={params.compressed_vector_bytes} "
-        f"k={params.num_clusters} n_probe={params.n_probe} two_level={two_level}",
-        flush=True,
-    )
     n_buckets = B.default_n_buckets(params.num_clusters)
-    t0 = time.time()
-    arts, _ = B.build_index(
-        vdf, params, f"{WORK}/idx", n_buckets=n_buckets,
-        use_two_level=two_level, carry_cols=("vector",),
-    )
-    dt = time.time() - t0
     print(
-        f"build (covering, {n_buckets} buckets): {dt:.1f}s = "
-        f"{dt / N * 1000:.3f} ms/vector", flush=True,
+        f"spectrum={SPECTRUM} defaults: pca={params.pca_dimension} "
+        f"m={params.compressed_vector_bytes} k={params.num_clusters} "
+        f"n_probe={params.n_probe} two_level={two_level}", flush=True,
     )
 
+    if not os.path.isdir(f"{WORK}/idx/codes"):
+        t0 = time.time()
+        (
+            spark.range(N_PARTS).repartition(N_PARTS, "id")
+            .mapInPandas(gen, schema="id long, vector array<double>")
+            .write.mode("overwrite").parquet(f"{WORK}/vectors")
+        )
+        print(f"gen+write: {time.time() - t0:.1f}s for {N} x {D}", flush=True)
+        vdf = spark.read.parquet(f"{WORK}/vectors")
+        t0 = time.time()
+        B.build_index(
+            vdf, params, f"{WORK}/idx", n_buckets=n_buckets,
+            use_two_level=two_level, carry_cols=("vector",),
+        )
+        dt = time.time() - t0
+        print(
+            f"build (covering, {n_buckets} buckets): {dt:.1f}s = "
+            f"{dt / N * 1000:.3f} ms/vector", flush=True,
+        )
+    else:
+        print(f"reusing corpus+index under {WORK}", flush=True)
+    vdf = spark.read.parquet(f"{WORK}/vectors")
+    arts = IndexArtifacts.load(f"{WORK}/idx/artifacts.npz")
     codes = spark.read.parquet(f"{WORK}/idx/codes")
+
+    # PCA explained variance on a sample — the projection-loss signal
+    smp = np.array(
+        [r.vector for r in vdf.sample(fraction=min(1.0, 20_000 / N), seed=5)
+         .limit(20_000).collect()]
+    )
+    cen = smp - arts.mean
+    tot = float((cen * cen).sum())
+    proj = cen @ arts.pca
+    print(
+        f"pca explained variance ({arts.pca.shape[1]}/{D}): "
+        f"{float((proj * proj).sum()) / tot:.4f} (sampled {len(smp)} rows)",
+        flush=True,
+    )
+
     r = np.random.default_rng(1000)
     Q = 512
-    qm = centers[r.integers(0, C, size=Q)] + r.normal(size=(Q, D)).astype(np.float32)
+    qm = centers[r.integers(0, C, size=Q)] + (
+        r.normal(size=(Q, D)).astype(np.float32) * nscale
+    )
     qm = qm.astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     queries = [(i, qm[i]) for i in range(Q)]
 
-    def run(nq, fused, routed=False):
+    def run(nq, fused, routed=False, prelim=500):
         t0 = time.time()
         out = ivf.search(
-            codes, vdf, arts, queries[:nq], preliminary_top_k=500, final_top_k=50,
-            n_probe=params.n_probe, max_trained_id=None, n_buckets=n_buckets,
-            rescore_from_codes=fused,
+            codes, vdf, arts, queries[:nq], preliminary_top_k=prelim,
+            final_top_k=50, n_probe=params.n_probe, max_trained_id=None,
+            n_buckets=n_buckets, rescore_from_codes=fused,
             approx_rows=N if routed else None,
         ).collect()
         return time.time() - t0, out
 
-    def ship_estimate(nq):
-        p = min(1.0, params.n_probe / max(1, params.num_clusters))
-        frac = 1.0 - (1.0 - p) ** nq
-        return N * frac * D * 8
+    if RUN_CURVE:
+        run(8, fused=True)  # warm the kernels (JIT + Arrow init)
+        print("Q-curve (best-of-2 per point):", flush=True)
+        for nq in (1, 128, Q):
+            p = min(1.0, params.n_probe / max(1, params.num_clusters))
+            frac = 1.0 - (1.0 - p) ** nq
+            est_mb = N * frac * D * 8 / (1 << 20)
+            choice = ivf.route_fused(
+                N, params.n_probe, params.num_clusters, nq, D, 500
+            )
+            row = {
+                "q": nq, "est_ship_mb": round(est_mb, 1),
+                "router": "fused" if choice else "two-stage",
+            }
+            for label, fused, routed in (
+                ("fused", True, False), ("two_stage", False, False),
+                ("routed", True, True),
+            ):
+                best = None
+                for _ in range(2):
+                    dt, _ = run(nq, fused=fused, routed=routed)
+                    best = dt if best is None else min(best, dt)
+                row[label + "_ms_per_q"] = round(best / nq * 1000, 1)
+            print(f"  {row}", flush=True)
 
-    run(8, fused=True)  # warm the kernels (JIT + Arrow init)
-    print("Q-curve (best-of-2 per point):", flush=True)
-    for nq in (1, 128, Q):
-        est_mb = ship_estimate(nq) / (1 << 20)
-        from mindb_spark.index.ivf import route_fused
+    # exact ground truth for 64 queries: streamed driver-side GEMM,
+    # cached on disk (same query seed every run)
+    gt_path = f"{WORK}/gt64.npz"
+    if os.path.exists(gt_path):
+        ids = np.load(gt_path)["ids"]
+        print("reusing brute-force ground truth", flush=True)
+    else:
+        qf = qm[:64].astype(np.float32)
+        scores = np.full((64, 50), -2.0, dtype=np.float32)
+        ids = np.zeros((64, 50), dtype=np.int64)
 
-        choice = route_fused(
-            N, params.n_probe, params.num_clusters, nq, D, 500
-        )
-        row = {"q": nq, "est_ship_mb": round(est_mb, 1), "router": "fused" if choice else "two-stage"}
-        for label, fused, routed in (
-            ("fused", True, False), ("two_stage", False, False), ("routed", True, True),
-        ):
-            best = None
-            for _ in range(2):
-                dt, _ = run(nq, fused=fused, routed=routed)
-                best = dt if best is None else min(best, dt)
-            row[label + "_ms_per_q"] = round(best / nq * 1000, 1)
-        print(f"  {row}", flush=True)
+        def fold(buf_v, buf_i):
+            V = np.asarray(buf_v, dtype=np.float32)
+            I = np.asarray(buf_i, dtype=np.int64)
+            S = qf @ V.T
+            for qi in range(64):
+                s = np.concatenate([scores[qi], S[qi]])
+                ii = np.concatenate([ids[qi], I])
+                keep = np.argsort(-s)[:50]
+                scores[qi], ids[qi] = s[keep], ii[keep]
 
-    # exact ground truth for 64 queries: streamed driver-side GEMM
-    qf = qm[:64].astype(np.float32)
-    scores = np.full((64, 50), -2.0, dtype=np.float32)
-    ids = np.zeros((64, 50), dtype=np.int64)
-
-    def fold(buf_v, buf_i):
-        V = np.asarray(buf_v, dtype=np.float32)
-        I = np.asarray(buf_i, dtype=np.int64)
-        S = qf @ V.T
-        for qi in range(64):
-            s = np.concatenate([scores[qi], S[qi]])
-            ii = np.concatenate([ids[qi], I])
-            keep = np.argsort(-s)[:50]
-            scores[qi], ids[qi] = s[keep], ii[keep]
-
-    t0 = time.time()
-    buf_v, buf_i = [], []
-    for row in vdf.toLocalIterator(prefetchPartitions=True):
-        buf_v.append(row.vector)
-        buf_i.append(row.id)
-        if len(buf_v) >= 100_000:
+        t0 = time.time()
+        buf_v, buf_i = [], []
+        for row in vdf.toLocalIterator(prefetchPartitions=True):
+            buf_v.append(row.vector)
+            buf_i.append(row.id)
+            if len(buf_v) >= 100_000:
+                fold(buf_v, buf_i)
+                buf_v, buf_i = [], []
+        if buf_v:
             fold(buf_v, buf_i)
-            buf_v, buf_i = [], []
-    if buf_v:
-        fold(buf_v, buf_i)
-    print(f"brute-force ground truth: {time.time() - t0:.1f}s", flush=True)
+        np.savez(gt_path, ids=ids)
+        print(f"brute-force ground truth: {time.time() - t0:.1f}s", flush=True)
 
-    got: dict[int, set] = {}
-    for rrow in ivf.search(
-        codes, vdf, arts, queries[:64], preliminary_top_k=500, final_top_k=50,
-        n_probe=params.n_probe, max_trained_id=None, n_buckets=n_buckets,
-        approx_rows=N,
-    ).collect():
-        got.setdefault(rrow.query_id, set()).add(rrow.id)
-    recs = [len(got.get(qi, set()) & set(ids[qi].tolist())) / 50 for qi in range(64)]
-    rec = float(np.mean(recs))
-    print(
-        f"recall@50: {rec:.4f} (reference contract: >= 0.97 at 768-d defaults)",
-        flush=True,
-    )
+    for prelim in PRELIMS:
+        got: dict[int, set] = {}
+        for rrow in ivf.search(
+            codes, vdf, arts, queries[:64], preliminary_top_k=prelim,
+            final_top_k=50, n_probe=params.n_probe, max_trained_id=None,
+            n_buckets=n_buckets, approx_rows=N,
+        ).collect():
+            got.setdefault(rrow.query_id, set()).add(rrow.id)
+        recs = [
+            len(got.get(qi, set()) & set(ids[qi].tolist())) / 50
+            for qi in range(64)
+        ]
+        print(
+            f"recall@50 (prelim={prelim}): {float(np.mean(recs)):.4f} "
+            f"(reference contract: >= 0.97 at 768-d defaults)", flush=True,
+        )
 
+    if not RUN_RESIDENT:
+        return
     # resident snapshot at the reference dimension: the Arrow assemble
     # keeps peak driver memory ~ the data size (a Row collect at 1M x 768
     # would transiently need tens of GB)
     from mindb_spark.core.resident import ResidentSnapshot
-    from pyspark.sql import functions as F
 
     t0 = time.time()
     table = (
