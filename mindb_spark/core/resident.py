@@ -482,10 +482,40 @@ class ResidentSnapshot:
         at the stage-2 join) while the mask prelim-cuts over live rows
         only, so the masked snapshot can return MORE live results — it
         matches a fresh rebuild, not the slot-starved Spark answer
-        (pinned by tests/test_resident.py::test_tight_prelim_semantics)."""
+        (pinned by tests/test_resident.py::test_tight_prelim_semantics).
+
+        Small batches pin BLAS to one thread for the call: every GEMM
+        on the point-query path is tiny (project (Q,d)x(d,p), centroid
+        ranking (Q,p)x(p,k), per-subspace ADC tables), and a
+        multi-threaded BLAS pool pays fork/join PER CALL — measured
+        3.8 ms vs 0.39 ms for the 57.6k-shape centroid ranking alone
+        (round 7). Larger batches amortize the fork and can genuinely
+        use the threads (centroid ranking grows with Q x k), so they
+        keep the process default."""
+        qmat = np.asarray(query_vectors, dtype=np.float64)
+        if qmat.ndim == 1:
+            qmat = qmat[None, :]
+        if qmat.shape[0] <= self._BLAS_PIN_MAX_Q:
+            from mindb_spark.index.pq import _single_threaded_blas
+
+            with _single_threaded_blas():
+                return self._query_impl(
+                    qmat, preliminary_top_k, final_top_k, n_probe
+                )
+        return self._query_impl(qmat, preliminary_top_k, final_top_k, n_probe)
+
+    # point/small-batch regime bound for the BLAS pin above
+    _BLAS_PIN_MAX_Q = 32
+
+    def _query_impl(
+        self,
+        qmat: np.ndarray,
+        preliminary_top_k: int,
+        final_top_k: int,
+        n_probe: int | None,
+    ) -> list[dict]:
         from mindb_spark.index.ivf import rank_centroids_chunked
 
-        qmat = np.asarray(query_vectors, dtype=np.float64)
         if qmat.ndim == 1:
             qmat = qmat[None, :]
         norms = np.linalg.norm(qmat, axis=1, keepdims=True)
