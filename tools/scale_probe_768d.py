@@ -72,11 +72,13 @@ RUN_CURVE = _kv.get("curve", "1") != "0"
 RUN_RESIDENT = _kv.get("resident", "1") != "0"
 PRELIMS = tuple(int(x) for x in _kv.get("prelims", "500,2000").split(","))
 C, N_PARTS = 256, 64
-WORK = f"/tmp/scale_probe_768d_{SPECTRUM}"
-if SPECTRUM == "flat" and not os.path.isdir(WORK) and os.path.isdir(
-    "/tmp/scale_probe_768d"
-):
-    WORK = "/tmp/scale_probe_768d"  # legacy dir from the first flat run
+# the reuse key must carry n: a 3M run against a reused 1M dir would
+# silently measure the smaller corpus under the larger corpus' params
+WORK = f"/tmp/scale_probe_768d_{SPECTRUM}_{N}"
+for _legacy in (f"/tmp/scale_probe_768d_{SPECTRUM}", "/tmp/scale_probe_768d"):
+    if N == 1_000_000 and not os.path.isdir(WORK) and os.path.isdir(_legacy):
+        WORK = _legacy  # pre-rename dirs hold exactly the 1M corpora
+        break
 
 
 def noise_scale(d: int) -> np.ndarray:
