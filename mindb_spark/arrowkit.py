@@ -17,8 +17,38 @@ import numpy as np
 
 
 def one_chunk(col):
-    """Single pyarrow Array from a Table column (concatenating chunks)."""
+    """Single pyarrow Array from a Table column (concatenating chunks).
+
+    NOT safe for plain list/binary/string columns whose concatenated
+    child length exceeds 2^31 (combine_chunks overflows the 32-bit
+    offsets — hit at 3M x 768-d vectors = 2.3B child doubles); use
+    :func:`fixed_width_matrix_chunked` for wide matrix columns.
+    """
     return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+
+
+def fixed_width_matrix_chunked(col, width: int) -> np.ndarray | None:
+    """(n, width) numpy matrix from a CHUNKED uniform-width list/binary
+    column, flattening each chunk as a zero-copy view and stacking.
+
+    One memcpy when multiple chunks (np.vstack) — combine_chunks would
+    instead overflow Arrow's 32-bit list offsets past ~2.1B child
+    elements, which a 3M x 768-d driver collect already exceeds.
+    Returns None when any chunk is ragged or carries nulls (callers
+    fall back to the per-row path).
+    """
+    chunks = list(col.chunks) if hasattr(col, "chunks") else [col]
+    mats = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        m = fixed_width_matrix(ch, width)
+        if m is None:
+            return None
+        mats.append(m)
+    if not mats:
+        return None
+    return mats[0] if len(mats) == 1 else np.vstack(mats)
 
 
 def fixed_width_matrix(arr, width: int | None = None) -> np.ndarray | None:

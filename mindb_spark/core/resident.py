@@ -276,29 +276,35 @@ class ResidentSnapshot:
         from mindb_spark import arrowkit as AK
 
         n = table.num_rows
-        ids = AK.one_chunk(table.column("id")).to_numpy(
+        # primitive columns: ChunkedArray.to_numpy concatenates in numpy
+        # (no Arrow offset arithmetic); list/binary matrix columns go
+        # through the chunk-safe flattener — combine_chunks on a 3M x
+        # 768 vector column overflows the 32-bit list offsets (2.3B
+        # child doubles > 2^31, observed as "offset overflow while
+        # concatenating arrays" on the first 3M assemble)
+        ids = table.column("id").to_numpy(
             zero_copy_only=False).astype(np.int64, copy=False)
-        cells = AK.one_chunk(table.column("cluster_id")).to_numpy(
+        cells = table.column("cluster_id").to_numpy(
             zero_copy_only=False).astype(np.int64, copy=False)
-        codes = AK.fixed_width_matrix(AK.one_chunk(table.column("code")), m)
+        codes = AK.fixed_width_matrix_chunked(table.column("code"), m)
         if codes is None:  # ragged/null codes: impossible post-build, but safe
             codes = np.frombuffer(
                 b"".join(bytes(c) for c in table.column("code").to_pylist()),
                 dtype=np.uint8,
             ).reshape(n, m) if n else np.empty((0, m), dtype=np.uint8)
-        vectors = AK.fixed_width_matrix(AK.one_chunk(table.column("vector")), d)
+        vectors = AK.fixed_width_matrix_chunked(table.column("vector"), d)
         if vectors is None:
             vectors = np.array(
                 table.column("vector").to_pylist(), dtype=np.float64
             ).reshape(n, d)
         vectors = vectors.astype(np.float64, copy=False)
         metadata = (
-            AK.one_chunk(table.column("metadata")).to_numpy(zero_copy_only=False)
+            table.column("metadata").to_numpy(zero_copy_only=False)
             if "metadata" in table.column_names
             else np.array([None] * n, dtype=object)
         )
         bterm = (
-            AK.one_chunk(table.column("bterm")).to_numpy(
+            table.column("bterm").to_numpy(
                 zero_copy_only=False).astype(np.float32, copy=False)
             if has_bterm else None
         )

@@ -95,7 +95,16 @@ def get_spark(
         # effective for the first session in the process (JVM-launch flag),
         # which is every real entry point here.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
-        .config("spark.driver.maxResultSize", "8g")
+        # the resident serving snapshot is BY DESIGN a driver-side Arrow
+        # collect of the whole covering index (budget-gated in bytes by
+        # its caller) — at 3M x 768 that is a legitimate ~17 GiB result,
+        # which the old 8g cap aborted mid-assemble. Match the cap to
+        # the driver heap: Arrow collects stream batches to Python, so
+        # peak JVM retention stays well under the accounted total.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", driver_mem),
+        )
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

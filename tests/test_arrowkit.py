@@ -88,3 +88,53 @@ def test_one_chunk_concatenates():
         ]
     )
     assert one_chunk(t.column("x")).to_pylist() == [1, 2, 3]
+
+
+def test_fixed_width_matrix_chunked_stacks_chunks():
+    from mindb_spark.arrowkit import fixed_width_matrix_chunked
+
+    c = pa.chunked_array(
+        [
+            pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64())),
+            pa.array([[5.0, 6.0]], type=pa.list_(pa.float64())),
+        ]
+    )
+    mat = fixed_width_matrix_chunked(c, 2)
+    assert mat.tolist() == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    # binary flavor
+    cb = pa.chunked_array(
+        [pa.array([b"ab", b"cd"]), pa.array([b"ef"])]
+    )
+    mb = fixed_width_matrix_chunked(cb, 2)
+    assert mb.tobytes() == b"abcdef" and mb.shape == (3, 2)
+
+
+def test_fixed_width_matrix_chunked_single_chunk_is_view():
+    from mindb_spark.arrowkit import fixed_width_matrix_chunked
+
+    c = pa.chunked_array([pa.array([[1.0, 2.0]], type=pa.list_(pa.float64()))])
+    mat = fixed_width_matrix_chunked(c, 2)
+    assert mat.shape == (1, 2) and not mat.flags.owndata  # zero-copy view
+
+
+def test_fixed_width_matrix_chunked_ragged_or_empty_is_none():
+    from mindb_spark.arrowkit import fixed_width_matrix_chunked
+
+    ragged = pa.chunked_array(
+        [
+            pa.array([[1.0, 2.0]], type=pa.list_(pa.float64())),
+            pa.array([[3.0]], type=pa.list_(pa.float64())),
+        ]
+    )
+    assert fixed_width_matrix_chunked(ragged, 2) is None
+    empty = pa.chunked_array([], type=pa.list_(pa.float64()))
+    assert fixed_width_matrix_chunked(empty, 2) is None
+    # an empty chunk between full ones must not poison the stack
+    holey = pa.chunked_array(
+        [
+            pa.array([[1.0, 2.0]], type=pa.list_(pa.float64())),
+            pa.array([], type=pa.list_(pa.float64())),
+            pa.array([[3.0, 4.0]], type=pa.list_(pa.float64())),
+        ]
+    )
+    assert fixed_width_matrix_chunked(holey, 2).tolist() == [[1.0, 2.0], [3.0, 4.0]]
