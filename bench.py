@@ -370,9 +370,16 @@ def main() -> None:
         rng = np.random.default_rng(17)
         centers = rng.normal(size=(96, d_fiqa)).astype(np.float32) * 4.0
         assign = rng.integers(0, 96, size=n_fiqa)
+        # decaying within-cluster noise spectrum (std_i ~ 1/(i+1), total
+        # energy equal to isotropic) — the low-intrinsic-dimension shape
+        # real text embeddings have and the PCA-256 default assumes;
+        # flat-spectrum behavior is the probe's documented adversarial
+        # case (tools/scale_probe_768d.py, PERF_NOTES round 7)
+        nsc = 1.0 / (np.arange(d_fiqa) + 1.0)
+        nsc = (nsc * np.sqrt(d_fiqa / np.sum(nsc * nsc))).astype(np.float32)
         mat = centers[assign] + rng.normal(size=(n_fiqa, d_fiqa)).astype(
             np.float32
-        )
+        ) * nsc
         norm64 = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).astype(
             np.float64
         )
