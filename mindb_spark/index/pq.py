@@ -25,29 +25,21 @@ import numpy as np
 N_CENTROIDS = 256  # 8-bit codes, same as Faiss PQ{m} default
 
 
-@contextlib.contextmanager
-def _single_threaded_blas():
-    """Pin the BLAS pool to one thread for the duration of the block.
+_BLAS_CTL = None  # memoized (handle, set_fn, get_fn) pairs — see below
 
-    The per-book Lloyd GEMMs are thin ((n, dsub) x (dsub, 256) with dsub
-    of ~4) — BLAS's own threading over them is pure overhead, and nested
-    under the m-way book pool it oversubscribes the machine (measured 5x:
-    4.4 s -> 0.8 s for a 14-book fit on 32 cores). Scoped to the book
-    pool ONLY — the single large coarse k-means is 2x faster WITH BLAS
-    threading. Uses threadpoolctl when present, else the OpenBLAS handle
-    numpy itself loaded; silently a no-op when neither is available.
-    """
-    # probe separately from the guarded block: an ImportError raised by
-    # the BODY must propagate, not fall through to a second yield
-    try:
-        from threadpoolctl import threadpool_limits
-    except ImportError:
-        threadpool_limits = None
-    if threadpool_limits is not None:
-        with threadpool_limits(limits=1, user_api="blas"):
-            yield
-        return
-    handles = []
+
+def _blas_controls():
+    """Discover the loaded OpenBLAS libraries' thread setters, ONCE.
+
+    The /proc/<pid>/maps scan + ctypes loads cost ~0.8 ms — fine for a
+    training fit, but the resident point-query path enters the pin on
+    EVERY query (round 7), and the set of loaded BLAS libraries never
+    changes after numpy import, so the handles are process-lifetime
+    memoizable."""
+    global _BLAS_CTL
+    if _BLAS_CTL is not None:
+        return _BLAS_CTL
+    controls = []
     try:
         import ctypes
         import os
@@ -64,17 +56,47 @@ def _single_threaded_blas():
                 # without a way to restore would leave the whole process
                 # single-threaded past this block
                 if hasattr(h, set_fn) and hasattr(h, get_fn):
-                    prev = getattr(h, get_fn)()
-                    # pin only when the getter reports a restorable value
-                    # (> 0): pinning on a bogus reading would leave the
-                    # process single-threaded past this block, since the
-                    # finally below can only restore positive counts
-                    if prev > 0:
-                        getattr(h, set_fn)(1)
-                        handles.append((h, set_fn, prev))
+                    controls.append((h, set_fn, get_fn))
                     break
     except OSError:
         pass
+    _BLAS_CTL = controls
+    return controls
+
+
+@contextlib.contextmanager
+def _single_threaded_blas():
+    """Pin the BLAS pool to one thread for the duration of the block.
+
+    The per-book Lloyd GEMMs are thin ((n, dsub) x (dsub, 256) with dsub
+    of ~4) — BLAS's own threading over them is pure overhead, and nested
+    under the m-way book pool it oversubscribes the machine (measured 5x:
+    4.4 s -> 0.8 s for a 14-book fit on 32 cores). Scoped to the book
+    pool ONLY — the single large coarse k-means is 2x faster WITH BLAS
+    threading. Uses threadpoolctl when present, else the OpenBLAS handle
+    numpy itself loaded (memoized); silently a no-op when neither is
+    available.
+    """
+    # probe separately from the guarded block: an ImportError raised by
+    # the BODY must propagate, not fall through to a second yield
+    try:
+        from threadpoolctl import threadpool_limits
+    except ImportError:
+        threadpool_limits = None
+    if threadpool_limits is not None:
+        with threadpool_limits(limits=1, user_api="blas"):
+            yield
+        return
+    handles = []
+    for h, set_fn, get_fn in _blas_controls():
+        prev = getattr(h, get_fn)()
+        # pin only when the getter reports a restorable value (> 0):
+        # pinning on a bogus reading would leave the process
+        # single-threaded past this block, since the finally below can
+        # only restore positive counts
+        if prev > 0:
+            getattr(h, set_fn)(1)
+            handles.append((h, set_fn, prev))
     try:
         yield
     finally:
