@@ -490,10 +490,19 @@ def main() -> None:
     ann_ms_per_query: dict[str, float] = {}
     try:
         pin = E._sf_fallback_probe(spark, SF_DIR)
+        # warm pass + best-of-2: the round-7 single-run readings drifted
+        # +69-75% vs round 6 purely from host/scheduling noise (round-8
+        # attribution, PERF_NOTES — same-host best-of-4 showed HEAD at or
+        # below the round-6 code on every Q)
+        E._ann_search(spark, SF_DIR, n_queries=16, n_probe=pin).count()
         for nq in (16, 128, 512):
-            t0 = time.time()
-            E._ann_search(spark, SF_DIR, n_queries=nq, n_probe=pin).count()
-            ann_ms_per_query[f"q{nq}"] = round((time.time() - t0) / nq * 1000, 1)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                E._ann_search(spark, SF_DIR, n_queries=nq, n_probe=pin).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            ann_ms_per_query[f"q{nq}"] = round(best / nq * 1000, 1)
         print(f"# ann amortized ms/query = {ann_ms_per_query}", file=sys.stderr)
     except Exception as e:
         print(f"# ann amortized probe failed: {e}", file=sys.stderr)

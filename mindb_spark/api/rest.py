@@ -242,7 +242,11 @@ class RestServer:
         results = self.engine.batch_query(
             name,
             qvs,
-            preliminary_top_k=int(body.get("preliminary_top_k", 500)),
+            preliminary_top_k=(
+                int(body["preliminary_top_k"])
+                if body.get("preliminary_top_k") is not None
+                else None  # None -> manifest default (recall gate)
+            ),
             final_top_k=int(body.get("final_top_k", 100)),
             metadata_filter=self._validated_filter(body.get("metadata_filter")),
         )
@@ -312,7 +316,11 @@ class RestServer:
             raise _HTTPError(400, "query_vector must be a non-empty list of floats")
         res = db.query(
             qv,
-            preliminary_top_k=int(body.get("preliminary_top_k", 500)),
+            preliminary_top_k=(
+                int(body["preliminary_top_k"])
+                if body.get("preliminary_top_k") is not None
+                else None  # None -> manifest default (recall gate)
+            ),
             final_top_k=int(body.get("final_top_k", 100)),
             # beyond-reference: the reference README's declared next feature
             # (metadata filtering) — SQL boolean over the row, e.g.

@@ -801,6 +801,7 @@ class VectorDB:
         force_flat: bool = False,
         seed: int = 42,
         covering: bool | None = None,
+        recall_target: float | None = 0.97,
     ) -> None:
         """(Re)build the index from a PINNED snapshot of the live table.
 
@@ -822,6 +823,21 @@ class VectorDB:
         small query batches exact-rerank inside the pruned codes scan
         (``ivf.search`` fused path) instead of re-scanning the data table
         — interactive-latency trade: one extra on-disk copy of the table.
+
+        ``recall_target`` (round 8): post-train recall self-check. The
+        reference trains blind — its fixed ``preliminary_top_k=500``
+        default (``mindb.py:368-373``) silently caps recall at 0.457@50
+        on flat-spectrum 1M x 768 data (measured,
+        ``tools/scale_probe_768d.py``), failing its own CI contract
+        (``tests/integration/test_full_eval.py:75-78``, > 0.97@50)
+        without any signal. After a successful IVF build this engine
+        measures recall@50 on a bounded self-sample at the default
+        budget; if below ``recall_target`` it re-measures at 2x/4x
+        (reusing the exact ground truth) and records the working budget
+        in the manifest as the query-time default, which ``query`` /
+        ``query_df`` / the REST layer pick up when the caller does not
+        pass an explicit ``preliminary_top_k``. ``None`` disables the
+        gate (reference-blind behavior).
         """
         self._check_live()
         dim = self.vector_dimension
@@ -935,6 +951,8 @@ class VectorDB:
         finally:
             self._index_mutex.release()
             self._drain_deferred_and_reap(snap_dir)
+        if recall_target is not None:
+            self._recall_gate(recall_target, seed=seed)
 
     def _drain_deferred_and_reap(self, *unpin: "str | None") -> None:
         """Build-finalizer cleanup: release this build's snapshot pins,
@@ -1167,7 +1185,7 @@ class VectorDB:
     def query_df(
         self,
         query_vectors,
-        preliminary_top_k: int = 500,
+        preliminary_top_k: int | None = None,
         final_top_k: int = 100,
         n_probe: int | None = None,
         metadata_filter: str | None = None,
@@ -1175,7 +1193,10 @@ class VectorDB:
         """Batch query: (query_id, id, metadata, cosine_similarity) DataFrame.
 
         query_ids are the 0-based positions of the input vectors. Defaults
-        mirror the reference (prelim 500 / final 100, ``mindb.py:368``).
+        mirror the reference (prelim 500 / final 100, ``mindb.py:368``) —
+        except ``preliminary_top_k=None`` resolves to the MEASURED budget
+        the post-train recall gate recorded in the manifest (when the
+        gate had to boost it; see ``train``), falling back to 500.
 
         ``metadata_filter`` is a SQL boolean expression over the row; the
         ``metadata`` column is the JSON string, so filters use
@@ -1207,6 +1228,8 @@ class VectorDB:
             # path before evaluating the fused gate below (stat-memoized;
             # steady-state cost is one stat call)
             self._sync_manifest_from_disk()
+        if preliminary_top_k is None:
+            preliminary_top_k = self._default_prelim()
         qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
         queries = [(i, qmat[i]) for i in range(qmat.shape[0])]
         vectors = self.vectors()
@@ -1395,7 +1418,7 @@ class VectorDB:
     def query_batch_local(
         self,
         query_vectors,
-        preliminary_top_k: int = 500,
+        preliminary_top_k: int | None = None,
         final_top_k: int = 100,
         metadata_filter: str | None = None,
     ) -> list[dict] | None:
@@ -1410,6 +1433,10 @@ class VectorDB:
         # would not); same guard every mutator uses
         self._check_live()
         qmat = V.validate_query_vectors(query_vectors, self.vector_dimension)
+        if preliminary_top_k is None:
+            with self._lock:
+                self._sync_manifest_from_disk()
+            preliminary_top_k = self._default_prelim()
         serve = self._resident_serve(
             preliminary_top_k, final_top_k, q_count=qmat.shape[0]
         )
@@ -1420,7 +1447,7 @@ class VectorDB:
     def query(
         self,
         query_vector,
-        preliminary_top_k: int = 500,
+        preliminary_top_k: int | None = None,
         final_top_k: int = 100,
         metadata_filter: str | None = None,
     ) -> dict[str, list]:
@@ -1454,11 +1481,117 @@ class VectorDB:
             "cosine_similarity": [r.cosine_similarity for r in rows],
         }
 
+    def _recall_sample_truth(
+        self, n_queries: int, final_top_k: int, seed: int
+    ) -> "tuple[np.ndarray, dict[int, set]] | None":
+        """Bounded self-sample + exact ground truth for recall checks.
+
+        One sample collect + ONE exact kNN batch (the expensive part),
+        shared across budget probes so re-measuring at 2x/4x
+        ``preliminary_top_k`` costs only the trained-path query."""
+        n = self.num_vectors_fast
+        sample = (
+            self.vectors()
+            .sample(fraction=min(1.0, (4 * n_queries + 64) / max(1, n)), seed=seed)
+            .limit(n_queries)
+            .collect()
+        )
+        if not sample:
+            return None
+        qmat = np.array([r.vector for r in sample], dtype=np.float64)
+        from mindb_spark.operators.topk import knn_batch
+
+        exact = knn_batch(
+            self.vectors(), [(i, qmat[i]) for i in range(len(sample))], final_top_k
+        )
+        truth: dict[int, set] = {}
+        for r in exact.collect():
+            truth.setdefault(r.query_id, set()).add(r.id)
+        return qmat, truth
+
+    def _measured_recall(
+        self, qmat, truth: dict, preliminary_top_k: int, final_top_k: int
+    ) -> float:
+        """Trained-path recall against precomputed exact truth."""
+        got: dict[int, set] = {}
+        for r in self.query_df(
+            qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.id)
+        recs = [
+            len(got.get(qi, set()) & truth.get(qi, set()))
+            / max(1, len(truth.get(qi, set())))
+            for qi in range(qmat.shape[0])
+        ]
+        return float(np.mean(recs))
+
+    def _default_prelim(self) -> int:
+        """Query-time ``preliminary_top_k`` default: the budget the
+        post-train recall gate measured as sufficient (manifest), else
+        the reference's fixed 500 (``mindb.py:368``)."""
+        return int(self._manifest.get("preliminary_top_k_default") or 500)
+
+    def _recall_gate(
+        self,
+        target: float,
+        n_queries: int = 16,
+        final_top_k: int = 50,
+        seed: int = 7,
+    ) -> "dict | None":
+        """Post-train recall self-check (see ``train``'s docstring).
+
+        Measures recall@``final_top_k`` at the 500 default; below
+        ``target``, re-measures at 2x/4x reusing the exact truth, and
+        records the first sufficient budget in the manifest as the
+        query-time default. When even 4x misses the target the best
+        budget is recorded anyway and the gap is surfaced loudly — a
+        silent low-recall index is the defect this gate exists to
+        prevent (the reference ships one at 1M x 768 flat-spectrum:
+        measured 0.457@50 at its fixed default)."""
+        st = self._recall_sample_truth(n_queries, final_top_k, seed)
+        if st is None or not self.is_trained:
+            return None
+        qmat, truth = st
+        base = 500
+        measured: dict[int, float] = {}
+        chosen = None
+        for budget in (base, 2 * base, 4 * base):
+            measured[budget] = self._measured_recall(
+                qmat, truth, budget, final_top_k
+            )
+            if measured[budget] >= target:
+                chosen = budget
+                break
+        if chosen is None:
+            chosen = max(measured, key=lambda b: (measured[b], -b))
+            import warnings
+
+            warnings.warn(
+                f"post-train recall gate: measured recall@{final_top_k} "
+                f"{measured[chosen]:.3f} < target {target} even at "
+                f"preliminary_top_k={chosen} (curve: {measured}); the data "
+                "spectrum likely exceeds what the PCA/PQ budget preserves — "
+                "consider a larger pca_dimension/compressed_vector_bytes",
+                stacklevel=3,
+            )
+        with self._lock:
+            self._refresh_manifest()
+            if self._manifest.get("index_version") is not None:
+                self._manifest["preliminary_top_k_default"] = int(chosen)
+                self._manifest["measured_recall"] = {
+                    "final_top_k": final_top_k,
+                    "preliminary_top_k": int(chosen),
+                    "recall": round(measured[chosen], 4),
+                    "target": target,
+                }
+                self._save_manifest()
+        return {"chosen": int(chosen), "curve": measured}
+
     def evaluate_recall(
         self,
         n_queries: int = 16,
         final_top_k: int = 50,
-        preliminary_top_k: int = 500,
+        preliminary_top_k: int | None = None,
         seed: int = 7,
     ) -> float:
         """Measured recall of the trained path vs exact kNN, on
@@ -1482,38 +1615,19 @@ class VectorDB:
         Cost: one bounded sample collect, one exact kNN batch over the
         live corpus (the O5 scan), one trained query batch. Returns 1.0
         untrained (the flat path IS the exact scan).
+        ``preliminary_top_k=None`` evaluates at the manifest default
+        (the budget the post-train gate chose), i.e. what an
+        unparameterized query actually runs with.
         """
         if not self.is_trained:
             return 1.0
-        n = self.num_vectors_fast
-        sample = (
-            self.vectors()
-            .sample(fraction=min(1.0, (4 * n_queries + 64) / max(1, n)), seed=seed)
-            .limit(n_queries)
-            .collect()
-        )
-        if not sample:
+        st = self._recall_sample_truth(n_queries, final_top_k, seed)
+        if st is None:
             return 1.0
-        qmat = np.array([r.vector for r in sample], dtype=np.float64)
-        from mindb_spark.operators.topk import knn_batch
-
-        exact = knn_batch(self.vectors(), [
-            (i, qmat[i]) for i in range(len(sample))
-        ], final_top_k)
-        truth: dict[int, set] = {}
-        for r in exact.collect():
-            truth.setdefault(r.query_id, set()).add(r.id)
-        got: dict[int, set] = {}
-        for r in self.query_df(
-            qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
-        ).collect():
-            got.setdefault(r.query_id, set()).add(r.id)
-        recs = [
-            len(got.get(qi, set()) & truth.get(qi, set()))
-            / max(1, len(truth.get(qi, set())))
-            for qi in range(len(sample))
-        ]
-        return float(np.mean(recs))
+        qmat, truth = st
+        return self._measured_recall(
+            qmat, truth, preliminary_top_k or self._default_prelim(), final_top_k
+        )
 
     # ------------------------------------------------- keyword / hybrid
     def keyword_query_df(

@@ -215,7 +215,7 @@ class Engine:
         self._open.check_memory_usage(self._ops_snapshot())
         return out
 
-    def query(self, name: str, query_vector, preliminary_top_k: int = 500, final_top_k: int = 100):
+    def query(self, name: str, query_vector, preliminary_top_k: int | None = None, final_top_k: int = 100):
         return self.get_db(name).query(
             query_vector, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
         )
@@ -224,7 +224,7 @@ class Engine:
         self,
         name: str,
         query_vectors,
-        preliminary_top_k: int = 500,
+        preliminary_top_k: int | None = None,
         final_top_k: int = 100,
         metadata_filter: str | None = None,
     ) -> list[dict]:
