@@ -1272,7 +1272,9 @@ class VectorDB:
             codes, vectors, artifacts, queries,
             preliminary_top_k=preliminary_top_k,
             final_top_k=final_top_k,
-            n_probe=n_probe or self._manifest["index_params"]["n_probe"],
+            n_probe=n_probe
+            or self._manifest.get("n_probe_default")  # recall-gate boost
+            or self._manifest["index_params"]["n_probe"],
             # None when no rows postdate the snapshot: skips the exact tail
             # search entirely (ids only grow, so max_id is the authority)
             max_trained_id=(
@@ -1510,12 +1512,18 @@ class VectorDB:
         return qmat, truth
 
     def _measured_recall(
-        self, qmat, truth: dict, preliminary_top_k: int, final_top_k: int
+        self,
+        qmat,
+        truth: dict,
+        preliminary_top_k: int,
+        final_top_k: int,
+        n_probe: int | None = None,
     ) -> float:
         """Trained-path recall against precomputed exact truth."""
         got: dict[int, set] = {}
         for r in self.query_df(
-            qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k
+            qmat, preliminary_top_k=preliminary_top_k, final_top_k=final_top_k,
+            n_probe=n_probe,
         ).collect():
             got.setdefault(r.query_id, set()).add(r.id)
         recs = [
@@ -1540,52 +1548,83 @@ class VectorDB:
     ) -> "dict | None":
         """Post-train recall self-check (see ``train``'s docstring).
 
-        Measures recall@``final_top_k`` at the 500 default; below
-        ``target``, re-measures at 2x/4x reusing the exact truth, and
-        records the first sufficient budget in the manifest as the
-        query-time default. When even 4x misses the target the best
-        budget is recorded anyway and the gap is surfaced loudly — a
-        silent low-recall index is the defect this gate exists to
-        prevent (the reference ships one at 1M x 768 flat-spectrum:
-        measured 0.457@50 at its fixed default)."""
+        Recall has TWO binding constraints, and which one binds is a
+        data property (both measured, PERF_NOTES rounds 7-8): on 1M x
+        768 flat-spectrum the candidate budget starves first (0.457@50
+        at prelim 500, 0.978 at 2000), while on small flat corpora the
+        heuristic probe width does (6k x 64: 0.885@50 at EVERY prelim —
+        the missed neighbors' cells were never probed). So the gate
+        measures at the defaults, and when short probes each axis at
+        its 4x extreme to find which one moves recall, then bisects the
+        moving axis (2x before 4x, combo of both as the last resort) —
+        at most five 16-query batches, all reusing one exact ground
+        truth. The working (prelim, n_probe) pair is recorded in the
+        manifest as the query-time default. When even the combo misses,
+        the best pair is recorded anyway and the gap surfaced loudly —
+        a silent low-recall index is the defect this gate exists to
+        prevent (the reference ships one: its fixed defaults fail its
+        own >0.97@50 CI contract on flat-spectrum data with no signal,
+        ``mindb.py:368-373`` vs ``tests/integration/test_full_eval.py``).
+        """
         st = self._recall_sample_truth(n_queries, final_top_k, seed)
         if st is None or not self.is_trained:
             return None
         qmat, truth = st
         base = 500
-        measured: dict[int, float] = {}
+        np0 = int(self._manifest["index_params"]["n_probe"])
+        k = int(self._manifest["index_params"]["num_clusters"])
+        measured: dict[tuple[int, int], float] = {}
+
+        def meas(prelim: int, n_probe: int) -> float:
+            key = (prelim, n_probe)
+            if key not in measured:
+                measured[key] = self._measured_recall(
+                    qmat, truth, prelim, final_top_k, n_probe=n_probe
+                )
+            return measured[key]
+
+        np4 = min(4 * np0, k)
         chosen = None
-        for budget in (base, 2 * base, 4 * base):
-            measured[budget] = self._measured_recall(
-                qmat, truth, budget, final_top_k
+        if meas(base, np0) >= target:
+            chosen = (base, np0)
+        elif meas(4 * base, np0) >= target:
+            chosen = (
+                (2 * base, np0) if meas(2 * base, np0) >= target
+                else (4 * base, np0)
             )
-            if measured[budget] >= target:
-                chosen = budget
-                break
+        elif np4 > np0 and meas(base, np4) >= target:
+            np2 = min(2 * np0, k)
+            chosen = (base, np2) if meas(base, np2) >= target else (base, np4)
+        elif np4 > np0 and meas(4 * base, np4) >= target:
+            chosen = (4 * base, np4)
         if chosen is None:
-            chosen = max(measured, key=lambda b: (measured[b], -b))
+            chosen = max(measured, key=lambda p: (measured[p], -p[0], -p[1]))
             import warnings
 
             warnings.warn(
                 f"post-train recall gate: measured recall@{final_top_k} "
                 f"{measured[chosen]:.3f} < target {target} even at "
-                f"preliminary_top_k={chosen} (curve: {measured}); the data "
-                "spectrum likely exceeds what the PCA/PQ budget preserves — "
-                "consider a larger pca_dimension/compressed_vector_bytes",
+                f"(preliminary_top_k, n_probe)={chosen} (curve: "
+                f"{ {str(p): round(v, 3) for p, v in measured.items()} }); "
+                "the PCA/PQ budget likely discards too much of this data's "
+                "spectrum — consider a larger pca_dimension or "
+                "compressed_vector_bytes at train time",
                 stacklevel=3,
             )
         with self._lock:
             self._refresh_manifest()
             if self._manifest.get("index_version") is not None:
-                self._manifest["preliminary_top_k_default"] = int(chosen)
+                self._manifest["preliminary_top_k_default"] = int(chosen[0])
+                self._manifest["n_probe_default"] = int(chosen[1])
                 self._manifest["measured_recall"] = {
                     "final_top_k": final_top_k,
-                    "preliminary_top_k": int(chosen),
+                    "preliminary_top_k": int(chosen[0]),
+                    "n_probe": int(chosen[1]),
                     "recall": round(measured[chosen], 4),
                     "target": target,
                 }
                 self._save_manifest()
-        return {"chosen": int(chosen), "curve": measured}
+        return {"chosen": chosen, "curve": measured}
 
     def evaluate_recall(
         self,

@@ -146,6 +146,10 @@ class ResidentSnapshot:
             manifest.get("num_new_vectors"),
             manifest.get("num_vectors_trained_on"),
             manifest.get("num_trained_vectors_removed"),
+            # n_probe is baked into the snapshot at assemble time, so a
+            # recall-gate boost recorded after this snapshot was pinned
+            # must stale it (prelim is per-call and needs no fingerprint)
+            manifest.get("n_probe_default"),
         )
 
     @classmethod
@@ -208,7 +212,12 @@ class ResidentSnapshot:
         t_ids, t_vecs, t_meta = cls._collect_tail(live, watermark, d)
         return cls.assemble_from_arrow(
             artifacts,
-            int(manifest["index_params"]["n_probe"]),
+            # the recall gate's measured boost (when recorded) is the
+            # query-time default, same resolution as VectorDB.query_df
+            int(
+                manifest.get("n_probe_default")
+                or manifest["index_params"]["n_probe"]
+            ),
             table, d, m, has_bterm,
             t_ids, t_vecs, t_meta,
             cls.manifest_fingerprint(manifest),

@@ -19,6 +19,7 @@ sample, so this never needs to scale beyond a few MB of driver memory.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 import numpy as np
 
@@ -64,6 +65,64 @@ def _blas_controls():
     return controls
 
 
+_TPC = None  # cached threadpoolctl controller (fallback path) + probe flag
+_TPC_TRIED = False
+
+
+def _tpc_controller():
+    """Cache a threadpoolctl ThreadpoolController ONCE (round-8 ADVICE):
+    per-call ``threadpool_limits(...)`` re-scans every loaded thread pool,
+    overhead on the same order as the fork/join the pin avoids. The
+    controller's ``limit()`` context reuses the scan."""
+    global _TPC, _TPC_TRIED
+    if not _TPC_TRIED:
+        _TPC_TRIED = True
+        try:
+            from threadpoolctl import ThreadpoolController
+
+            _TPC = ThreadpoolController()
+        except Exception:
+            _TPC = None
+    return _TPC
+
+
+_PIN_LOCK = threading.Lock()
+_PIN_DEPTH = 0
+_PIN_RESTORE = None  # zero-arg undo for the ACTIVE pin (depth > 0)
+
+
+def _apply_pin():
+    """Pin BLAS to one thread NOW; return a zero-arg restore callable.
+
+    Prefers the memoized ctypes/OpenBLAS handles (no per-call scan);
+    falls back to the cached threadpoolctl controller; no-op when
+    neither is available."""
+    controls = _blas_controls()
+    if controls:
+        prev = []
+        for h, set_fn, get_fn in controls:
+            p = getattr(h, get_fn)()
+            # pin only when the getter reports a restorable value (> 0):
+            # pinning on a bogus reading would leave the process
+            # single-threaded forever, since restore only replays
+            # positive counts
+            if p > 0:
+                getattr(h, set_fn)(1)
+                prev.append((h, set_fn, p))
+
+        def _restore() -> None:
+            for h, set_fn, p in prev:
+                getattr(h, set_fn)(p)
+
+        return _restore
+    ctl = _tpc_controller()
+    if ctl is None:
+        return lambda: None
+    cm = ctl.limit(limits=1, user_api="blas")
+    cm.__enter__()
+    return lambda: cm.__exit__(None, None, None)
+
+
 @contextlib.contextmanager
 def _single_threaded_blas():
     """Pin the BLAS pool to one thread for the duration of the block.
@@ -73,36 +132,29 @@ def _single_threaded_blas():
     under the m-way book pool it oversubscribes the machine (measured 5x:
     4.4 s -> 0.8 s for a 14-book fit on 32 cores). Scoped to the book
     pool ONLY — the single large coarse k-means is 2x faster WITH BLAS
-    threading. Uses threadpoolctl when present, else the OpenBLAS handle
-    numpy itself loaded (memoized); silently a no-op when neither is
-    available.
+    threading.
+
+    Thread-safe (round-8 ADVICE): the pin state is process-global, and
+    the resident serving snapshot enters this block per point query,
+    plausibly from concurrent request threads — two interleaved
+    pin/restore cycles could each read the other's 1 as "prev" and leave
+    the whole process single-threaded. A depth counter under a lock
+    makes concurrent/nested entries share ONE pin/restore cycle: first
+    in pins, last out restores.
     """
-    # probe separately from the guarded block: an ImportError raised by
-    # the BODY must propagate, not fall through to a second yield
-    try:
-        from threadpoolctl import threadpool_limits
-    except ImportError:
-        threadpool_limits = None
-    if threadpool_limits is not None:
-        with threadpool_limits(limits=1, user_api="blas"):
-            yield
-        return
-    handles = []
-    for h, set_fn, get_fn in _blas_controls():
-        prev = getattr(h, get_fn)()
-        # pin only when the getter reports a restorable value (> 0):
-        # pinning on a bogus reading would leave the process
-        # single-threaded past this block, since the finally below can
-        # only restore positive counts
-        if prev > 0:
-            getattr(h, set_fn)(1)
-            handles.append((h, set_fn, prev))
+    global _PIN_DEPTH, _PIN_RESTORE
+    with _PIN_LOCK:
+        _PIN_DEPTH += 1
+        if _PIN_DEPTH == 1:
+            _PIN_RESTORE = _apply_pin()
     try:
         yield
     finally:
-        for h, set_fn, prev in handles:
-            if prev > 0:
-                getattr(h, set_fn)(prev)
+        with _PIN_LOCK:
+            _PIN_DEPTH -= 1
+            if _PIN_DEPTH == 0:
+                restore, _PIN_RESTORE = _PIN_RESTORE, None
+                restore()
 
 
 def _kmeans(data: np.ndarray, k: int, n_iter: int = 25, seed: int = 42) -> np.ndarray:

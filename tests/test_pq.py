@@ -195,3 +195,44 @@ def test_search_legacy_codes_without_bterm(request):
         for r in ivf.search(legacy, vdf, arts, qs, **kw).collect()
     )
     assert got_new == got_legacy
+
+
+def test_blas_pin_concurrent_entries_share_one_cycle():
+    """Round-8 ADVICE: the resident snapshot enters _single_threaded_blas
+    per point query, plausibly from concurrent serving threads — two
+    interleaved pin/restore cycles must NOT leave the process pinned to
+    one BLAS thread afterwards (thread B reading prev=1 set by thread A
+    and 'restoring' 1 last). The depth counter shares one cycle."""
+    import threading
+    import time
+
+    from mindb_spark.index import pq as pqmod
+
+    controls = pqmod._blas_controls()
+    if not controls:
+        import pytest
+
+        pytest.skip("no controllable BLAS in this environment")
+    h, set_fn, get_fn = controls[0]
+    before = getattr(h, get_fn)()
+    assert before > 0
+
+    barrier = threading.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        for _ in range(50):
+            with pqmod._single_threaded_blas():
+                # inside ANY overlap the pool must read pinned
+                assert getattr(h, get_fn)() == 1
+                time.sleep(0)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert pqmod._PIN_DEPTH == 0
+    assert getattr(h, get_fn)() == before, (
+        "interleaved pin/restore leaked a pinned BLAS pool"
+    )

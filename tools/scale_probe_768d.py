@@ -75,9 +75,16 @@ C, N_PARTS = 256, 64
 # the reuse key must carry n: a 3M run against a reused 1M dir would
 # silently measure the smaller corpus under the larger corpus' params
 WORK = f"/tmp/scale_probe_768d_{SPECTRUM}_{N}"
-for _legacy in (f"/tmp/scale_probe_768d_{SPECTRUM}", "/tmp/scale_probe_768d"):
+# pre-rename reuse dirs hold exactly the 1M corpora; the BARE pre-rename
+# dir was generated with isotropic noise, i.e. the 'flat' shape — reusing
+# it for any other spectrum would silently mislabel the measurement
+# (round-8 ADVICE)
+_legacies = [f"/tmp/scale_probe_768d_{SPECTRUM}"]
+if SPECTRUM == "flat":
+    _legacies.append("/tmp/scale_probe_768d")
+for _legacy in _legacies:
     if N == 1_000_000 and not os.path.isdir(WORK) and os.path.isdir(_legacy):
-        WORK = _legacy  # pre-rename dirs hold exactly the 1M corpora
+        WORK = _legacy
         break
 
 
