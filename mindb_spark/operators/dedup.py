@@ -60,9 +60,46 @@ def dedup_exact(
 def dedup_exact_survivors(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """The deduplicated dataset itself (all columns, first id per dup group)."""
-    keep = dedup_exact(df, id_col, text_col).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    """The deduplicated dataset itself (all columns, first id per dup group).
+
+    Anti-join on the LOSER ids, not semi-join on the keep ids (round 8):
+    the keep set is ~the whole corpus, so the old ``left_semi`` outgrew
+    ``autoBroadcastJoinThreshold`` and SortMergeJoin-shuffled every full
+    row — measured at 5.1M docs the curation pipeline's shuffle jumped
+    48x (0.05 -> 2.4 GB of text) crossing that threshold
+    (tools/dedup_scale_probe.py, PERF_NOTES round 8). The loser set is
+    only the duplicate rows — EMPTY on a clean corpus, small at normal
+    dup rates — so the anti join broadcasts and the full rows never
+    shuffle; the worst case (extreme dup rate) degrades to the one
+    full-row shuffle the old plan always paid. Loser ids come from one
+    narrow (fingerprint, id) exchange + a rank-within-group filter.
+
+    The loser side is materialized eagerly (localCheckpoint + count) to
+    pick broadcast EXPLICITLY: leaving the choice to AQE still paid the
+    full-row shuffle WRITE, because AQE submits both SortMergeJoin
+    child stages before it can observe the tiny build side and convert
+    (measured: wall 100 -> 45 s at 5.1M docs but shuffle bytes
+    unchanged; the explicit broadcast removes the 2.4 GB write too).
+    The guard keeps the driver safe on pathological mostly-dup corpora:
+    past ~4M loser ids the plain join (and its honest full-row
+    shuffle) is the right plan anyway.
+
+    Skew note for 100 TB: a boilerplate mega-group puts its (48-byte)
+    pairs through one window task — linear in the group, and only ids,
+    not text; the aggregate in ``dedup_exact`` stays the skew-free path
+    when only counts/survivor ids are needed.
+    """
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    losers = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
+        .localCheckpoint()
+    )
+    if losers.count() <= 4_000_000:  # ~32 MB of ids: broadcast-safe
+        losers = F.broadcast(losers)
+    return df.join(losers, id_col, "left_anti")
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

@@ -4,20 +4,24 @@ Stage 2 of the two-stage ANN query joins the candidate (query_id, id)
 pairs against the vectors table: a broadcast hash join probing a FULL
 table scan, because candidate ids are geometrically clustered but
 id-UNIFORM (ingestion order), so parquet row-group min/max stats cannot
-prune them. At 3M x 768 that scan reads ~18 GB per batch (PERF_NOTES
+prune them. At 3M x 768 that scan decodes ~18 GB per batch (PERF_NOTES
 round 7). This probe measures the two candidate levers VERDICT r7
-proposed, against actual stage inputBytes from the UI REST API:
+proposed, against the parquet scan's OWN metrics (the SQL REST API's
+"number of output rows" / "size of files read" per Scan node — the
+stage-level inputBytes metric reads a constant ~340 KB for a 38 MiB
+local-FS scan and is unusable):
 
   (a) runtime Bloom-filter join (spark.sql.optimizer.runtime.
       bloomFilter.*) — expected no-op: Bloom injection targets the
       probe side of SHUFFLE joins, and this join broadcasts the small
-      side, so there is no shuffle to cut and nothing reaches the scan;
-  (b) candidate-id BETWEEN-range coalescing over a
-      sortWithinPartitions("id") table layout — expected no-op at
-      Q=128 (64k uniform ids blanket every row-group) and measured at
-      Q=1 too (500 uniform ids over ~100 row-groups still hit all).
+      side, so nothing reaches the scan;
+  (b) candidate-id BETWEEN-range coalescing over an id-range-clustered
+      layout (repartitionByRange + sortWithinPartitions on id, so each
+      file/row group covers a narrow id slice) — expected no-op:
+      prelim-k candidate ids are uniform over [0, n), so every range
+      query still touches ~every row group.
 
-Either way the number lands in PERF_NOTES; the architecture's real
+Either way the numbers land in PERF_NOTES; the architecture's real
 answer to stage-2 bytes stays the covering/fused route and the
 resident snapshot (both measured elsewhere).
 
@@ -28,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 import urllib.request
@@ -40,13 +45,48 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 D = int(sys.argv[2]) if len(sys.argv) > 2 else 768
 WORK = f"/tmp/stage2_fetch_probe_{N}_{D}"
 
+_SIZE_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
 
-def _input_bytes(spark) -> int:
+
+def _parse_size(s: str) -> float:
+    m = re.match(r"([\d.]+)\s*([KMGT]?i?B)", s.replace(",", ""))
+    return float(m.group(1)) * _SIZE_UNITS.get(m.group(2), 1) if m else 0.0
+
+
+def _sql_executions(spark) -> list:
     app = spark.sparkContext.applicationId
     port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
-    url = f"http://localhost:{port}/api/v1/applications/{app}/stages?status=complete"
-    stages = json.load(urllib.request.urlopen(url, timeout=10))
-    return sum(s.get("inputBytes", 0) for s in stages)
+    url = (
+        f"http://localhost:{port}/api/v1/applications/{app}/sql"
+        "?details=true&planDescription=false&length=10000"
+    )
+    return json.load(urllib.request.urlopen(url, timeout=20))
+
+
+def _max_exec_id(spark) -> int:
+    execs = _sql_executions(spark)
+    return max((e["id"] for e in execs), default=-1)
+
+
+def _scan_totals_since(spark, exec_floor: int) -> dict:
+    """Sum parquet-Scan node metrics over executions with id > floor."""
+    time.sleep(1.5)  # the status store aggregates metrics asynchronously
+    rows = files_b = scans = 0
+    for e in _sql_executions(spark):
+        if e["id"] <= exec_floor:
+            continue
+        for n in e.get("nodes", []):
+            if "Scan parquet" not in n.get("nodeName", ""):
+                continue
+            mets = {m["name"]: m["value"] for m in n.get("metrics", [])}
+            rows += int(mets.get("number of output rows", "0").replace(",", ""))
+            files_b += _parse_size(mets.get("size of files read", "0 B"))
+            scans += 1
+    return {
+        "scan_rows": rows,
+        "files_read_gb": round(files_b / 2**30, 2),
+        "scan_nodes": scans,
+    }
 
 
 def main() -> None:
@@ -54,7 +94,11 @@ def main() -> None:
 
     from mindb_spark.core.heuristics import resolve_index_params
     from mindb_spark.index import ivf
-    from mindb_spark.index.build import build_index, default_n_buckets
+    from mindb_spark.index.build import (
+        IndexArtifacts,
+        build_index,
+        default_n_buckets,
+    )
     from mindb_spark.session import get_spark
 
     spark = get_spark("stage2-fetch-probe")
@@ -91,9 +135,13 @@ def main() -> None:
         spark.range(N, numPartitions=64).mapInArrow(
             gen, "id long, vector array<double>"
         ).write.mode("overwrite").parquet(vec_path)
-        spark.read.parquet(vec_path).repartition(64).sortWithinPartitions(
-            "id"
-        ).write.mode("overwrite").parquet(vec_sorted_path)
+        # id-range-CLUSTERED layout: each file (and so each row group)
+        # covers a narrow id slice — the layout lever (b) presumes
+        spark.read.parquet(vec_path).repartitionByRange(
+            64, "id"
+        ).sortWithinPartitions("id").write.mode("overwrite").parquet(
+            vec_sorted_path
+        )
 
     vectors = spark.read.parquet(vec_path)
     params = resolve_index_params(N, D)
@@ -103,9 +151,6 @@ def main() -> None:
         build_index(vectors, params, idx_dir, n_buckets=nb)
         print(f"# build {round(time.time() - t0, 1)}s", file=sys.stderr)
     codes = spark.read.parquet(f"{idx_dir}/codes")
-
-    from mindb_spark.index.build import IndexArtifacts
-
     arts = IndexArtifacts.load(os.path.join(idx_dir, "artifacts.npz"))
 
     sample = vectors.where(F.col("id") % (N // 128) == 7).limit(128).collect()
@@ -127,7 +172,7 @@ def main() -> None:
                 preliminary_top_k=500, final_top_k=50,
                 n_probe=params.n_probe, max_trained_id=None, n_buckets=nb,
             ).count()
-            b0 = _input_bytes(spark)
+            floor = _max_exec_id(spark)
             t0 = time.time()
             ivf.search(
                 codes, vecs, arts, queries, preliminary_top_k=500,
@@ -135,10 +180,8 @@ def main() -> None:
                 max_trained_id=None, n_buckets=nb,
             ).count()
             dt = time.time() - t0
-            gb = (_input_bytes(spark) - b0) / 2**30
-            out["modes"][tag] = {
-                "q": q, "sec": round(dt, 2), "input_gb": round(gb, 2)
-            }
+            m = _scan_totals_since(spark, floor)
+            out["modes"][tag] = {"q": q, "sec": round(dt, 2), **m}
             print(f"# {tag}: {out['modes'][tag]}", file=sys.stderr)
         finally:
             for k, v in olds.items():
@@ -162,10 +205,10 @@ def main() -> None:
     run("sorted_layout_q1", sorted_vecs, 1)
 
     # lever (b) isolated: coalesce ACTUAL stage-1 candidate ids into
-    # BETWEEN ranges and measure the sorted-layout scan bytes under that
-    # pushed predicate — the upper bound of what range pushdown can save
+    # BETWEEN ranges and measure the range-clustered layout's scan rows
+    # under that pushed predicate — the upper bound of what pushdown
+    # can save (scan_rows << n would mean row groups were skipped)
     for q in (1, 128):
-        queries = [(i, qmat[i]) for i in range(q)]
         cand = ivf.adc_candidates(
             codes, arts, np.arange(q, dtype=np.int64),
             qmat[:q] / np.linalg.norm(qmat[:q], axis=1, keepdims=True),
@@ -182,22 +225,21 @@ def main() -> None:
             prev = i
         ranges.append((lo, prev))
         pred = " OR ".join(f"(id BETWEEN {a} AND {b})" for a, b in ranges[:500])
-        full0 = _input_bytes(spark)
-        sorted_vecs.agg(F.sum(F.element_at("vector", 1))).collect()
-        full_gb = (_input_bytes(spark) - full0) / 2**30
-        b0 = _input_bytes(spark)
+        floor = _max_exec_id(spark)
         sorted_vecs.where(F.expr(pred)).agg(
             F.sum(F.element_at("vector", 1))
         ).collect()
-        gb = (_input_bytes(spark) - b0) / 2**30
+        m = _scan_totals_since(spark, floor)
         out["modes"][f"range_pushdown_scan_q{q}"] = {
             "candidate_ids": int(ids.size),
             "ranges": len(ranges),
-            "scan_gb": round(gb, 2),
-            "full_scan_gb": round(full_gb, 2),
+            **m,
+            "table_rows": N,
         }
-        print(f"# range q{q}: {out['modes'][f'range_pushdown_scan_q{q}']}",
-              file=sys.stderr)
+        print(
+            f"# range q{q}: {out['modes'][f'range_pushdown_scan_q{q}']}",
+            file=sys.stderr,
+        )
 
     print(json.dumps(out))
     spark.stop()
