@@ -554,6 +554,17 @@ class VectorDB:
             "trained_index_coverage_ratio": self.coverage_ratio(),
             "max_memory_usage": self.max_memory_usage,
             "index_params": self._manifest["index_params"],
+            # post-train recall gate results (round 8): what an
+            # unparameterized query actually runs with, and the measured
+            # recall backing it — None until a gated train has run
+            "measured_recall": self._manifest.get("measured_recall"),
+            "query_defaults": {
+                "preliminary_top_k": self._default_prelim(),
+                "n_probe": (
+                    self._manifest.get("n_probe_default")
+                    or (self._manifest.get("index_params") or {}).get("n_probe")
+                ),
+            },
         }
 
     # ------------------------------------------------------------- ingest

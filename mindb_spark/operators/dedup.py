@@ -74,15 +74,19 @@ def dedup_exact_survivors(
     full-row shuffle the old plan always paid. Loser ids come from one
     narrow (fingerprint, id) exchange + a rank-within-group filter.
 
-    The loser side is materialized eagerly (localCheckpoint + count) to
-    pick broadcast EXPLICITLY: leaving the choice to AQE still paid the
-    full-row shuffle WRITE, because AQE submits both SortMergeJoin
-    child stages before it can observe the tiny build side and convert
-    (measured: wall 100 -> 45 s at 5.1M docs but shuffle bytes
-    unchanged; the explicit broadcast removes the 2.4 GB write too).
-    The guard keeps the driver safe on pathological mostly-dup corpora:
-    past ~4M loser ids the plain join (and its honest full-row
-    shuffle) is the right plan anyway.
+    On a LARGE input the loser side is materialized eagerly
+    (localCheckpoint + count) to pick broadcast EXPLICITLY: leaving the
+    choice to AQE still paid the full-row shuffle WRITE, because AQE
+    submits both SortMergeJoin child stages before it can observe the
+    tiny build side and convert (measured: wall 100 -> 45 s at 5.1M
+    docs but shuffle bytes unchanged; the explicit broadcast removes
+    the 2.4 GB write too). The count guard keeps the driver safe on
+    pathological mostly-dup corpora: past ~4M loser ids the plain join
+    (and its honest full-row shuffle) is the right plan anyway. Small
+    inputs (optimizer size estimate under 64 MB — a free file-size
+    read, no job) skip the eager job and broadcast unconditionally:
+    losers are bounded by the input, and the extra count/checkpoint
+    measured ~1 s of pure overhead at bench scale.
 
     Skew note for 100 TB: a boilerplate mega-group puts its (48-byte)
     pairs through one window task — linear in the group, and only ids,
@@ -95,8 +99,16 @@ def dedup_exact_survivors(
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") > 1)
         .select(id_col)
-        .localCheckpoint()
     )
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        est = None
+    if est is not None and est < (64 << 20):
+        return df.join(F.broadcast(losers), id_col, "left_anti")
+    losers = losers.localCheckpoint()
     if losers.count() <= 4_000_000:  # ~32 MB of ids: broadcast-safe
         losers = F.broadcast(losers)
     return df.join(losers, id_col, "left_anti")

@@ -93,6 +93,27 @@ def test_gate_disabled_is_reference_blind(spark, tmp_path):
     db.delete()
 
 
+def test_info_exposes_gate_results(spark, tmp_path):
+    """Operators read the gate's verdict through the public surface:
+    info() carries measured_recall and the effective query defaults
+    (and the REST /info route serializes info() verbatim)."""
+    import json
+
+    db = _flat_db(spark, tmp_path, name="infodb")
+    info = db.info()
+    assert info["measured_recall"] is None
+    assert info["query_defaults"]["preliminary_top_k"] == 500
+    db.train(use_two_level_clustering=False)
+    info = db.info()
+    assert info["measured_recall"]["recall"] >= 0.97
+    assert info["query_defaults"] == {
+        "preliminary_top_k": db._manifest["preliminary_top_k_default"],
+        "n_probe": db._manifest["n_probe_default"],
+    }
+    json.dumps(info)  # REST-serializable
+    db.delete()
+
+
 def test_gate_skipped_on_flat_path(spark, tmp_path):
     """Below FLAT_INDEX_CUTOFF the exact path needs no gate."""
     db = _flat_db(spark, tmp_path, name="tinydb", n=200)
