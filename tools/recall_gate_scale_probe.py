@@ -1,0 +1,116 @@
+"""Recall gate at the reference's failure shape: 1M x 768 FLAT spectrum.
+
+Round 7 measured that the reference's fixed query defaults
+(preliminary_top_k=500, ``mindb.py:368-373``) cap recall@50 at ~0.46 on
+flat-spectrum 1M x 768 data — silently failing its own CI contract
+(> 0.97@50). Round 8 wired a post-train recall gate into
+``VectorDB.train``; this probe runs the WHOLE product path at that
+exact adversarial shape — ingest -> train (gate on) -> unparameterized
+query — and reports what the gate measured, what budget it recorded,
+and the independently-verified recall an out-of-the-box query now gets.
+
+Usage: python tools/recall_gate_scale_probe.py [n] [d]  (default 1M x 768)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+D = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+WORK = f"/tmp/recall_gate_probe_{N}_{D}"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mindb_spark.core.database import VectorDB
+    from mindb_spark.session import get_spark
+
+    spark = get_spark("recall-gate-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = f"{WORK}/src"
+    if not os.path.isdir(src):
+        print(f"# generating {N} x {D} flat ...", file=sys.stderr)
+        C = 256
+        rng = np.random.default_rng(5)
+        centers = (rng.normal(size=(C, D)) * 0.5).astype(np.float32)
+        bc = spark.sparkContext.broadcast(centers)
+
+        def gen(batches):
+            import pyarrow as pa
+
+            ctr = bc.value
+            for b in batches:
+                ids = b.column(0).to_numpy()
+                r = np.random.default_rng(int(ids[0]) + 11)
+                a = r.integers(0, C, size=ids.size)
+                # FLAT within-cluster spectrum, weak centers: the
+                # adversarial full-rank shape the reference's fixed
+                # defaults fail on (tools/scale_probe_768d.py round 7)
+                m = ctr[a] + r.normal(size=(ids.size, D)).astype(np.float32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(list(m.astype(np.float32)))], ["vector"]
+                )
+
+        spark.range(N, numPartitions=64).mapInArrow(
+            gen, "vector array<float>"
+        ).withColumn("metadata", F.lit(None).cast("string")).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+    shutil.rmtree(f"{WORK}/db", ignore_errors=True)
+    db = VectorDB(spark, "gate1m", base_path=f"{WORK}/db")
+    t0 = time.time()
+    db.add_dataframe(spark.read.parquet(src))
+    ingest_s = round(time.time() - t0, 1)
+    print(f"# ingest {ingest_s}s", file=sys.stderr)
+
+    t0 = time.time()
+    db.train()  # gate ON by default — the product path, no knobs
+    train_s = round(time.time() - t0, 1)
+    info = db.info()
+    print(f"# train+gate {train_s}s: {info['measured_recall']}", file=sys.stderr)
+
+    # independent verification at a DIFFERENT seed than the gate used:
+    # one exact ground truth, measured twice — at the gate's recorded
+    # defaults (what an out-of-the-box query now runs) and at the
+    # reference-blind pair (prelim 500, heuristic n_probe — both forced
+    # explicitly so no manifest default leaks in)
+    qmat, truth = db._recall_sample_truth(16, 50, seed=99)
+    verified = db._measured_recall(
+        qmat, truth,
+        info["query_defaults"]["preliminary_top_k"], 50,
+        n_probe=info["query_defaults"]["n_probe"],
+    )
+    blind = db._measured_recall(
+        qmat, truth, 500, 50, n_probe=info["index_params"]["n_probe"]
+    )
+
+    out = {
+        "n": N,
+        "d": D,
+        "spectrum": "flat",
+        "ingest_sec": ingest_s,
+        "train_plus_gate_sec": train_s,
+        "gate": info["measured_recall"],
+        "query_defaults": info["query_defaults"],
+        "verified_recall_at_defaults_seed99": round(verified, 4),
+        "recall_at_blind_defaults_seed99": round(blind, 4),
+        "index_params": info["index_params"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
