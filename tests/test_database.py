@@ -619,3 +619,46 @@ def test_evaluate_recall(spark, tmp_path, monkeypatch):
     r_tight = db.evaluate_recall(n_queries=8, final_top_k=10, preliminary_top_k=12)
     assert r_tight <= r + 1e-9
     db.delete()
+
+
+def test_add_dataframe_arrow_route_bitexact(spark, tmp_path):
+    """Bulk ingest routes normalization through the Arrow kernel past
+    ~1M scalar elements (round 8). The declarative route is bit-exact
+    against the double-precision reference; the Arrow route's SIMD
+    summation order may cross a float32 rounding boundary, so its
+    contract is within ONE float32 ULP per value (and exactly unit
+    norm to float64 1e-6, zero vectors passing through untouched).
+    1500 x 768 crosses the gate; 1500 x 64 stays declarative."""
+    import numpy as np
+
+    from mindb_spark.core.database import VectorDB
+
+    rng = np.random.default_rng(13)
+    for d, route in ((768, "arrow"), (64, "hof")):
+        mat = rng.normal(size=(1500, d)).astype(np.float32)
+        mat[7] = 0.0
+        db = VectorDB(spark, f"ing{d}", base_path=str(tmp_path))
+        db.add_dataframe(
+            spark.createDataFrame([(r.tolist(),) for r in mat], "vector array<float>")
+        )
+        got = np.array(
+            [r.vector for r in db.vectors().orderBy("id").collect()],
+            dtype=np.float64,
+        )
+        exp = mat.astype(np.float64)
+        nn = np.linalg.norm(exp, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        exp = (exp / nn).astype(np.float32).astype(np.float64)
+        if route == "hof":
+            assert np.array_equal(got, exp), np.abs(got - exp).max()
+        else:
+            ulp = np.spacing(np.abs(exp).astype(np.float32)).astype(np.float64)
+            assert (np.abs(got - exp) <= ulp + 1e-300).all(), (
+                route, np.abs(got - exp).max()
+            )
+            nrm = np.linalg.norm(got, axis=1)
+            live = np.ones(len(got), dtype=bool)
+            live[7] = False
+            assert np.abs(nrm[live] - 1.0).max() < 1e-6
+        assert got[7].tolist() == [0.0] * d  # zero vector unchanged
+        db.delete()
