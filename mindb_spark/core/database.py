@@ -971,6 +971,7 @@ class VectorDB:
                     self._refresh_manifest()
                     self._manifest["index_version"] = None
                     self._manifest["index_params"] = None
+                    self._clear_gate_defaults()
                     self._finalize_watermark(n, snap_max_id)
                 return
 
@@ -1007,6 +1008,11 @@ class VectorDB:
                     shutil.rmtree(index_dir, ignore_errors=True)
                     return
                 self._refresh_manifest()
+                # measured defaults belong to the index they were measured
+                # ON: a retrain must drop them (the gate, when enabled,
+                # re-measures and re-records against the new index; a
+                # gate-disabled retrain must not inherit a stale boost)
+                self._clear_gate_defaults()
                 self._manifest["index_version"] = next_version
                 self._manifest["n_buckets"] = n_buckets
                 # manifests WITHOUT this key predate range bucketing and
@@ -1612,6 +1618,12 @@ class VectorDB:
             for qi in range(qmat.shape[0])
         ]
         return float(np.mean(recs))
+
+    def _clear_gate_defaults(self) -> None:
+        """Drop recall-gate manifest keys (call under the path lock when
+        (re)writing the index pointer — see ``train``)."""
+        for k in ("preliminary_top_k_default", "n_probe_default", "measured_recall"):
+            self._manifest.pop(k, None)
 
     def _default_prelim(self) -> int:
         """Query-time ``preliminary_top_k`` default: the budget the

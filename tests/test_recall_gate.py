@@ -114,6 +114,23 @@ def test_info_exposes_gate_results(spark, tmp_path):
     db.delete()
 
 
+@pytest.mark.slow
+def test_retrain_drops_stale_gate_defaults(spark, tmp_path):
+    """Measured defaults belong to the index they were measured on: a
+    gate-DISABLED retrain must not inherit the previous index's boost,
+    and a downgrade to the flat path must clear them too."""
+    db = _flat_db(spark, tmp_path, name="staledb")
+    db.train(use_two_level_clustering=False)
+    assert "measured_recall" in db._manifest  # gate recorded something
+    db.train(use_two_level_clustering=False, recall_target=None)
+    assert "measured_recall" not in db._manifest
+    assert "preliminary_top_k_default" not in db._manifest
+    assert db._default_prelim() == 500
+    db.train(force_flat=True)
+    assert "measured_recall" not in db._manifest
+    db.delete()
+
+
 def test_gate_skipped_on_flat_path(spark, tmp_path):
     """Below FLAT_INDEX_CUTOFF the exact path needs no gate."""
     db = _flat_db(spark, tmp_path, name="tinydb", n=200)
