@@ -89,6 +89,13 @@ BENCH_QUERIES = [
 ]
 
 
+class BenchQualityRegression(RuntimeError):
+    """Deterministic quality-gate failure (recall pin). A dedicated
+    RuntimeError subclass so the fiqa-probe's broad `except Exception`
+    cannot swallow it, and — unlike a bare `assert` — it survives
+    `python -O` / PYTHONOPTIMIZE (round-9 ADVICE)."""
+
+
 def _quiesce(spark) -> None:
     """Drop caches and force full GCs between bench phases. The timed
     query loop already does this per query; the side probes need it just
@@ -427,12 +434,16 @@ def main() -> None:
         # claim is recall 20@20 >= the reference's published 0.995 at its
         # own shape (57.6k x 768, default PCA 256 / PQ 32). Deterministic
         # (seeded corpus + queries, exact ground truth) — a quality
-        # regression must FAIL the probe, not drift silently. Latency is
-        # host-dependent and stays a recorded (not asserted) metric.
-        assert float(np.mean(rec20)) >= 0.995, (
-            f"fiqa-shape recall 20@20 {float(np.mean(rec20)):.4f} fell below "
-            "the reference's published 0.995"
-        )
+        # regression must FAIL the probe, not drift silently. An explicit
+        # raise, not `assert` (round-9 ADVICE): asserts are compiled out
+        # under `python -O`, which would turn this gate into a no-op.
+        # Latency is host-dependent and stays a recorded (not asserted)
+        # metric.
+        if float(np.mean(rec20)) < 0.995:
+            raise BenchQualityRegression(
+                f"fiqa-shape recall 20@20 {float(np.mean(rec20)):.4f} fell "
+                "below the reference's published 0.995"
+            )
         # spark batch path at Q=128 (the router picks fused/two-stage from
         # the 768-d ship model); best-of-2 like the query loop
         bq = rng.integers(0, n_fiqa, size=128)
@@ -490,7 +501,7 @@ def main() -> None:
         del snap, table
         vdf.unpersist()
         print(f"# fiqa-shape probe = {fiqa}", file=sys.stderr)
-    except AssertionError:
+    except (AssertionError, BenchQualityRegression):
         raise  # the embedded recall pin is deterministic — fail the bench
     except Exception as e:
         print(f"# fiqa-shape probe failed: {e}", file=sys.stderr)

@@ -146,7 +146,16 @@ def _single_threaded_blas():
     with _PIN_LOCK:
         _PIN_DEPTH += 1
         if _PIN_DEPTH == 1:
-            _PIN_RESTORE = _apply_pin()
+            # roll the increment back if pinning itself raises (round-9
+            # ADVICE): the raising entrant never reaches the finally, so
+            # without this the depth stays >= 1 with no active restore
+            # and every later entry silently skips pinning for the life
+            # of the process
+            try:
+                _PIN_RESTORE = _apply_pin()
+            except BaseException:
+                _PIN_DEPTH -= 1
+                raise
     try:
         yield
     finally:

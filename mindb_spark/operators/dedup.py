@@ -92,10 +92,27 @@ def dedup_exact_survivors(
     pairs through one window task — linear in the group, and only ids,
     not text; the aggregate in ``dedup_exact`` stays the skew-free path
     when only counts/survivor ids are needed.
+
+    PRECONDITION (round-9 ADVICE): ``id_col`` must uniquely identify
+    rows. The anti-join drops every row whose id appears in the loser
+    set, so if two ROWS share one id and one copy ranks ``row_number >
+    1`` inside its fingerprint group, BOTH rows are dropped (the old
+    semi-join would have kept both). With unique ids — the contract the
+    engine's own ingest guarantees (O3 gapless allocation) — the two
+    formulations agree on every row.
+
+    Null-id rows are always KEPT, explicitly: a null never equals
+    anything in an anti-join, and a row without an identity cannot be
+    deduplicated against one. (The pre-round-8 semi-join silently
+    DROPPED them — nulls don't match in a semi-join either.) The loser
+    side filters nulls up front so the documented behavior holds even
+    if a future join strategy treats null keys differently; pinned by
+    ``tests/test_dedup.py::test_survivors_null_and_unique_id_contract``.
     """
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     losers = (
         df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .where(F.col(id_col).isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") > 1)
         .select(id_col)

@@ -362,3 +362,34 @@ def test_duplicate_spans_plan_has_no_python(spark):
     )
     plan = D.duplicate_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_survivors_null_and_unique_id_contract(spark):
+    """round 9 (ADVICE): dedup_exact_survivors' anti-join semantics,
+    pinned explicitly. (a) Null-id rows are always KEPT — a row without
+    an identity cannot be deduplicated against one (null never matches
+    in the anti-join; the loser side filters nulls up front). (b) The
+    unique-id PRECONDITION is documented, not asserted: with duplicate
+    ids, a loser-ranked copy drops every row sharing that id — this
+    test records that boundary so a change is a conscious decision."""
+    rows = [
+        (1, "same text"), (2, "same text"),       # dup group, 1 survives
+        (None, "same text"), (None, "unique a"),  # null ids: always kept
+        (7, "unique b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        ((r.doc_id, r.text) for r in D.dedup_exact_survivors(df).collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    assert got == [
+        (None, "same text"), (None, "unique a"), (1, "same text"),
+        (7, "unique b"),
+    ]
+    # (b) duplicate ids: BOTH rows of id 5 vanish once one copy ranks
+    # row_number > 1 in its fingerprint group — the documented boundary
+    dup = spark.createDataFrame(
+        [(5, "x"), (5, "x"), (6, "y")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in D.dedup_exact_survivors(dup).collect())
+    assert kept == [6]

@@ -86,14 +86,14 @@ def main() -> None:
     # defaults (what an out-of-the-box query now runs) and at the
     # reference-blind pair (prelim 500, heuristic n_probe — both forced
     # explicitly so no manifest default leaks in)
-    qmat, truth = db._recall_sample_truth(16, 50, seed=99)
+    qmat, truth, qids = db._recall_sample_truth(16, 50, seed=99)
     verified = db._measured_recall(
         qmat, truth,
         info["query_defaults"]["preliminary_top_k"], 50,
-        n_probe=info["query_defaults"]["n_probe"],
+        n_probe=info["query_defaults"]["n_probe"], qids=qids,
     )
     blind = db._measured_recall(
-        qmat, truth, 500, 50, n_probe=info["index_params"]["n_probe"]
+        qmat, truth, 500, 50, n_probe=info["index_params"]["n_probe"], qids=qids
     )
 
     out = {
@@ -109,24 +109,27 @@ def main() -> None:
         "index_params": info["index_params"],
     }
 
-    # when the gate warned (target missed even at the 4x4 combo), follow
-    # its own advice — retrain with a larger PCA/PQ budget — and measure
-    # whether the advice is actionable: the full close of the loop
+    # when the gate warned (target missed even at the 4x4 combo), run the
+    # PRODUCT remediation path (round 9): train(auto_budget=True) applies
+    # the gate's own escalation — 2x pca_dimension, then 2x
+    # compressed_vector_bytes — retraining at most twice and re-gating
+    # each step. This replaces round 8's manual "follow the warning"
+    # pass: the loop is now closed inside the engine.
     if (
         os.environ.get("SPARK_GRAFT_GATE_ADVICE", "1") != "0"
         and info["measured_recall"]["recall"] < info["measured_recall"]["target"]
     ):
         t0 = time.time()
-        db.train(pca_dimension=min(512, D), compressed_vector_bytes=64)
+        db.train(auto_budget=True)
         adv_s = round(time.time() - t0, 1)
         info2 = db.info()
-        qmat2, truth2 = db._recall_sample_truth(16, 50, seed=99)
+        qmat2, truth2, qids2 = db._recall_sample_truth(16, 50, seed=99)
         verified2 = db._measured_recall(
             qmat2, truth2,
             info2["query_defaults"]["preliminary_top_k"], 50,
-            n_probe=info2["query_defaults"]["n_probe"],
+            n_probe=info2["query_defaults"]["n_probe"], qids=qids2,
         )
-        out["advice_followed"] = {
+        out["auto_budget"] = {
             "pca_dimension": info2["index_params"]["pca_dimension"],
             "compressed_vector_bytes": info2["index_params"][
                 "compressed_vector_bytes"
@@ -136,7 +139,7 @@ def main() -> None:
             "query_defaults": info2["query_defaults"],
             "verified_recall_at_defaults_seed99": round(verified2, 4),
         }
-        print(f"# advice pass: {out['advice_followed']}", file=sys.stderr)
+        print(f"# auto_budget pass: {out['auto_budget']}", file=sys.stderr)
 
     print(json.dumps(out))
     spark.stop()
