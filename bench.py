@@ -530,6 +530,53 @@ def main() -> None:
     except Exception as e:
         print(f"# ann amortized probe failed: {e}", file=sys.stderr)
 
+    # ROUTED curve on the same sf corpus (round 9, VERDICT r8 #6): the
+    # raw curve above is the INTERNAL Spark two-stage path (what runs
+    # past the resident budget at 100x scale); the shipped product path
+    # routes a batch this small to the resident snapshot. Recording both
+    # keeps the headline honest: the number of record is the served one,
+    # the Spark curve is the scale-out cost model.
+    ann_ms_per_query_routed: dict[str, float] = {}
+    try:
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from mindb_spark.core.resident import ResidentSnapshot
+
+        arts_sf, codes_sf_path, _nb_sf = E._ann_index(spark, SF_DIR, covering=True)
+        table_sf = (
+            spark.read.parquet(codes_sf_path)
+            .select(
+                "cluster_id", F.col("vec_id").alias("id"), "code", "bterm",
+                "vector",
+            )
+            .orderBy("cluster_id", "id")
+            .toArrow()
+        )
+        d_sf = len(table_sf.column("vector")[0])
+        snap_sf = ResidentSnapshot.assemble_from_arrow(
+            arts_sf, pin, table_sf, d_sf, arts_sf.m, True
+        )
+        for nq in (16, 128, 512):
+            qmat_sf = np.array(
+                [v for _, v in E._query_vectors(spark, SF_DIR, nq)],
+                dtype=np.float64,
+            )
+            snap_sf.query(qmat_sf[:8], preliminary_top_k=500, final_top_k=10)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                snap_sf.query(qmat_sf, preliminary_top_k=500, final_top_k=10)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            ann_ms_per_query_routed[f"q{nq}"] = round(best / nq * 1000, 2)
+        del snap_sf, table_sf
+        print(
+            f"# ann ROUTED ms/query = {ann_ms_per_query_routed}", file=sys.stderr
+        )
+    except Exception as e:
+        print(f"# ann routed probe failed: {e}", file=sys.stderr)
+
     _quiesce(spark)
     # duplicate-dense dedup scaling probe (PERF_NOTES linearity probe,
     # promoted per VERDICT r3 #6): replicate the documents with per-copy
@@ -658,8 +705,11 @@ def main() -> None:
         # path (two_stage_ms_per_query carries the classic plan). v3
         # (round 7): + routed_ms_per_query (resident-served batch latency).
         # v4 (round 7): + fiqa_shape_probe (57.6k x 768 reference-regime
-        # numbers, both serving paths).
-        "bench_schema": 4,
+        # numbers, both serving paths). v5 (round 9): +
+        # ann_ms_per_query_routed — the resident-served curve on the SAME
+        # sf corpus as ann_ms_per_query, which stays the internal Spark
+        # two-stage cost.
+        "bench_schema": 5,
         # measurement discipline, recorded in the artifact itself: headline
         # queries and per-point ANN latencies are best-of-N wall clock with
         # cache-clear + JVM GC quiesce between passes; point_query_ms is a
@@ -670,6 +720,7 @@ def main() -> None:
         "sf": sf_val,
         "ann_recall_at_10": recall,
         "ann_ms_per_query": ann_ms_per_query,
+        "ann_ms_per_query_routed": ann_ms_per_query_routed,
         "clustered_heuristic_probe": clustered,
         "fiqa_shape_probe": fiqa,
         "dedup_scale": dedup_scale,
