@@ -63,6 +63,11 @@ class RestServer:
         self.port = port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # multi-process resident serving pools, one per db name (round 9,
+        # VERDICT r8 #7): /resident with {"workers": N} spawns one; point
+        # queries route through it while the snapshot fingerprint matches
+        self._pools: dict = {}
+        self._pools_lock = threading.Lock()
 
     # ------------------------------------------------------------- routing
     _ROUTES: list[tuple[str, re.Pattern, str]] = [
@@ -239,6 +244,30 @@ class RestServer:
             isinstance(v, list) and v for v in qvs
         ):
             raise _HTTPError(400, "query_vectors must be a non-empty list of float lists")
+        if body.get("metadata_filter") is None:
+            served = self._pool_serve(
+                name,
+                qvs,
+                (
+                    int(body["preliminary_top_k"])
+                    if body.get("preliminary_top_k") is not None
+                    else None
+                ),
+                int(body.get("final_top_k", 100)),
+            )
+            if served is not None:
+                return {
+                    "results": [
+                        {
+                            "ids": r["ids"],
+                            "metadata": [
+                                json.loads(m) if m else {} for m in r["metadata"]
+                            ],
+                            "cosine_similarity": r["cosine_similarity"],
+                        }
+                        for r in served
+                    ]
+                }
         results = self.engine.batch_query(
             name,
             qvs,
@@ -314,6 +343,26 @@ class RestServer:
         qv = body.get("query_vector")
         if not isinstance(qv, list) or not qv:
             raise _HTTPError(400, "query_vector must be a non-empty list of floats")
+        if body.get("metadata_filter") is None:
+            served = self._pool_serve(
+                name,
+                qv,
+                (
+                    int(body["preliminary_top_k"])
+                    if body.get("preliminary_top_k") is not None
+                    else None
+                ),
+                int(body.get("final_top_k", 100)),
+            )
+            if served is not None:
+                r = served[0]
+                return {
+                    "metadata": [
+                        json.loads(m) if m else {} for m in r["metadata"]
+                    ],
+                    "ids": r["ids"],
+                    "cosine_similarity": r["cosine_similarity"],
+                }
         res = db.query(
             qv,
             preliminary_top_k=(
@@ -337,16 +386,80 @@ class RestServer:
         """Beyond-ref route, reference-parity BEHAVIOR: pin/unpin the
         RAM-resident serving snapshot (the reference always serves from
         RAM — mindb/mindb.py; here it is an explicit, budgeted cache and
-        the Spark scan path remains the beyond-RAM fallback)."""
+        the Spark scan path remains the beyond-RAM fallback).
+
+        ``workers: N`` (round 9) additionally spawns N serving PROCESSES
+        over one saved copy of the snapshot (mmap-shared big arrays):
+        the GIL caps thread concurrency at ~2x (measured, PERF_NOTES r8),
+        processes scale with cores. Point queries route through the pool
+        while the live manifest still matches the pool's fingerprint;
+        any mutation drops the pool and serving falls back to the
+        in-process snapshot / Spark paths."""
         db = self._db(name)
+        self._drop_pool(name)
         if body.get("enable", True):
             budget = body.get("max_bytes", 512 << 20)
             ok = db.enable_resident_serving(
                 max_bytes=None if budget is None else int(budget)
             )
-            return {"enabled": bool(ok), "resident": db.resident_info()}
+            n_workers = int(body.get("workers") or 0)
+            if ok and n_workers > 0:
+                from mindb_spark.api.workers import ResidentWorkerPool
+
+                with db._lock:
+                    snap = db._resident
+                pool = ResidentWorkerPool.from_snapshot(snap, n_workers)
+                with self._pools_lock:
+                    self._pools[name] = pool
+            return {
+                "enabled": bool(ok),
+                "workers": n_workers if ok else 0,
+                "resident": db.resident_info(),
+            }
         db.disable_resident_serving()
-        return {"enabled": False, "resident": None}
+        return {"enabled": False, "workers": 0, "resident": None}
+
+    def _drop_pool(self, name: str) -> None:
+        with self._pools_lock:
+            pool = self._pools.pop(name, None)
+        if pool is not None:
+            pool.close()
+
+    # pool-served batches stay in the point/small-batch regime; larger
+    # batches go to the amortized Spark path exactly like the in-process
+    # snapshot's pair-count routing
+    _POOL_MAX_Q = 32
+
+    def _pool_serve(self, name: str, qmat, prelim, final_top_k):
+        """Serve via the worker pool when one is live and fresh, else
+        None. Freshness is the same manifest-fingerprint check the
+        in-process snapshot uses; a stale pool is closed (mutations
+        invalidate it permanently — the pool's arrays are a saved copy)."""
+        with self._pools_lock:
+            pool = self._pools.get(name)
+        if pool is None:
+            return None
+        from mindb_spark.core import validation as V
+        from mindb_spark.core.resident import ResidentSnapshot
+
+        db = self._db(name)
+        qmat = V.validate_query_vectors(qmat, db.vector_dimension)
+        if qmat.shape[0] > self._POOL_MAX_Q:
+            return None
+        with db._lock:
+            db._sync_manifest_from_disk()
+            fresh = (
+                ResidentSnapshot.manifest_fingerprint(db._manifest)
+                == pool.fingerprint
+            )
+            if prelim is None:
+                prelim = db._default_prelim()
+        if not fresh:
+            self._drop_pool(name)
+            return None
+        return pool.query(
+            qmat, preliminary_top_k=prelim, final_top_k=final_top_k
+        )
 
     def _r_resident_info(self, body: dict, name: str) -> dict:
         db = self._db(name)
@@ -358,11 +471,13 @@ class RestServer:
 
     def _r_reload(self, body: dict, name: str) -> dict:
         self._db(name)
+        self._drop_pool(name)
         self.engine.reload(name)
         return {"message": "Database reloaded successfully"}
 
     def _r_delete(self, body: dict, name: str) -> dict:
         self._db(name)
+        self._drop_pool(name)
         self.engine.delete_db(name)
         return {"message": "Database deleted successfully"}
 
@@ -431,6 +546,11 @@ class RestServer:
         return self.port
 
     def stop(self) -> None:
+        with self._pools_lock:
+            pools = list(self._pools.values())
+            self._pools.clear()
+        for pool in pools:
+            pool.close()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

@@ -135,6 +135,77 @@ class ResidentSnapshot:
         meta += sum(len(s) if s else 0 for s in self.tail_metadata)
         return int(base + meta)
 
+    # ----------------------------------------------------- save / load
+    # Multi-process serving support (round 9, VERDICT r8 #7): one
+    # assemble, N serving processes. ``save`` writes each array as its
+    # own .npy so ``load(mmap=True)`` maps the big blocks (vectors,
+    # codes, ids) read-only — N workers then share ONE physical copy
+    # through the OS page cache instead of N heap copies. Metadata is
+    # the exception: it is an object array of JSON strings, so it is
+    # pickled and materialized per process (~256 B/row vs the 8·d ≈ 6 KB
+    # vector row at 768-d — the shared blocks are what matter).
+    _ARRAYS = (
+        "ids", "codes", "bterm", "cell_ids", "cell_off", "vectors",
+        "tail_ids", "tail_vectors",
+    )
+
+    def save(self, path: str) -> None:
+        """Persist the snapshot to a directory (arrays + artifacts +
+        manifest counters) for out-of-process loading."""
+        import json as _json
+
+        os.makedirs(path, exist_ok=True)
+        for name in self._ARRAYS:
+            np.save(os.path.join(path, f"{name}.npy"), getattr(self, name))
+        np.save(
+            os.path.join(path, "metadata.npy"), self.metadata,
+            allow_pickle=True,
+        )
+        np.save(
+            os.path.join(path, "tail_metadata.npy"), self.tail_metadata,
+            allow_pickle=True,
+        )
+        if self.live_mask is not None:
+            np.save(os.path.join(path, "live_mask.npy"), self.live_mask)
+        self.artifacts.save(os.path.join(path, "artifacts.npz"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            _json.dump(
+                {"n_probe": int(self.n_probe),
+                 "fingerprint": list(self.fingerprint)},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str, mmap: bool = True) -> "ResidentSnapshot":
+        """Load a saved snapshot; ``mmap=True`` maps the numeric arrays
+        read-only (page-cache-shared across processes)."""
+        import json as _json
+
+        from mindb_spark.index.build import IndexArtifacts
+
+        mode = "r" if mmap else None
+        arrs = {
+            name: np.load(os.path.join(path, f"{name}.npy"), mmap_mode=mode)
+            for name in cls._ARRAYS
+        }
+        meta = np.load(os.path.join(path, "metadata.npy"), allow_pickle=True)
+        tail_meta = np.load(
+            os.path.join(path, "tail_metadata.npy"), allow_pickle=True
+        )
+        mask_path = os.path.join(path, "live_mask.npy")
+        mask = np.load(mask_path, mmap_mode=mode) if os.path.exists(mask_path) else None
+        with open(os.path.join(path, "meta.json")) as f:
+            info = _json.load(f)
+        return cls(
+            IndexArtifacts.load(os.path.join(path, "artifacts.npz")),
+            int(info["n_probe"]),
+            arrs["ids"], arrs["codes"], arrs["bterm"],
+            arrs["cell_ids"], arrs["cell_off"], arrs["vectors"],
+            meta, arrs["tail_ids"], arrs["tail_vectors"], tail_meta,
+            tuple(info["fingerprint"]),
+            live_mask=mask,
+        )
+
     # ------------------------------------------------------------- build
     @staticmethod
     def manifest_fingerprint(manifest: dict) -> tuple:

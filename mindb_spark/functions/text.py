@@ -114,6 +114,57 @@ def exploded_word_shingles(df, id_col: str, text_col: str, k: int, out_id: str =
     )
 
 
+def shingle_hashes_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """ARRAY<BIGINT> of 64-bit shingle fingerprints — ``xxhash64`` over the
+    k tokens of each sliding window, hashed as a k-column tuple.
+
+    The scale-path replacement for ``word_shingles_from_tokens``: no
+    shingle STRING is ever materialized (no array_join allocation, and
+    every downstream row — distinct, explode, shuffle, aggregate — moves
+    8 bytes instead of a ~(k·word)-char string), and the downstream
+    MinHash stage consumes the long directly instead of paying an md5 +
+    hex-parse per row. Identity-preserving with probability
+    1 − ~n²/2⁶⁵ (64-bit fingerprints): two documents' DISTINCT shingle
+    sets intersect under hashing exactly as the string sets do, so
+    Jaccard over hashes equals Jaccard over strings whp. xxhash64 is
+    Spark-native (JVM codegen) but NOT portable to other engines — use
+    the md5 string lane when an independent oracle must reproduce the
+    values.
+
+    Same hot-path contract as ``word_shingles_from_tokens``: pass an
+    already-materialized token array column; the window ``transform``
+    re-evaluates captured expressions per element.
+    """
+    t = _c(toks)
+    n = F.size(t)
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(k)]),
+        )
+    )
+
+
+def exploded_shingle_hashes(df, id_col: str, text_col: str, k: int, out_id: str = "_id"):
+    """(out_id, shingle BIGINT): one exploded row per DISTINCT word
+    k-shingle HASH of each document — the fast-lane twin of
+    ``exploded_word_shingles`` (same widen-first / tokens-materialized /
+    bare-Generate plan shape; see that docstring for the rationale),
+    emitting ``xxhash64`` fingerprints instead of shingle strings."""
+    from mindb_spark.session import widen
+
+    return (
+        widen(df.select(F.col(id_col).alias(out_id), F.col(text_col)))
+        .select(out_id, tokens(text_col).alias("_toks"))
+        .select(
+            out_id,
+            F.explode(
+                F.array_distinct(shingle_hashes_from_tokens("_toks", k))
+            ).alias("shingle"),
+        )
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """ARRAY<STRING> of character n-grams of the whitespace-normalized text.
 

@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mindb_spark.functions.text import exploded_word_shingles, fingerprint
+from mindb_spark.functions.text import (
+    exploded_shingle_hashes,
+    exploded_word_shingles,
+    fingerprint,
+)
 from mindb_spark.session import widen
 
 
@@ -445,12 +449,47 @@ def _signatures_from_shingled(shingled: DataFrame, id_col: str, num_hashes: int)
     )
 
 
+def _signatures_from_hashes(
+    hashed: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signature aggregation over exploded (id, shingle BIGINT) rows — the
+    fast-lane twin of ``_signatures_from_shingled``.
+
+    Same Kirsch-Mitzenmacher family, different base hashes: the shingle
+    fingerprint IS already a 64-bit hash (``shingle_hashes_from_tokens``),
+    so a = low 48 bits of the fingerprint and b = low 48 bits of
+    ``xxhash64(fingerprint)`` forced odd — one extra cheap long-hash per
+    row replaces the md5 + two hex-substring parses of the portable lane
+    (measured: the md5 lane's signature stage is the dominant per-shingle
+    cost at corpus scale; see tools/minhash_phase_probe.py). Masking with
+    2⁴⁸−1 clears the sign bit, so a, b ∈ [0, 2⁴⁸) and a + 15b stays far
+    inside int64 exactly as in the portable lane. NOT oracle-portable
+    (xxhash64 is Spark-specific); correctness is pinned by pair-set
+    equality with the md5 lane (tests/test_dedup.py) and the planted-pair
+    exactness check in tools/minhash_phase_probe.py.
+    """
+    mask = F.lit(_MINHASH_MOD - 1)
+    a = F.col("shingle").bitwiseAND(mask)
+    b = F.xxhash64(F.col("shingle")).bitwiseAND(mask).bitwiseOR(F.lit(1))
+    prepared = hashed.select(F.col(id_col), a.alias("_a"), b.alias("_b"))
+    aggs = [
+        F.min((F.col("_a") + i * F.col("_b")) % F.lit(_MINHASH_MOD)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = prepared.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 32,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash signature per doc: ARRAY<BIGINT> of length ``num_hashes``.
 
@@ -461,7 +500,20 @@ def minhash_signatures(
     min-wise family, one crypto hash per shingle instead of
     ``num_hashes``, and reproducible in any engine with md5 + hex-to-int.
     Docs with no shingles are dropped (they can't collide).
+
+    ``hash_family``: ``"md5"`` (default) is the oracle-portable lane
+    above; ``"xxhash64"`` is the scale lane — shingles become 64-bit
+    ``xxhash64`` fingerprints of the token windows (no shingle string is
+    ever built) and the KM base hashes derive from the fingerprint
+    (``_signatures_from_hashes``). Signature VALUES differ between
+    families (different hash functions); the LSH pair sets they induce
+    agree (same shingle identity whp) — pinned in tests/test_dedup.py.
     """
+    if hash_family == "xxhash64":
+        hashed = exploded_shingle_hashes(df, id_col, text_col, k, out_id=id_col)
+        return _signatures_from_hashes(hashed, id_col, num_hashes)
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     shingled = exploded_word_shingles(df, id_col, text_col, k, out_id=id_col)
     return _signatures_from_shingled(shingled, id_col, num_hashes)
 
@@ -476,6 +528,7 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     verify: bool = True,
     max_shingle_freq: int | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, exact-Jaccard verified.
 
@@ -489,15 +542,34 @@ def minhash_lsh_pairs(
     computed (bounding signature skew the same way the exact join bounds
     fan-out); the verification Jaccard is then over the CUT shingle sets —
     self-consistent with what the signatures saw.
+
+    ``hash_family="xxhash64"`` is the scale lane (VERDICT r8 #4): shingles
+    are 64-bit ``xxhash64`` fingerprints of the token windows instead of
+    strings (see ``shingle_hashes_from_tokens``) — the exploded rows,
+    df-cut, signature aggregation, band buckets, and verify sets all move
+    longs, and no md5 runs anywhere. Verified Jaccard over hash identity
+    equals Jaccard over shingle identity whp (64-bit fingerprints), so
+    with ``verify=True`` the two lanes emit the SAME pair set at the same
+    threshold (pinned in tests/test_dedup.py); measured phase split and
+    speedup at 5.1M docs: tools/minhash_phase_probe.py / PERF_NOTES round
+    9. Default stays ``"md5"`` — the portable lane the DuckDB oracle
+    reproduces bit-for-bit.
     """
     if num_hashes % n_bands != 0:
         raise ValueError("num_hashes must be divisible by n_bands")
+    fast = hash_family == "xxhash64"
+    if not fast and hash_family != "md5":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     r = num_hashes // n_bands
     # The exploded (id, shingle) rows feed BOTH the signature aggregation
     # and (when verifying) the per-doc shingle-set aggregation, so the
     # regex shingle pipeline is cached and runs once. All caches are
     # released before return (result eagerly localCheckpoint'ed).
-    shingled = _exploded_shingles(df, id_col, text_col, k)
+    shingled = (
+        exploded_shingle_hashes(df, id_col, text_col, k)
+        if fast
+        else _exploded_shingles(df, id_col, text_col, k)
+    )
     if max_shingle_freq is not None:
         freq_ok = (
             shingled.groupBy("shingle")
@@ -511,25 +583,33 @@ def minhash_lsh_pairs(
     # persisted: both sides of the bucket self-join consume the signatures;
     # without it Spark recomputes the shingle+md5 aggregation per side.
     # Signatures are num_hashes*32 chars/doc — cheap to hold, spills to disk.
-    sigs = _signatures_from_shingled(
+    sig_fn = _signatures_from_hashes if fast else _signatures_from_shingled
+    sigs = sig_fn(
         shingled.withColumnRenamed("_id", id_col), id_col, num_hashes
     ).persist()
+
+    def _bucket(b: int):
+        # the bucket key only needs to be injective on the band's row
+        # slice; the fast lane hashes the r longs directly (8-byte
+        # buckets), the portable lane keeps the md5-of-concat string
+        if fast:
+            return F.xxhash64(
+                *[F.col("signature")[b * r + i] for i in range(r)]
+            )
+        return F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col("signature")[b * r + i].cast("string") for i in range(r)],
+            )
+        )
+
     bands = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("signature")[b * r + i].cast("string")
-                                    for i in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
                     )
                     for b in range(n_bands)
                 ]

@@ -393,3 +393,58 @@ def test_survivors_null_and_unique_id_contract(spark):
     )
     kept = sorted(r.doc_id for r in D.dedup_exact_survivors(dup).collect())
     assert kept == [6]
+
+
+def test_minhash_fast_lane_matches_md5_lane(docs):
+    """hash_family="xxhash64" (round 9, VERDICT r8 #4): with verify=True
+    both lanes compute exact Jaccard over the same DISTINCT shingle
+    identities (64-bit fingerprints collide with probability ~n²/2⁶⁵),
+    so the verified pair sets AND their jaccard values must agree — the
+    correctness pin that lets the scale path skip md5 entirely."""
+    kw = dict(k=3, num_hashes=32, n_bands=16)
+    md5 = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in D.minhash_lsh_pairs(docs, 0.5, **kw).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in D.minhash_lsh_pairs(
+            docs, 0.5, hash_family="xxhash64", **kw
+        ).collect()
+    }
+    assert md5 == fast
+    assert len(md5) > 0
+
+
+def test_minhash_fast_signatures_valid_km_family(spark):
+    """Fast-lane signatures: correct length, 48-bit range, deterministic,
+    and identical docs get identical signatures while disjoint docs
+    (whp) do not — the min-wise-family sanity the md5 lane pins via
+    exact recomputation (xxhash64 is not recomputable in pure Python,
+    so the pin here is behavioral)."""
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    get = lambda: {
+        r.doc_id: tuple(r.signature)
+        for r in D.minhash_signatures(
+            df, k=3, num_hashes=8, hash_family="xxhash64"
+        ).collect()
+    }
+    s1, s2 = get(), get()
+    assert s1 == s2  # deterministic
+    assert all(len(v) == 8 for v in s1.values())
+    assert all(0 <= h < (1 << 48) for v in s1.values() for h in v)
+    assert s1[1] == s1[2]  # identical text -> identical signature
+    assert s1[1] != s1[3]  # disjoint shingle sets -> different (whp)
+
+
+def test_minhash_unknown_hash_family_rejected(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_family"):
+        D.minhash_signatures(df, hash_family="sha1")
+    with pytest.raises(ValueError, match="hash_family"):
+        D.minhash_lsh_pairs(df, 0.5, hash_family="sha1")

@@ -1,0 +1,186 @@
+"""Multi-process resident serving (round 9, VERDICT r8 #7): snapshot
+save/load round-trip and worker-pool result parity.
+
+The pool spawns real OS processes that load the snapshot via mmap and
+run the SAME query kernel — so every pin here is bit-equality with the
+in-process snapshot, which tests/test_resident.py in turn pins
+bit-equal to the Spark two-stage path.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from mindb_spark.api.workers import ResidentWorkerPool
+from mindb_spark.core.database import VectorDB
+from mindb_spark.core.resident import ResidentSnapshot
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(25, 16)) * 3.0
+    # 6000 rows: above the reference's < 5000 stay-flat training rule,
+    # so train() actually builds an index for the snapshot to serve
+    assign = rng.integers(0, 25, size=6000)
+    return (centers[assign] + rng.normal(size=(6000, 16))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def snap(spark, tmp_path_factory, corpus):
+    db = VectorDB(
+        spark, "wpool", base_path=str(tmp_path_factory.mktemp("wpool"))
+    )
+    db.add([(v, {"i": int(i)}) for i, v in enumerate(corpus)])
+    db.train(use_two_level_clustering=False)
+    s = ResidentSnapshot.build(db, max_bytes=None)
+    assert s is not None
+    return s
+
+
+def _res_eq(a: list[dict], b: list[dict]) -> None:
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x["ids"] == y["ids"]
+        assert x["cosine_similarity"] == y["cosine_similarity"]  # bit-equal
+        assert list(x["metadata"]) == list(y["metadata"])
+
+
+def test_save_load_roundtrip_bit_equal(snap, tmp_path, corpus):
+    d = str(tmp_path / "snapdir")
+    snap.save(d)
+    loaded = ResidentSnapshot.load(d, mmap=True)
+    assert loaded.fingerprint == snap.fingerprint
+    assert loaded.ids.size == snap.ids.size
+    rng = np.random.default_rng(5)
+    qmat = corpus[:6] + rng.normal(size=(6, 16)).astype(np.float32)
+    _res_eq(
+        loaded.query(qmat, preliminary_top_k=150, final_top_k=10),
+        snap.query(qmat, preliminary_top_k=150, final_top_k=10),
+    )
+
+
+def test_worker_pool_parity_and_concurrency(snap, corpus):
+    rng = np.random.default_rng(9)
+    qmat = corpus[:8] + rng.normal(size=(8, 16)).astype(np.float32)
+    want = snap.query(qmat, preliminary_top_k=150, final_top_k=10)
+    with ResidentWorkerPool.from_snapshot(snap, 2) as pool:
+        assert pool.n_workers == 2 and pool.rows == snap.ids.size
+        assert pool.fingerprint == snap.fingerprint
+        # every worker serves the identical answer
+        for w in range(pool.n_workers):
+            _res_eq(
+                pool.query_on(w, qmat, preliminary_top_k=150, final_top_k=10),
+                want,
+            )
+        # concurrent round-robin callers: results stay per-call correct
+        errs: list = []
+
+        def drive(qi: int) -> None:
+            try:
+                got = pool.query(
+                    qmat[qi], preliminary_top_k=150, final_top_k=10
+                )
+                _res_eq(got, [want[qi]])
+            except Exception as exc:  # surface across the thread boundary
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=drive, args=(qi,)) for qi in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+
+
+def test_worker_pool_rejects_bad_sizes(snap):
+    with pytest.raises(ValueError, match="n_workers"):
+        ResidentWorkerPool.from_snapshot(snap, 0)
+
+
+def test_worker_pool_close_is_idempotent(snap):
+    pool = ResidentWorkerPool.from_snapshot(snap, 1)
+    pool.close()
+    pool.close()
+    assert pool.n_workers == 0
+
+
+def test_rest_workers_mode_parity_and_staleness(spark, tmp_path, corpus):
+    """REST `--workers N` prototype: /resident {"workers": 2} serves
+    point queries from the process pool (same answers as the Spark
+    path), and a mutation drops the pool so the next query sees the
+    new row."""
+    import http.client
+    import json as _json
+
+    from mindb_spark.api.rest import serve
+    from mindb_spark.core.engine import Engine
+
+    base = str(tmp_path / "restw")
+    db = VectorDB(spark, "wdb", base_path=base)
+    db.add([(v, {"i": int(i)}) for i, v in enumerate(corpus)])
+    db.train(use_two_level_clustering=False)
+
+    server = serve(Engine(spark, base_path=base), port=0)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+
+    def call(method, path, body=None):
+        conn.request(
+            method, path, body=_json.dumps(body) if body is not None else None
+        )
+        resp = conn.getresponse()
+        return resp.status, _json.loads(resp.read() or b"{}")
+
+    try:
+        q = corpus[11].tolist()
+        status, spark_ans = call(
+            "POST", "/db/wdb/query", {"query_vector": q, "final_top_k": 5}
+        )
+        assert status == 200
+
+        status, out = call(
+            "POST", "/db/wdb/resident", {"workers": 2, "max_bytes": None}
+        )
+        assert status == 200 and out["enabled"] and out["workers"] == 2
+        assert "wdb" in server._pools
+
+        status, pooled = call(
+            "POST", "/db/wdb/query", {"query_vector": q, "final_top_k": 5}
+        )
+        assert status == 200
+        assert pooled == spark_ans  # bit-equal through the pool
+
+        # batch route through the pool (Q <= _POOL_MAX_Q)
+        status, batched = call(
+            "POST", "/db/wdb/batch_query",
+            {"query_vectors": [q, corpus[3].tolist()], "final_top_k": 5},
+        )
+        assert status == 200
+        assert batched["results"][0] == spark_ans
+
+        # a mutation stales the pool fingerprint: the next query must
+        # drop the pool and serve the NEW row through a fresh path
+        probe = np.full(16, 0.5, dtype=float)
+        status, _ = call(
+            "POST", "/db/wdb/add",
+            {"add_data": [[probe.tolist(), {"new": True}]]},
+        )
+        assert status == 200
+        status, fresh = call(
+            "POST", "/db/wdb/query",
+            {"query_vector": probe.tolist(), "final_top_k": 3},
+        )
+        assert status == 200
+        assert fresh["ids"][0] == len(corpus)  # the just-added id
+        assert fresh["metadata"][0] == {"new": True}
+        assert "wdb" not in server._pools  # stale pool was dropped
+
+        # disable closes and clears
+        status, out = call("POST", "/db/wdb/resident", {"enable": False})
+        assert status == 200 and out["workers"] == 0
+    finally:
+        conn.close()
+        server.stop()
