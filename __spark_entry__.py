@@ -503,6 +503,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _fl6("jaccard").alias("jaccard"))
 
 
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-lane MinHash-LSH (round 9): hash_family="xxhash64" — shingles
+    are 64-bit xxhash64 fingerprints of token windows, no shingle string
+    and no md5 anywhere in the plan (operators/dedup.py::
+    _signatures_from_hashes). xxhash64 is Spark-specific, so no SQL
+    oracle exists; the embedded proof asserts the verified pair set (ids
+    AND exact-Jaccard values) equals the md5 lane's — the lane the DuckDB
+    oracle reproduces bit-for-bit via `dedup_minhash`."""
+    from mindb_spark.operators.dedup import minhash_lsh_pairs
+
+    kw = dict(k=JACCARD_K, num_hashes=MINHASH_HASHES, n_bands=MINHASH_BANDS)
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), NEAR_DUP_TAU, hash_family="xxhash64", **kw
+    ).select(
+        "id_a", "id_b", _fl6("jaccard").alias("jaccard")
+    ).localCheckpoint()
+    fast = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    md5 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark, sf_dir), NEAR_DUP_TAU, **kw)
+        .select("id_a", "id_b", _fl6("jaccard").alias("jaccard"))
+        .collect()
+    }
+    assert fast == md5, (
+        f"fast lane diverged from md5 lane: {len(fast)} vs {len(md5)} pairs"
+    )
+    return out
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (higher threshold than simjoin)."""
     from mindb_spark.operators.similarity import cosine_pairs
@@ -1790,6 +1819,7 @@ _PINNED_NO_ORACLE = (
     "ann_fused_query",
     "similarity_join_lsh",
     "similarity_join_ivf",
+    "dedup_minhash_fast",
     "multimodal_gif_frames",
     "multimodal_jpeg",
     "multimodal_video",
@@ -1882,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_normalize": q_vector_normalize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_embedding": q_dedup_embedding,
         "dedup_components": q_dedup_components,
         "text_quality": q_text_quality,
