@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",
+    # dedup_minhash_fast is NOT benched: its embedded proof runs BOTH
+    # lanes (fast + md5) so its wall time would misread as the fast
+    # lane's cost — tools/minhash_phase_probe.py is that lane's record
     "dedup_simhash",
     "dedup_components",
     "dedup_components_star",

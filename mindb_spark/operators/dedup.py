@@ -155,6 +155,18 @@ def ngram_jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT shingle sets.
     Fully declarative (explode → equi-join → agg), hence oracle-checkable.
 
+    Shingles travel as 64-bit xxhash64 fingerprints of the token windows
+    (round 9): every quantity this operator emits — distinct-set sizes,
+    intersection counts, jaccard — is invariant under any injective
+    mapping of shingles, and 64-bit fingerprints are injective on a
+    corpus's shingle set with probability 1 − ~s²/2⁶⁵. Unlike the
+    MinHash SIGNATURE values (which expose the hash function and
+    therefore keep an md5 lane for the oracle), nothing here depends on
+    WHICH hash — so the oracle (DuckDB, computing from shingle strings)
+    still matches bit-for-bit while the persisted rows, the self-join
+    shuffle, and the join keys shrink from ~(k·word)-char strings to 8
+    bytes (the equi-join is the dominant shuffle at corpus scale).
+
     Plan: the exploded (doc, shingle) table is persisted (a few bytes per
     shingle; memory-and-disk), so the shingle pipeline runs ONCE and both
     sides of the shingle equi-join plus the set-size aggregate read the
@@ -167,7 +179,7 @@ def ngram_jaccard_pairs(
     skew/fan-out bound that matters at corpus scale, since a shingle
     shared by c docs contributes c(c-1)/2 join rows.
     """
-    cached = _exploded_shingles(df, id_col, text_col, k).persist()
+    cached = exploded_shingle_hashes(df, id_col, text_col, k).persist()
     try:
         # per-doc distinct-set sizes, from the SAME cached rows — and before
         # the df-cut: |A| counts all shingles even when stop-shingles are
