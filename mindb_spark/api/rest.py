@@ -463,7 +463,12 @@ class RestServer:
 
     def _r_resident_info(self, body: dict, name: str) -> dict:
         db = self._db(name)
-        return {"resident": db.resident_info()}
+        with self._pools_lock:
+            pool = self._pools.get(name)
+        return {
+            "resident": db.resident_info(),
+            "workers": 0 if pool is None else pool.n_workers,
+        }
 
     def _r_save(self, body: dict, name: str) -> dict:
         self._db(name)  # writes are write-through; save is a no-op
