@@ -266,3 +266,43 @@ def test_quality_deciles_no_global_sort(spark, sf_dir, qs):
     # two-phase rank plans no SinglePartition exchange anywhere
     p = plan_of(qs["quality_deciles"](spark, sf_dir))
     assert "Exchange SinglePartition" not in p
+
+
+def test_minhash_fast_lane_plan_no_md5_no_python(spark, sf_dir):
+    """Round 9 (VERDICT r8 #4): the xxhash64 scale lane's winning shape,
+    pinned. The signature pipeline must contain zero md5 (the cost the
+    lane exists to remove), zero Python nodes, xxhash64 expressions, a
+    BIGINT shingle column (no shingle strings), and exactly one exchange
+    into the partial-min KM aggregation."""
+    from pyspark.sql import functions as F
+
+    from mindb_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = plan_of(minhash_signatures(docs, hash_family="xxhash64"))
+    assert "md5" not in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "xxhash64" in p.lower()
+    assert "partial_min" in p  # map-side combine before the one exchange
+    # exchanges: the deliberate widen() repartition + the agg exchange —
+    # nothing else (a third would mean the shingle rows shuffled twice)
+    assert p.count("Exchange") <= 2, p
+
+
+def test_ngram_jaccard_moves_longs_not_strings(spark, sf_dir):
+    """Round 9: the exact-Jaccard join's exploded shingle column must be
+    BIGINT (xxhash64 fingerprints) — the ~3x shuffle-byte cut — while
+    the emitted schema stays (id_a, id_b, jaccard) exactly as the
+    string-based DuckDB oracle computes it."""
+    from mindb_spark.functions.text import exploded_shingle_hashes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = exploded_shingle_hashes(docs, "doc_id", "text", 3)
+    assert dict(sh.dtypes)["shingle"] == "bigint"
+    p = plan_of(sh)
+    assert "md5" not in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -27,8 +27,10 @@ Correctness is asserted in-probe: both lanes must land in the
 false positive, so > planted is a hard bug; misses are the ~1e-4/pair
 LSH detection tail at j~0.84 with 16 hashes / 8 bands).
 
-Usage: python tools/minhash_phase_probe.py [n_groups]
-  default 3_400_000 -> 5.1M docs, the round-8 scale point.
+Usage: python tools/minhash_phase_probe.py [n_groups] [lane[,lane]]
+  default 3_400_000 -> 5.1M docs, the round-8 scale point, both lanes;
+  a lane filter (e.g. `13600000 xxhash64`) runs one lane at another
+  scale — used for the 20.4M-doc fast-lane linearity point.
 """
 
 from __future__ import annotations
@@ -46,6 +48,9 @@ sys.path.insert(0, _HERE)
 from dedup_scale_probe import corpus  # noqa: E402  (same dir)
 
 G = int(sys.argv[1]) if len(sys.argv) > 1 else 3_400_000
+LANES = tuple(
+    sys.argv[2].split(",") if len(sys.argv) > 2 else ("md5", "xxhash64")
+)
 
 
 def _stages(spark) -> dict[int, dict]:
@@ -140,13 +145,14 @@ def _run_lane(lane: str, g: int) -> dict:
 
 def main() -> None:
     out = {"n_groups": G, "planted_pairs": _planted(G), "lanes": {}}
-    for lane in ("md5", "xxhash64"):
+    for lane in LANES:
         out["lanes"][lane] = _run_lane(lane, G)
-    out["speedup_end_to_end"] = round(
-        out["lanes"]["md5"]["end_to_end_sec"]
-        / out["lanes"]["xxhash64"]["end_to_end_sec"],
-        2,
-    )
+    if {"md5", "xxhash64"} <= set(out["lanes"]):
+        out["speedup_end_to_end"] = round(
+            out["lanes"]["md5"]["end_to_end_sec"]
+            / out["lanes"]["xxhash64"]["end_to_end_sec"],
+            2,
+        )
     print(json.dumps(out))
 
 
