@@ -457,9 +457,15 @@ class RestServer:
         if not fresh:
             self._drop_pool(name)
             return None
-        return pool.query(
-            qmat, preliminary_top_k=prelim, final_top_k=final_top_k
-        )
+        try:
+            return pool.query(
+                qmat, preliminary_top_k=prelim, final_top_k=final_top_k
+            )
+        except Exception:
+            # a dead/with-errors worker must degrade to the in-process /
+            # Spark paths, not surface a 500 for a servable query
+            self._drop_pool(name)
+            return None
 
     def _r_resident_info(self, body: dict, name: str) -> dict:
         db = self._db(name)

@@ -184,3 +184,55 @@ def test_rest_workers_mode_parity_and_staleness(spark, tmp_path, corpus):
     finally:
         conn.close()
         server.stop()
+
+
+def test_rest_pool_worker_death_degrades_to_fallback(spark, tmp_path, corpus):
+    """A dead worker must not surface a 500: the REST layer drops the
+    pool and serves the same query through the in-process/Spark path."""
+    import http.client
+    import json as _json
+
+    from mindb_spark.api.rest import serve
+    from mindb_spark.core.engine import Engine
+
+    base = str(tmp_path / "restkill")
+    db = VectorDB(spark, "kdb", base_path=base)
+    db.add([(v, {"i": int(i)}) for i, v in enumerate(corpus)])
+    db.train(use_two_level_clustering=False)
+
+    server = serve(Engine(spark, base_path=base), port=0)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+
+    def call(method, path, body=None):
+        conn.request(
+            method, path, body=_json.dumps(body) if body is not None else None
+        )
+        resp = conn.getresponse()
+        return resp.status, _json.loads(resp.read() or b"{}")
+
+    try:
+        status, out = call(
+            "POST", "/db/kdb/resident", {"workers": 1, "max_bytes": None}
+        )
+        assert status == 200 and out["workers"] == 1
+        q = corpus[5].tolist()
+        status, want = call(
+            "POST", "/db/kdb/query", {"query_vector": q, "final_top_k": 5}
+        )
+        assert status == 200
+
+        # kill the worker out from under the pool
+        pool = server._pools["kdb"]
+        for p in pool._procs:
+            p.terminate()
+            p.wait(timeout=10)
+
+        status, got = call(
+            "POST", "/db/kdb/query", {"query_vector": q, "final_top_k": 5}
+        )
+        assert status == 200          # degraded, not 500
+        assert got == want            # same answer via the fallback path
+        assert "kdb" not in server._pools  # dead pool was dropped
+    finally:
+        conn.close()
+        server.stop()

@@ -45,12 +45,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from dedup_scale_probe import corpus  # noqa: E402  (same dir)
-
 G = int(sys.argv[1]) if len(sys.argv) > 1 else 3_400_000
 LANES = tuple(
     sys.argv[2].split(",") if len(sys.argv) > 2 else ("md5", "xxhash64")
 )
+# dedup_scale_probe reads ITS argv at import time — hand it none
+sys.argv = sys.argv[:1]
+
+from dedup_scale_probe import corpus  # noqa: E402  (same dir)
 
 
 def _stages(spark) -> dict[int, dict]:
