@@ -180,6 +180,12 @@ def ngram_jaccard_pairs(
     shared by c docs contributes c(c-1)/2 join rows.
     """
     cached = exploded_shingle_hashes(df, id_col, text_col, k).persist()
+    # eager pin (round 9): persist() is lazy, and the self-join's two
+    # sides are submitted as CONCURRENT stages — each would compute the
+    # full shingle pipeline before either populates the cache (the
+    # duplicate-stage pattern the 10.2M probe exposed in the minhash
+    # verify path). One count populates the cache before any consumer.
+    cached.count()
     try:
         # per-doc distinct-set sizes, from the SAME cached rows — and before
         # the df-cut: |A| counts all shingles even when stop-shingles are
@@ -599,6 +605,11 @@ def minhash_lsh_pairs(
     sigs = sig_fn(
         shingled.withColumnRenamed("_id", id_col), id_col, num_hashes
     ).persist()
+    # eager pin: the bucket self-join's two band sides are concurrent
+    # stages racing this cache (same duplicate-stage pattern as the
+    # verify sets — see below); one count materializes signatures (and,
+    # when verifying, the shingled cache they read) before the race
+    sigs.count()
 
     def _bucket(b: int):
         # the bucket key only needs to be injective on the band's row
@@ -646,9 +657,21 @@ def minhash_lsh_pairs(
         # intersect the arrays per pair. Work is O(|candidates|), never the
         # all-pairs shingle join — at corpus scale the candidate set is the
         # ~linear LSH output, which is the whole point.
+        #
+        # persist() on the sets aggregation (round 9): it is consumed by
+        # BOTH join sides, and without the pin the two consumer stages are
+        # submitted concurrently — each one computes the FULL collect_list
+        # aggregation before either can populate the cache. The 10.2M-doc
+        # stage table showed the duplicate plainly: two identical stages,
+        # each re-reading the 9 GB cached shingles and re-writing the
+        # ~9 GB aggregation shuffle (tools/minhash_phase_probe.py,
+        # PERF_NOTES round 9) — the single most expensive exchange in the
+        # verify path, paid twice. Pinned eager (count) so the second
+        # consumer finds the cache populated instead of racing it.
         sets = shingled.groupBy("_id").agg(F.collect_list("shingle").alias("_shs")).select(
             F.col("_id").alias("_sid"), F.col("_shs")
-        )
+        ).persist()
+        sets.count()
         out = (
             cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
             .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
@@ -666,7 +689,9 @@ def minhash_lsh_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        return out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
+        sets.unpersist()
+        return out
     finally:
         sigs.unpersist()
         if verify:
