@@ -419,9 +419,17 @@ class RestServer:
         db.disable_resident_serving()
         return {"enabled": False, "workers": 0, "resident": None}
 
-    def _drop_pool(self, name: str) -> None:
+    def _drop_pool(self, name: str, expect=None) -> None:
+        """Close and unregister ``name``'s pool. With ``expect`` set the
+        drop is identity-aware (ADVICE r9): if another thread already
+        re-created a fresh pool under this name, only the stale pool this
+        caller was serving from is closed — never the new healthy one."""
         with self._pools_lock:
-            pool = self._pools.pop(name, None)
+            pool = self._pools.get(name)
+            if pool is None or (expect is not None and pool is not expect):
+                pool = expect  # close the stale object we were handed
+            else:
+                self._pools.pop(name, None)
         if pool is not None:
             pool.close()
 
@@ -455,16 +463,20 @@ class RestServer:
             if prelim is None:
                 prelim = db._default_prelim()
         if not fresh:
-            self._drop_pool(name)
+            self._drop_pool(name, expect=pool)
             return None
         try:
             return pool.query(
                 qmat, preliminary_top_k=prelim, final_top_k=final_top_k
             )
         except Exception:
-            # a dead/with-errors worker must degrade to the in-process /
-            # Spark paths, not surface a 500 for a servable query
-            self._drop_pool(name)
+            # a dead worker is respawned inside the pool (workers.py);
+            # reaching here means even the respawn+retry failed, so the
+            # pool is genuinely unhealthy — degrade to the in-process /
+            # Spark paths rather than surface a 500, and drop only THIS
+            # pool object (identity-aware), never a concurrently
+            # re-created healthy one
+            self._drop_pool(name, expect=pool)
             return None
 
     def _r_resident_info(self, body: dict, name: str) -> dict:

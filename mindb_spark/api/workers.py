@@ -92,13 +92,15 @@ class ResidentWorkerPool:
         self._procs = []
         self._conns = []
         self._locks = []
+        self._closed = False
         authkey = os.urandom(16)
         # unix socket inside a private temp dir; authkey via env (argv is
         # world-readable in /proc), repo root on PYTHONPATH so a worker
         # finds the package even when the parent imported it from a
         # non-installed checkout
+        self._authkey = authkey
         self._sock_dir = tempfile.mkdtemp(prefix="mindb_pool_")
-        address = os.path.join(self._sock_dir, "pool.sock")
+        self._sock_seq = itertools.count()
         env = dict(os.environ, **{_KEY_ENV: authkey.hex()})
         pkg_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -106,30 +108,61 @@ class ResidentWorkerPool:
         env["PYTHONPATH"] = (
             pkg_root + os.pathsep + env.get("PYTHONPATH", "")
         ).rstrip(os.pathsep)
-        with Listener(address, family="AF_UNIX", authkey=authkey) as listener:
+        self._env = env
+        self.rows = None
+        self.respawn_count = 0
+        # Any failure while spawning / handshaking (worker crash -> EOFError
+        # on recv, accept timeout, bad snapshot) must not leak the already
+        # spawned processes, the socket dir, or an owned multi-GB snapshot
+        # dir (ADVICE r9): tear everything down before re-raising.
+        try:
+            for _ in range(n_workers):
+                proc, conn, rows = self._spawn_one()
+                self._procs.append(proc)
+                self._conns.append(conn)
+                self._locks.append(threading.Lock())
+                self.rows = rows
+        except BaseException:
+            self.close()
+            raise
+        self._rr = itertools.cycle(range(n_workers))
+        self._rr_lock = threading.Lock()
+
+    def _spawn_one(self):
+        """Spawn one worker and complete its ready-handshake. Each spawn
+        uses a fresh one-shot unix socket inside the pool's private dir so
+        respawns never race a half-closed listener."""
+        address = os.path.join(
+            self._sock_dir, f"pool-{next(self._sock_seq)}.sock"
+        )
+        with Listener(address, family="AF_UNIX",
+                      authkey=self._authkey) as listener:
             try:  # a worker that dies before connecting must not hang us
                 listener._listener._socket.settimeout(120)
             except AttributeError:
                 pass
-            for _ in range(n_workers):
-                p = subprocess.Popen(
-                    [sys.executable, "-m", "mindb_spark.api.workers",
-                     snapshot_dir, address],
-                    env=env,
-                    stdout=subprocess.DEVNULL,
-                )
-                self._procs.append(p)
-                self._conns.append(listener.accept())
-                self._locks.append(threading.Lock())
-        self.rows = None
-        for conn in self._conns:
+            proc = subprocess.Popen(
+                [sys.executable, "-m", "mindb_spark.api.workers",
+                 self.snapshot_dir, address],
+                env=self._env,
+                stdout=subprocess.DEVNULL,
+            )
+            try:
+                conn = listener.accept()
+            except BaseException:
+                proc.terminate()
+                raise
+        try:
             status, payload = conn.recv()
-            if status != "ready":
-                self.close()
-                raise RuntimeError(f"worker failed to load snapshot: {payload}")
-            self.rows = payload
-        self._rr = itertools.cycle(range(n_workers))
-        self._rr_lock = threading.Lock()
+        except BaseException:
+            proc.terminate()
+            conn.close()
+            raise
+        if status != "ready":
+            proc.terminate()
+            conn.close()
+            raise RuntimeError(f"worker failed to load snapshot: {payload}")
+        return proc, conn, payload
 
     # ------------------------------------------------------ construction
     @classmethod
@@ -152,17 +185,47 @@ class ResidentWorkerPool:
                  preliminary_top_k: int = 500, final_top_k: int = 100,
                  n_probe: int | None = None) -> list[dict]:
         """Serve on a specific worker (the probe's thread-per-worker
-        drive); blocks while that worker is busy."""
-        conn, lock = self._conns[worker], self._locks[worker]
+        drive); blocks while that worker is busy.
+
+        A dead worker (killed by the OOM reaper, crashed) is respawned
+        in place and the query retried once on the fresh process
+        (VERDICT r9 #7) — a transient kill must not permanently drop the
+        pool to single-process throughput. Only a respawn that itself
+        fails propagates to the caller's fallback path."""
+        lock = self._locks[worker]
         qmat = np.asarray(query_vectors, dtype=np.float64)
         if qmat.ndim == 1:
             qmat = qmat[None, :]
+        req = (qmat, preliminary_top_k, final_top_k, n_probe)
         with lock:
-            conn.send((qmat, preliminary_top_k, final_top_k, n_probe))
-            status, payload = conn.recv()
+            if self._closed:
+                raise RuntimeError("pool is closed")
+            try:
+                self._conns[worker].send(req)
+                status, payload = self._conns[worker].recv()
+            except (OSError, EOFError, BrokenPipeError):
+                self._respawn_locked(worker)
+                self._conns[worker].send(req)
+                status, payload = self._conns[worker].recv()
         if status != "ok":
             raise RuntimeError(f"resident worker error: {payload}")
         return payload
+
+    def _respawn_locked(self, worker: int) -> None:
+        """Replace a dead worker's process+connection. Caller holds
+        self._locks[worker], so no query and no close() can interleave
+        with the swap."""
+        try:
+            self._conns[worker].close()
+        except OSError:
+            pass
+        old = self._procs[worker]
+        if old.poll() is None:  # wedged, not dead — don't leak it
+            old.terminate()
+        proc, conn, _rows = self._spawn_one()
+        self._procs[worker] = proc
+        self._conns[worker] = conn
+        self.respawn_count += 1
 
     def query(self, query_vectors: np.ndarray, preliminary_top_k: int = 500,
               final_top_k: int = 100, n_probe: int | None = None) -> list[dict]:
@@ -176,12 +239,21 @@ class ResidentWorkerPool:
 
     # ---------------------------------------------------------- lifecycle
     def close(self) -> None:
-        for conn in self._conns:
-            try:
-                conn.send(None)
-                conn.close()
-            except (OSError, BrokenPipeError):
-                pass
+        # The shutdown sentinel must not interleave with an in-flight
+        # query's send/recv on the same Connection (ADVICE r9): take each
+        # worker's lock before touching its socket, so close() serializes
+        # behind (and blocks out) any REST thread inside query_on.
+        self._closed = True
+        for i in range(len(self._conns)):
+            with self._locks[i]:
+                # read the conn under the lock: a respawn that finished
+                # while we waited must get the sentinel on the NEW socket
+                conn = self._conns[i]
+                try:
+                    conn.send(None)
+                    conn.close()
+                except (OSError, BrokenPipeError):
+                    pass
         for p in self._procs:
             try:
                 p.wait(timeout=10)

@@ -165,8 +165,14 @@ class ResidentSnapshot:
             os.path.join(path, "tail_metadata.npy"), self.tail_metadata,
             allow_pickle=True,
         )
+        mask_path = os.path.join(path, "live_mask.npy")
         if self.live_mask is not None:
-            np.save(os.path.join(path, "live_mask.npy"), self.live_mask)
+            np.save(mask_path, self.live_mask)
+        elif os.path.exists(mask_path):
+            # saving a mask-free snapshot over a directory that previously
+            # held a masked one must not let load() resurrect the stale
+            # tombstones and drop live rows (ADVICE r9)
+            os.remove(mask_path)
         self.artifacts.save(os.path.join(path, "artifacts.npz"))
         with open(os.path.join(path, "meta.json"), "w") as f:
             _json.dump(

@@ -648,6 +648,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = None
     try:
         if not verify:
             return cand.localCheckpoint(eager=True)
@@ -689,10 +690,14 @@ def minhash_lsh_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        out = out.localCheckpoint(eager=True)
-        sets.unpersist()
-        return out
+        return out.localCheckpoint(eager=True)
     finally:
+        # sets is the most expensive cache in the verify path (~9 GB at
+        # 10.2M docs); unpersist it here, not after the checkpoint, so a
+        # failure during checkpoint materialization cannot leak it for
+        # the life of the session (ADVICE r9)
+        if sets is not None:
+            sets.unpersist()
         sigs.unpersist()
         if verify:
             shingled.unpersist()

@@ -185,6 +185,71 @@ def _score_packed_buckets(threshold: float, score_col: str):
     return score_buckets
 
 
+def _gate_sample_pairs(
+    norm: DataFrame,
+    threshold: float,
+    gate_sample: int,
+    seed: int,
+    n: int | None = None,
+):
+    """Seeded bounded sample of normalized rows plus its exact >=threshold
+    pair cosines — the measurement substrate for the linear lanes' pair
+    recall gate (VERDICT r9 #2, mirroring the ANN post-train gate in
+    core/database.py).
+
+    Bounded collect rationale (scale): ``gate_sample`` rows x dim doubles
+    (default 8192 x 768 = 50 MB) — driver-side smalls, the same budget
+    class as the k-means training sample. Both lanes bucket each row
+    DETERMINISTICALLY (planes / centroids fixed by seed), so a pair
+    collides in the full run iff it collides in the sample run; recall
+    measured over sampled qualifying pairs is an unbiased estimate of
+    full-corpus pair recall.
+
+    Returns (mat, pair_i, pair_j, pair_cos) or None when the input is
+    empty. ``pair_*`` index into ``mat``'s rows.
+    """
+    if n is None:
+        n = norm.count()
+    if n == 0:
+        return None
+    frac = min(1.0, (gate_sample * 1.25) / n)
+    sdf = norm.sample(fraction=frac, seed=seed) if frac < 1.0 else norm
+    rows = sdf.limit(gate_sample).collect()
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if mat.size == 0:
+        return None
+    # chunked exact self-join so the (rows, rows) score block stays
+    # bounded (~64 MB per chunk) regardless of gate_sample
+    step = max(1, int((1 << 26) // (8 * mat.shape[0])))
+    pi, pj, pc = [], [], []
+    for s in range(0, mat.shape[0], step):
+        sims = mat[s : s + step] @ mat.T
+        ii, jj = np.nonzero(sims >= float(threshold))
+        gi = ii + s
+        keep = gi < jj
+        pi.append(gi[keep])
+        pj.append(jj[keep])
+        pc.append(sims[ii[keep], jj[keep]])
+    return (
+        mat,
+        np.concatenate(pi) if pi else np.empty(0, dtype=np.int64),
+        np.concatenate(pj) if pj else np.empty(0, dtype=np.int64),
+        np.concatenate(pc) if pc else np.empty(0, dtype=np.float64),
+    )
+
+
+def lsh_expected_pair_recall(
+    pair_cos: np.ndarray, n_bits: int, n_bands: int
+) -> float:
+    """Exact expected recall of banded hyperplane LSH over the given pair
+    cosines: per pair, P(some band collides) = 1 - (1 - p^bits)^bands with
+    p = 1 - theta/pi (Charikar 2002). Closed form — no simulation noise —
+    so the gate's estimator variance comes only from pair sampling."""
+    theta = np.arccos(np.clip(pair_cos, -1.0, 1.0))
+    p = 1.0 - theta / np.pi
+    return float(np.mean(1.0 - (1.0 - p ** int(n_bits)) ** int(n_bands)))
+
+
 def simhash_signature_udf(planes: np.ndarray):
     """Pandas UDF mapping vector -> int64 random-hyperplane signature."""
     from pyspark.sql.functions import pandas_udf
@@ -214,6 +279,10 @@ def cosine_pairs_lsh(
     n_bands: int = 4,
     seed: int = 42,
     assume_normalized: bool = False,
+    pair_recall_target: float | None = None,
+    gate_sample: int = 8192,
+    max_bands: int = 256,
+    gate_report: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine self-join via random-hyperplane LSH.
 
@@ -240,12 +309,57 @@ def cosine_pairs_lsh(
     embedding farms) makes one task quadratic; cap it upstream by raising
     ``n_bits`` (more, smaller buckets) — recall is then recovered with more
     bands. AQE splits oversized shuffle partitions between buckets.
+
+    Recall gate (VERDICT r9 #2 — mirrors the ANN post-train gate): with
+    ``pair_recall_target`` set, a seeded bounded sample's exact qualifying
+    pairs are collected and the lane's EXPECTED recall over them is
+    computed in closed form (collision probability is a function of the
+    pair angle only); ``n_bands`` is doubled until the expectation meets
+    the target or ``max_bands`` is hit, and a ``UserWarning`` carries the
+    measured number when the target is unreachable. ``gate_report`` (a
+    caller-supplied dict) receives {gate_pairs, n_bands,
+    expected_pair_recall}.
     """
+    import warnings
+
     from pyspark.sql.functions import pandas_udf
 
     from mindb_spark.session import ship_package
 
     ship_package(df.sparkSession)
+    if pair_recall_target is not None:
+        sample = _gate_sample_pairs(
+            _normalized(df, id_col, vector_col, assume_normalized),
+            threshold, gate_sample, seed,
+        )
+        pair_cos = sample[3] if sample is not None else np.empty(0)
+        if pair_cos.size == 0:
+            warnings.warn(
+                "cosine_pairs_lsh recall gate inconclusive: no pairs >= "
+                f"{threshold} in a {gate_sample}-row sample; running with "
+                f"n_bands={n_bands} untuned"
+            )
+        else:
+            while (
+                lsh_expected_pair_recall(pair_cos, n_bits, n_bands)
+                < pair_recall_target
+                and n_bands * 2 <= max_bands
+            ):
+                n_bands *= 2
+            expected = lsh_expected_pair_recall(pair_cos, n_bits, n_bands)
+            if expected < pair_recall_target:
+                warnings.warn(
+                    f"cosine_pairs_lsh expected pair recall {expected:.4f} "
+                    f"< target {pair_recall_target} even at n_bands="
+                    f"{n_bands} (max_bands={max_bands}); lower n_bits or "
+                    "raise max_bands"
+                )
+            if gate_report is not None:
+                gate_report.update(
+                    gate_pairs=int(pair_cos.size),
+                    n_bands=int(n_bands),
+                    expected_pair_recall=round(expected, 4),
+                )
     rng = np.random.default_rng(seed)
     # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands
     planes = rng.normal(size=(n_bands * n_bits, dim))

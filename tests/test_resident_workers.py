@@ -7,6 +7,7 @@ in-process snapshot, which tests/test_resident.py in turn pins
 bit-equal to the Spark two-stage path.
 """
 
+import os
 import threading
 
 import numpy as np
@@ -55,6 +56,32 @@ def test_save_load_roundtrip_bit_equal(snap, tmp_path, corpus):
     assert loaded.ids.size == snap.ids.size
     rng = np.random.default_rng(5)
     qmat = corpus[:6] + rng.normal(size=(6, 16)).astype(np.float32)
+    _res_eq(
+        loaded.query(qmat, preliminary_top_k=150, final_top_k=10),
+        snap.query(qmat, preliminary_top_k=150, final_top_k=10),
+    )
+
+
+def test_save_mask_free_over_masked_dir_clears_stale_mask(snap, tmp_path, corpus):
+    """ADVICE r9: re-saving a mask-free snapshot into a directory that
+    previously held a masked one must remove the stale live_mask.npy —
+    load() must not resurrect old tombstones and drop live rows."""
+    import copy
+
+    d = str(tmp_path / "snapdir")
+    masked = copy.copy(snap)
+    mask = np.ones(snap.ids.size, dtype=bool)
+    mask[:10] = False
+    masked.live_mask = mask
+    masked.save(d)
+    assert os.path.exists(os.path.join(d, "live_mask.npy"))
+
+    assert snap.live_mask is None  # the fixture snapshot is mask-free
+    snap.save(d)
+    assert not os.path.exists(os.path.join(d, "live_mask.npy"))
+    loaded = ResidentSnapshot.load(d, mmap=True)
+    assert loaded.live_mask is None
+    qmat = corpus[:3]
     _res_eq(
         loaded.query(qmat, preliminary_top_k=150, final_top_k=10),
         snap.query(qmat, preliminary_top_k=150, final_top_k=10),
@@ -186,11 +213,55 @@ def test_rest_workers_mode_parity_and_staleness(spark, tmp_path, corpus):
         server.stop()
 
 
-def test_rest_pool_worker_death_degrades_to_fallback(spark, tmp_path, corpus):
-    """A dead worker must not surface a 500: the REST layer drops the
-    pool and serves the same query through the in-process/Spark path."""
+def test_worker_pool_respawns_dead_worker(snap, corpus):
+    """VERDICT r9 #7: a transient worker kill (the OOM reaper) must not
+    permanently degrade the pool — the dead worker is respawned in place
+    and the retried answer stays bit-equal."""
+    rng = np.random.default_rng(21)
+    qmat = corpus[:4] + rng.normal(size=(4, 16)).astype(np.float32)
+    want = snap.query(qmat, preliminary_top_k=150, final_top_k=10)
+    with ResidentWorkerPool.from_snapshot(snap, 2) as pool:
+        pool._procs[0].kill()
+        pool._procs[0].wait(timeout=10)
+        got = pool.query_on(0, qmat, preliminary_top_k=150, final_top_k=10)
+        _res_eq(got, want)
+        assert pool.respawn_count == 1
+        assert pool.n_workers == 2
+        # the respawned worker keeps serving; the untouched one never
+        # noticed
+        _res_eq(
+            pool.query_on(0, qmat, preliminary_top_k=150, final_top_k=10),
+            want,
+        )
+        _res_eq(
+            pool.query_on(1, qmat, preliminary_top_k=150, final_top_k=10),
+            want,
+        )
+        assert pool.respawn_count == 1
+
+
+def test_worker_pool_init_failure_cleans_up(tmp_path):
+    """ADVICE r9: a worker that cannot load the snapshot must not leak
+    the socket temp dir or already-spawned processes."""
+    import glob
+    import tempfile
+
+    bad = str(tmp_path / "not_a_snapshot")
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "mindb_pool_*")))
+    with pytest.raises(RuntimeError, match="failed to load snapshot"):
+        ResidentWorkerPool(bad, 2)
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "mindb_pool_*")))
+    assert after == before  # socket dir removed on the failure path
+
+
+def test_rest_pool_worker_death_respawns_then_degrades(spark, tmp_path, corpus):
+    """A dead worker must not surface a 500. First line of defense is an
+    in-place respawn (pool stays registered, answers bit-equal); when
+    even the respawn fails (snapshot dir gone) the REST layer drops the
+    pool and serves through the in-process/Spark path."""
     import http.client
     import json as _json
+    import shutil as _shutil
 
     from mindb_spark.api.rest import serve
     from mindb_spark.core.engine import Engine
@@ -221,12 +292,26 @@ def test_rest_pool_worker_death_degrades_to_fallback(spark, tmp_path, corpus):
         )
         assert status == 200
 
-        # kill the worker out from under the pool
+        # kill the worker out from under the pool -> respawn, not drop
         pool = server._pools["kdb"]
         for p in pool._procs:
             p.terminate()
             p.wait(timeout=10)
 
+        status, got = call(
+            "POST", "/db/kdb/query", {"query_vector": q, "final_top_k": 5}
+        )
+        assert status == 200
+        assert got == want                     # bit-equal via the respawn
+        assert server._pools.get("kdb") is pool  # pool survived the kill
+        assert pool.respawn_count == 1
+
+        # now make respawn impossible: kill again AND remove the saved
+        # snapshot -> the pool is genuinely unhealthy, REST degrades
+        _shutil.rmtree(pool.snapshot_dir)
+        for p in pool._procs:
+            p.terminate()
+            p.wait(timeout=10)
         status, got = call(
             "POST", "/db/kdb/query", {"query_vector": q, "final_top_k": 5}
         )
