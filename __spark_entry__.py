@@ -494,11 +494,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle lane: hash_family="md5" explicitly (the library default is
+    the xxhash64 scale lane since round 10) so DuckDB reproduces the
+    banding bit-for-bit."""
     from mindb_spark.operators.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(
         _docs(spark, sf_dir), NEAR_DUP_TAU,
         k=JACCARD_K, num_hashes=MINHASH_HASHES, n_bands=MINHASH_BANDS,
+        hash_family="md5",
     )
     return out.select("id_a", "id_b", _fl6("jaccard").alias("jaccard"))
 
@@ -522,7 +526,9 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
     md5 = {
         (r.id_a, r.id_b): r.jaccard
-        for r in minhash_lsh_pairs(_docs(spark, sf_dir), NEAR_DUP_TAU, **kw)
+        for r in minhash_lsh_pairs(
+            _docs(spark, sf_dir), NEAR_DUP_TAU, hash_family="md5", **kw
+        )
         .select("id_a", "id_b", _fl6("jaccard").alias("jaccard"))
         .collect()
     }
@@ -852,16 +858,19 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine self-join via random-hyperplane LSH (the linear
-    scale path). 6-bit x 16-band config: ~70% recall at the 0.45 near-dup
-    threshold, >99% at 0.6+. Seeded → deterministic; rows-only check (the
-    banding is not SQL-expressible)."""
+    scale path). 6-bit base config with the round-10 recall GATE: a seeded
+    sample's exact pairs set the band count in closed form so expected
+    pair recall >= 0.95 at the 0.45 threshold (VERDICT r9 #2). Seeded →
+    deterministic; rows-only check (the banding is not SQL-expressible)."""
     from mindb_spark.operators.similarity import cosine_pairs_lsh
 
     emb = _emb(spark, sf_dir)
     d = len(emb.select("embedding").first()[0])
+    report: dict = {}
     out = cosine_pairs_lsh(
         emb, 0.45, dim=d, id_col="vec_id", vector_col="embedding",
         n_bits=6, n_bands=16, seed=42,
+        pair_recall_target=0.95, gate_report=report,
     ).select(
         "id_a", "id_b", _fl6("cosine_similarity").alias("score")
     ).localCheckpoint()
@@ -895,16 +904,19 @@ def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine self-join bucketed by a learned k-means coarse
-    quantizer with 2-probe multi-assignment — the data-adaptive linear
-    scale path (vs the random-plane LSH twin). Seeded/deterministic;
-    rows-only check (learned buckets are not SQL-expressible); subset-of-
-    exact + recall evidence in tests/test_topk.py."""
+    quantizer with multi-probe assignment — the data-adaptive linear
+    scale path (vs the random-plane LSH twin). The round-10 recall GATE
+    simulates the learned buckets on a seeded sample's exact pairs and
+    raises n_assign until measured pair recall >= 0.95 (VERDICT r9 #2).
+    Seeded/deterministic; rows-only check (learned buckets are not
+    SQL-expressible); subset-of-exact + recall evidence in
+    tests/test_topk.py."""
     from mindb_spark.operators.similarity import cosine_pairs_ivf
 
     out = cosine_pairs_ivf(
         _emb(spark, sf_dir), 0.45, id_col="vec_id", vector_col="embedding",
-        n_assign=4, seed=42,  # 4-probe: measured pair recall 0.85 on the
-        # structureless sf0.1 embeddings (vs 0.51 at 2-probe), same cost
+        n_assign=4, seed=42,
+        pair_recall_target=0.95, gate_report={},
     ).select(
         "id_a", "id_b", _fl6("cosine_similarity").alias("score")
     ).localCheckpoint()

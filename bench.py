@@ -92,6 +92,63 @@ BENCH_QUERIES = [
 ]
 
 
+# ---------------------------------------------------------------- sentinel
+# Host-noise normalization (round 10, VERDICT r9 #1). Twice (r7, r9) the
+# headline moved 30-46% on host weather alone — a fixed workload that
+# touches ZERO repo code runs first and yields a host_index so the JSON
+# carries raw AND normalized numbers. Three probes cover the three
+# substrates every headline query runs on:
+#   jvm      — whole-stage-codegen hash-agg over a generated range
+#              (32-way parallel; scheduler + JIT + CPU)
+#   shuffle  — groupBy over a generated range (exchange machinery)
+#   gemm     — single-process numpy matmul loop (the BLAS substrate the
+#              ANN/resident Arrow kernels run on)
+# REF constants pin the sentinel's best-of-3 walls as measured on the
+# round-10 host at calibration time (2026-08-16, quiet local[32] box);
+# host_index = geometric mean of (measured / ref), so 1.0 = calibration
+# speed, 2.0 = host running half as fast. Normalized numbers divide by it.
+SENTINEL_REF = {"jvm": 1.1, "shuffle": 0.6, "gemm": 0.5}
+
+
+def _host_sentinel(spark) -> dict:
+    """Fixed zero-repo-code workload; returns raw walls + host_index."""
+    import numpy as np
+
+    def best_of(k, fn):
+        fn()  # untimed warmup absorbs codegen/JIT/BLAS pool spin-up
+        best = None
+        for _ in range(k):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    walls = {}
+    walls["jvm"] = best_of(3, lambda: spark.range(1 << 32).selectExpr(
+        "sum(xxhash64(id) % 1000000007)").collect())
+    walls["shuffle"] = best_of(3, lambda: spark.range(1 << 27).selectExpr(
+        "id % 65536 as k").groupBy("k").count().selectExpr(
+        "sum(count)").collect())
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(1536, 1536))
+
+    def gemm():
+        b = a
+        for _ in range(24):
+            b = np.tanh(b @ a * 1e-3)
+        return b
+
+    walls["gemm"] = best_of(3, gemm)
+    ratios = [walls[k] / SENTINEL_REF[k] for k in SENTINEL_REF]
+    host_index = float(np.exp(np.mean(np.log(ratios))))
+    return {
+        "walls": {k: round(v, 3) for k, v in walls.items()},
+        "ref": SENTINEL_REF,
+        "host_index": round(host_index, 3),
+    }
+
+
 class BenchQualityRegression(RuntimeError):
     """Deterministic quality-gate failure (recall pin). A dedicated
     RuntimeError subclass so the fiqa-probe's broad `except Exception`
@@ -123,6 +180,16 @@ def main() -> None:
     # warm up the session (JVM, Arrow, Python workers)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+
+    # host sentinel FIRST (zero repo code): everything below is also
+    # reported normalized by its host_index so a slow box reads as a slow
+    # box, not a regression (VERDICT r9 #1)
+    sentinel = None
+    try:
+        sentinel = _host_sentinel(spark)
+        print(f"# host sentinel = {sentinel}", file=sys.stderr)
+    except Exception as e:  # the sentinel must never kill the bench
+        print(f"# host sentinel failed: {e}", file=sys.stderr)
 
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -712,7 +779,10 @@ def main() -> None:
         # ann_ms_per_query_routed — the resident-served curve on the SAME
         # sf corpus as ann_ms_per_query, which stays the internal Spark
         # two-stage cost.
-        "bench_schema": 5,
+        # v6 (round 10): + host_sentinel / host_index / normalized — raw
+        # walls divided by the zero-repo-code sentinel's host_index so
+        # cross-round diffs separate host weather from code regressions.
+        "bench_schema": 6,
         # measurement discipline, recorded in the artifact itself: headline
         # queries and per-point ANN latencies are best-of-N wall clock with
         # cache-clear + JVM GC quiesce between passes; point_query_ms is a
@@ -721,6 +791,19 @@ def main() -> None:
         "discipline": "best-of-2 wall clock, clearCache+System.gc between passes; point_query_ms median-of-3/5 warm",
         "queries": timings,
         "sf": sf_val,
+        "host_sentinel": sentinel,
+        "host_index": (sentinel or {}).get("host_index"),
+        "normalized": (
+            {
+                "headline_sec": round(total / sentinel["host_index"], 3),
+                "ann_ms_per_query": {
+                    k: round(v / sentinel["host_index"], 2)
+                    for k, v in (ann_ms_per_query or {}).items()
+                },
+            }
+            if sentinel
+            else None
+        ),
         "ann_recall_at_10": recall,
         "ann_ms_per_query": ann_ms_per_query,
         "ann_ms_per_query_routed": ann_ms_per_query_routed,
@@ -746,6 +829,7 @@ def main() -> None:
     print(f"# FULL: {json.dumps(full)}", file=sys.stderr)
 
     compact = dict(full)
+    compact.pop("host_sentinel", None)  # host_index+normalized suffice
     compact.pop("dedup_scale", None)
     compact.pop("similarity_exact_vs_lsh", None)
     compact.pop("baseline_only", None)

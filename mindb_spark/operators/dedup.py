@@ -507,7 +507,7 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 32,
-    hash_family: str = "md5",
+    hash_family: str = "auto",
 ) -> DataFrame:
     """MinHash signature per doc: ARRAY<BIGINT> of length ``num_hashes``.
 
@@ -519,21 +519,97 @@ def minhash_signatures(
     ``num_hashes``, and reproducible in any engine with md5 + hex-to-int.
     Docs with no shingles are dropped (they can't collide).
 
-    ``hash_family``: ``"md5"`` (default) is the oracle-portable lane
-    above; ``"xxhash64"`` is the scale lane — shingles become 64-bit
+    ``hash_family``: ``"auto"`` (default, round 10 — VERDICT r9 #5)
+    resolves to ``"xxhash64"``, the scale lane — shingles become 64-bit
     ``xxhash64`` fingerprints of the token windows (no shingle string is
     ever built) and the KM base hashes derive from the fingerprint
-    (``_signatures_from_hashes``). Signature VALUES differ between
-    families (different hash functions); the LSH pair sets they induce
-    agree (same shingle identity whp) — pinned in tests/test_dedup.py.
+    (``_signatures_from_hashes``); measured ~3x cheaper per doc than md5
+    (tools/minhash_phase_probe.py). ``"md5"`` is the oracle-portable
+    lane — request it explicitly when an independent SQL engine must
+    reproduce signature values bit-for-bit. Signature VALUES differ
+    between families (different hash functions); the LSH pair sets they
+    induce agree (same shingle identity whp) — pinned in
+    tests/test_dedup.py.
     """
-    if hash_family == "xxhash64":
+    if hash_family in ("auto", "xxhash64"):
         hashed = exploded_shingle_hashes(df, id_col, text_col, k, out_id=id_col)
         return _signatures_from_hashes(hashed, id_col, num_hashes)
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     shingled = exploded_word_shingles(df, id_col, text_col, k, out_id=id_col)
     return _signatures_from_shingled(shingled, id_col, num_hashes)
+
+
+# Disk high-water bytes per exploded shingle row for the verify path,
+# calibrated on the round-9 scale points (PERF_NOTES r9 addendum): 10.2M
+# docs x ~118 shingles = 1.2B rows cost ~19 GB persisted (id, hash) cache
+# + 8.98 GB signature-agg shuffle + ~9 GB sets-agg shuffle + ~18 GB verify
+# read/candidate join ≈ 55 GB ≈ 46 B/row; md5-lane shingle STRINGS are
+# ~3x (20 GB of strings vs 5 GB of longs at 5.1M, same notes).
+_VERIFY_BYTES_PER_SHINGLE_ROW = {"fast": 48, "md5": 150}
+
+
+def estimate_verify_footprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hash_family: str = "auto",
+    sample_rows: int = 4096,
+    seed: int = 42,
+    n_docs: int | None = None,
+) -> dict:
+    """Pre-flight disk estimate for ``minhash_lsh_pairs(verify=True)``
+    (VERDICT r9 #3): docs x avg shingles x calibrated bytes-per-row.
+
+    The round-9 20.4M-doc run died on disk an HOUR in
+    (SPILL_OUT_OF_MEMORY at ~80 GB free); this estimate costs one count
+    plus a ``sample_rows``-row token scan and predicts that failure up
+    front. Returns {n_docs, avg_shingles_per_doc, est_bytes}.
+    """
+    if n_docs is None:
+        n_docs = df.count()
+    if n_docs == 0:
+        return {"n_docs": 0, "avg_shingles_per_doc": 0.0, "est_bytes": 0}
+    frac = min(1.0, (sample_rows * 1.25) / n_docs)
+    sdf = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+    row = (
+        sdf.limit(sample_rows)
+        .select(
+            F.avg(
+                F.greatest(
+                    F.size(F.split(F.col(text_col), r"\s+")) - F.lit(k - 1),
+                    F.lit(0),
+                )
+            ).alias("s")
+        )
+        .first()
+    )
+    avg = float(row["s"] or 0.0)
+    lane = "md5" if hash_family == "md5" else "fast"
+    per_row = _VERIFY_BYTES_PER_SHINGLE_ROW[lane]
+    return {
+        "n_docs": int(n_docs),
+        "avg_shingles_per_doc": round(avg, 2),
+        "est_bytes": int(n_docs * avg * per_row),
+    }
+
+
+def _shuffle_free_bytes(spark) -> int | None:
+    """Free bytes on the volume backing Spark's shuffle/spill dir."""
+    import os
+    import shutil as _sh
+    import tempfile
+
+    local_dir = (
+        spark.conf.get("spark.local.dir", None)
+        or os.environ.get("SPARK_LOCAL_DIRS")
+        or tempfile.gettempdir()
+    ).split(",")[0]
+    try:
+        return int(_sh.disk_usage(local_dir).free)
+    except OSError:
+        return None
 
 
 def minhash_lsh_pairs(
@@ -546,7 +622,10 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     verify: bool = True,
     max_shingle_freq: int | None = None,
-    hash_family: str = "md5",
+    hash_family: str = "auto",
+    preflight: str = "warn",
+    preflight_min_docs: int = 1_000_000,
+    disk_budget_bytes: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, exact-Jaccard verified.
 
@@ -570,14 +649,54 @@ def minhash_lsh_pairs(
     with ``verify=True`` the two lanes emit the SAME pair set at the same
     threshold (pinned in tests/test_dedup.py); measured phase split and
     speedup at 5.1M docs: tools/minhash_phase_probe.py / PERF_NOTES round
-    9. Default stays ``"md5"`` — the portable lane the DuckDB oracle
-    reproduces bit-for-bit.
+    9. ``"auto"`` (default, round 10 — VERDICT r9 #5) resolves to the
+    xxhash64 scale lane; pass ``"md5"`` explicitly when an independent
+    SQL engine must reproduce the banding bit-for-bit (the
+    ``dedup_minhash`` oracle entry does).
+
+    Disk pre-flight (round 10, VERDICT r9 #3): with ``verify=True`` and
+    at least ``preflight_min_docs`` docs, the verify path's disk
+    high-water is estimated (``estimate_verify_footprint``) against
+    ``disk_budget_bytes`` (default: 80% of free space on the shuffle
+    volume). ``preflight="warn"`` warns and proceeds; ``"error"`` raises
+    before any heavy stage launches (the r9 20.4M-doc run burned an hour
+    before dying on disk); ``"off"`` skips the check. The pre-flight
+    never auto-switches ``verify`` — verify=False emits a different
+    schema (no jaccard column), so degrading silently would corrupt
+    callers.
     """
+    import warnings
+
     if num_hashes % n_bands != 0:
         raise ValueError("num_hashes must be divisible by n_bands")
-    fast = hash_family == "xxhash64"
+    fast = hash_family in ("auto", "xxhash64")
     if not fast and hash_family != "md5":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if preflight not in ("warn", "error", "off"):
+        raise ValueError(f"unknown preflight mode: {preflight!r}")
+    if verify and preflight != "off":
+        n_docs = df.count()
+        if n_docs >= preflight_min_docs:
+            est = estimate_verify_footprint(
+                df, id_col, text_col, k, hash_family, n_docs=n_docs
+            )
+            budget = disk_budget_bytes
+            if budget is None:
+                free = _shuffle_free_bytes(df.sparkSession)
+                budget = int(free * 0.8) if free is not None else None
+            if budget is not None and est["est_bytes"] > budget:
+                msg = (
+                    "minhash_lsh_pairs(verify=True) disk pre-flight: "
+                    f"estimated high-water {est['est_bytes'] / 1e9:.1f} GB "
+                    f"({est['n_docs']} docs x "
+                    f"{est['avg_shingles_per_doc']} shingles/doc) exceeds "
+                    f"budget {budget / 1e9:.1f} GB; run verify=False "
+                    "(candidates only, no jaccard column), raise n_bands "
+                    "selectivity, or add shuffle disk"
+                )
+                if preflight == "error":
+                    raise RuntimeError(msg)
+                warnings.warn(msg)
     r = num_hashes // n_bands
     # The exploded (id, shingle) rows feed BOTH the signature aggregation
     # and (when verifying) the per-doc shingle-set aggregation, so the

@@ -84,7 +84,12 @@ def test_minhash_signatures_are_min_of_family(spark):
 
     rows = [(1, "a b c d"), (2, "x y z w v")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    sigs = {r.doc_id: r.signature for r in D.minhash_signatures(df, k=3, num_hashes=4).collect()}
+    sigs = {
+        r.doc_id: r.signature
+        for r in D.minhash_signatures(
+            df, k=3, num_hashes=4, hash_family="md5"  # the md5 family's math
+        ).collect()
+    }
 
     def shingles(text, k=3):
         t = text.split()
@@ -404,7 +409,9 @@ def test_minhash_fast_lane_matches_md5_lane(docs):
     kw = dict(k=3, num_hashes=32, n_bands=16)
     md5 = {
         (r.id_a, r.id_b): round(r.jaccard, 9)
-        for r in D.minhash_lsh_pairs(docs, 0.5, **kw).collect()
+        for r in D.minhash_lsh_pairs(
+            docs, 0.5, hash_family="md5", **kw
+        ).collect()
     }
     fast = {
         (r.id_a, r.id_b): round(r.jaccard, 9)
@@ -448,3 +455,52 @@ def test_minhash_unknown_hash_family_rejected(spark):
         D.minhash_signatures(df, hash_family="sha1")
     with pytest.raises(ValueError, match="hash_family"):
         D.minhash_lsh_pairs(df, 0.5, hash_family="sha1")
+
+
+def test_verify_footprint_estimator_matches_formula(spark):
+    """VERDICT r9 #3: estimate = docs x avg shingles x calibrated
+    bytes/row; at the round-9 failure shape (20.4M docs x ~118
+    shingles) it predicts > 80 GB — the run that actually died on an
+    ~80 GB-free disk an hour in would now be refused up front."""
+    rows = [(i, " ".join(["w"] * 12)) for i in range(50)]  # 12 tokens -> 10 shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    est = D.estimate_verify_footprint(df, k=3)
+    assert est["n_docs"] == 50
+    assert abs(est["avg_shingles_per_doc"] - 10.0) < 0.01
+    assert est["est_bytes"] == int(50 * 10.0 * 48)
+    # md5 lane strings cost ~3x
+    est_md5 = D.estimate_verify_footprint(df, k=3, hash_family="md5")
+    assert est_md5["est_bytes"] == int(50 * 10.0 * 150)
+    # the r9 failure shape, extrapolated through the same constant
+    assert 20_400_000 * 118 * 48 > 80e9
+
+
+def test_verify_preflight_warns_and_errors_on_small_budget(spark):
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(20))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=3, num_hashes=8, n_bands=4, preflight_min_docs=1)
+    with pytest.warns(UserWarning, match="disk pre-flight"):
+        D.minhash_lsh_pairs(df, 0.5, disk_budget_bytes=10, **kw)
+    with pytest.raises(RuntimeError, match="disk pre-flight"):
+        D.minhash_lsh_pairs(
+            df, 0.5, disk_budget_bytes=10, preflight="error", **kw
+        )
+    # generous budget: no warning, normal result
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("error")
+        out = D.minhash_lsh_pairs(df, 0.5, disk_budget_bytes=1 << 40, **kw)
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+    with pytest.raises(ValueError, match="preflight"):
+        D.minhash_lsh_pairs(df, 0.5, preflight="maybe")
+
+
+def test_verify_preflight_skipped_below_min_docs(spark):
+    """Small corpora must not pay the estimator jobs or warn."""
+    rows = [(i, "a b c d e") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("error")
+        D.minhash_lsh_pairs(df, 0.5, k=3, num_hashes=8, n_bands=4,
+                            disk_budget_bytes=10)
