@@ -109,6 +109,22 @@ def test_jpeg_lanes_agree_psnr(name):
     assert _psnr(ours, theirs) > 40.0
 
 
+@pytest.mark.parametrize("name", ["grad", "noise", "flat"])
+def test_progressive_jpeg_lanes_agree_psnr(name):
+    """Round 10: PROGRESSIVE (SOF2) streams from our encoder read by
+    both decoders. Validates the multi-scan spectral-selection +
+    successive-approximation bitstream against an independent
+    implementation, not just our own decode (which is separately pinned
+    bit-equal to the baseline pipeline in tests/test_jpeg.py)."""
+    from mindb_spark.multimodal.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    img = _corpus()[name]
+    payload = encode_jpeg_progressive(img, quality=90)
+    ours, theirs = decode_jpeg(payload), _pil_decode(payload)
+    assert ours.shape == theirs.shape
+    assert _psnr(ours, theirs) > 40.0
+
+
 def test_decode_gate_routes_to_native_and_matches_stdlib_features(spark):
     """End-to-end through the Spark operator: with PIL present the gate
     decodes natively; the emitted (height, width, channels, features)
