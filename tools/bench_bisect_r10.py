@@ -39,6 +39,52 @@ sys.path.insert(
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# reduced probe set for alternating A/B legs (SPARK_GRAFT_BISECT_FAST=1):
+# the raw ANN curve (the r9 `weak` mark) + one control, ~3 min/leg, so
+# four alternating legs fit inside one host-weather window
+FAST = os.environ.get("SPARK_GRAFT_BISECT_FAST") == "1"
+
+
+def _sentinel(spark) -> dict:
+    """Zero-repo-code host sentinel (inlined copy of bench.py's so the
+    r8 worktree leg — whose bench.py predates it — measures the same
+    thing). See bench.py SENTINEL_REF for the calibration story."""
+    import numpy as np
+
+    ref = {"jvm": 1.1, "shuffle": 0.6, "gemm": 0.5}
+
+    def best_of(k, fn):
+        fn()
+        best = None
+        for _ in range(k):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    walls = {
+        "jvm": best_of(3, lambda: spark.range(1 << 32).selectExpr(
+            "sum(xxhash64(id) % 1000000007)").collect()),
+        "shuffle": best_of(3, lambda: spark.range(1 << 27).selectExpr(
+            "id % 65536 as k").groupBy("k").count().selectExpr(
+            "sum(count)").collect()),
+    }
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(1536, 1536))
+
+    def gemm():
+        b = a
+        for _ in range(24):
+            b = np.tanh(b @ a * 1e-3)
+        return b
+
+    walls["gemm"] = best_of(3, gemm)
+    ratios = [walls[k] / ref[k] for k in ref]
+    idx = float(np.exp(np.mean(np.log(ratios))))
+    return {"walls": {k: round(v, 3) for k, v in walls.items()},
+            "host_index": round(idx, 3)}
+
 # the r8->r9 >40% regressions + two controls that stayed within noise
 PROBE_QUERIES = [
     "ann_build",            # 5.6 -> 10.8 s
@@ -63,9 +109,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
 
+    sent = _sentinel(spark)
+    print(f"# sentinel = {sent}", file=sys.stderr)
+
     qs = E.queries()
     out: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in (["agg_rollup", "ann_clustered_query"] if FAST else PROBE_QUERIES):
         fn = qs[name]
         ts = []
         for _ in range(RUNS):
@@ -92,7 +141,13 @@ def main() -> None:
         ann[f"q{nq}"] = round(best / nq * 1000, 2)
         print(f"# ann q{nq}: {ann[f'q{nq}']} ms/q", file=sys.stderr)
 
-    print(json.dumps({"label": label, "queries": out, "ann_ms_per_query": ann}))
+    print(json.dumps({
+        "label": label, "queries": out, "ann_ms_per_query": ann,
+        "sentinel": sent,
+        "ann_ms_per_query_normalized": {
+            k: round(v / sent["host_index"], 2) for k, v in ann.items()
+        },
+    }))
     spark.stop()
 
 
