@@ -131,6 +131,12 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_CACHE: dict = {}
 
+# Per-entry recall-gate observability: the similarity_join_lsh/ivf entries
+# write their lane's gate_report here ({gate_pairs, n_bands|n_assign,
+# expected|measured_pair_recall}) so bench.py can record what the gates
+# actually escalated to alongside the measured pair recall.
+GATE_REPORTS: dict = {}
+
 
 def _ann_index(
     spark: SparkSession, sf_dir: str, two_level: bool = False,
@@ -866,7 +872,8 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     d = len(emb.select("embedding").first()[0])
-    report: dict = {}
+    report = GATE_REPORTS.setdefault("similarity_join_lsh", {})
+    report.clear()
     out = cosine_pairs_lsh(
         emb, 0.45, dim=d, id_col="vec_id", vector_col="embedding",
         n_bits=6, n_bands=16, seed=42,
@@ -913,10 +920,12 @@ def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_topk.py."""
     from mindb_spark.operators.similarity import cosine_pairs_ivf
 
+    report = GATE_REPORTS.setdefault("similarity_join_ivf", {})
+    report.clear()
     out = cosine_pairs_ivf(
         _emb(spark, sf_dir), 0.45, id_col="vec_id", vector_col="embedding",
         n_assign=4, seed=42,
-        pair_recall_target=0.95, gate_report={},
+        pair_recall_target=0.95, gate_report=report,
     ).select(
         "id_a", "id_b", _fl6("cosine_similarity").alias("score")
     ).localCheckpoint()

@@ -756,6 +756,10 @@ def main() -> None:
             "exact_sec": exact_s,
             "lsh_sec": lsh_s,
             "ivf_sec": ivf_s,
+            # what the recall gates actually escalated to this run
+            # ({gate_pairs, n_bands|n_assign, expected|measured_pair_recall})
+            "lsh_gate": dict(E.GATE_REPORTS.get("similarity_join_lsh", {})),
+            "ivf_gate": dict(E.GATE_REPORTS.get("similarity_join_ivf", {})),
             "note": "exact is the O(n^2) baseline; lsh/ivf are the linear scale paths",
         }
         print(f"# exact-vs-lsh similarity = {sim_compare}", file=sys.stderr)

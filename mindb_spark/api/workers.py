@@ -93,6 +93,7 @@ class ResidentWorkerPool:
         self._conns = []
         self._locks = []
         self._closed = False
+        self._close_lock = threading.Lock()
         authkey = os.urandom(16)
         # unix socket inside a private temp dir; authkey via env (argv is
         # world-readable in /proc), repo root on PYTHONPATH so a worker
@@ -239,30 +240,38 @@ class ResidentWorkerPool:
 
     # ---------------------------------------------------------- lifecycle
     def close(self) -> None:
-        # The shutdown sentinel must not interleave with an in-flight
-        # query's send/recv on the same Connection (ADVICE r9): take each
-        # worker's lock before touching its socket, so close() serializes
-        # behind (and blocks out) any REST thread inside query_on.
-        self._closed = True
-        for i in range(len(self._conns)):
-            with self._locks[i]:
-                # read the conn under the lock: a respawn that finished
-                # while we waited must get the sentinel on the NEW socket
-                conn = self._conns[i]
+        # Serialize closers: two REST threads can race into close() via
+        # the identity-aware _drop_pool (both serving from the same
+        # unhealthy pool object); without this lock the slower thread
+        # indexes self._locks after the faster one reassigned it to []
+        # and the IndexError surfaces as the 500 the drop path exists to
+        # prevent. Idempotent: the second closer sees empty lists.
+        with self._close_lock:
+            self._closed = True
+            # The shutdown sentinel must not interleave with an in-flight
+            # query's send/recv on the same Connection (ADVICE r9): take
+            # each worker's lock before touching its socket, so close()
+            # serializes behind any REST thread inside query_on.
+            for i in range(len(self._conns)):
+                with self._locks[i]:
+                    # read the conn under the lock: a respawn that
+                    # finished while we waited must get the sentinel on
+                    # the NEW socket
+                    conn = self._conns[i]
+                    try:
+                        conn.send(None)
+                        conn.close()
+                    except (OSError, BrokenPipeError):
+                        pass
+            for p in self._procs:
                 try:
-                    conn.send(None)
-                    conn.close()
-                except (OSError, BrokenPipeError):
-                    pass
-        for p in self._procs:
-            try:
-                p.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                p.terminate()
-        self._procs, self._conns, self._locks = [], [], []
-        shutil.rmtree(self._sock_dir, ignore_errors=True)
-        if self._owns_dir and os.path.isdir(self.snapshot_dir):
-            shutil.rmtree(self.snapshot_dir, ignore_errors=True)
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.terminate()
+            self._procs, self._conns, self._locks = [], [], []
+            shutil.rmtree(self._sock_dir, ignore_errors=True)
+            if self._owns_dir and os.path.isdir(self.snapshot_dir):
+                shutil.rmtree(self.snapshot_dir, ignore_errors=True)
 
     def __enter__(self) -> "ResidentWorkerPool":
         return self

@@ -290,6 +290,66 @@ def _default_huff() -> dict:
 # ----------------------------------------------------------------- decode
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    """Parse a DQT payload into ``qt`` (zigzag order, 8/16-bit entries) —
+    shared by the baseline marker walk and the progressive scan loop."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        if pq == 0:
+            qt[tq] = np.frombuffer(
+                seg[i : i + 64], dtype=np.uint8
+            ).astype(np.int64)
+            i += 64
+        else:
+            qt[tq] = np.frombuffer(
+                seg[i : i + 128], dtype=">u2"
+            ).astype(np.int64)
+            i += 128
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    """Parse a DHT payload into ``huff`` — shared like :func:`_parse_dqt`."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        counts = list(seg[i + 1 : i + 17])
+        nsym = sum(counts)
+        huff[(tc, th)] = _canonical_codes(
+            counts, list(seg[i + 17 : i + 17 + nsym])
+        )
+        i += 17 + nsym
+
+
+def _upsample_crop(plane, cv, ch, vmax, hmax, h, w):
+    """Chroma upsample (nearest, T.81 informative) + crop to frame."""
+    plane = np.repeat(
+        np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+    )
+    return plane[:h, :w]
+
+
+def _planes_to_image(full: list) -> np.ndarray:
+    """Shared decode tail: grayscale passthrough or JFIF YCbCr->RGB,
+    rounded + clipped — one copy of the color constants for both the
+    baseline and progressive assemblers."""
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) != 3:
+        raise NotImplementedError(f"JPEG with {len(full)} components")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (h, w, 3) RGB (or (h, w, 1) grayscale)
     uint8."""
@@ -316,26 +376,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         seglen = struct.unpack_from(">H", data, pos)[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if pq == 0:
-                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
-                    i += 64
-                else:
-                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
-                    i += 128
-                qt[tq] = tbl  # zigzag order
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                nsym = sum(counts)
-                symbols = list(seg[i + 17 : i + 17 + nsym])
-                huff[(tc, th)] = _canonical_codes(counts, symbols)
-                i += 17 + nsym
+            _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
@@ -559,21 +602,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(mcuy * cv * 8, mcux * ch * 8)
         )
-        plane = np.repeat(
-            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
-        )
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return y[:, :, None]
-    if len(full) != 3:
-        raise NotImplementedError(f"JPEG with {len(full)} components")
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        full.append(_upsample_crop(plane, cv, ch, vmax, hmax, h, w))
+    return _planes_to_image(full)
 
 
 # -------------------------------------------------------------- progressive
@@ -676,26 +706,9 @@ def _decode_progressive(data, pos, frame, qt, huff, restart_interval):
         seglen = struct.unpack_from(">H", data, pos)[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT between scans
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if pq == 0:
-                    qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
-                    i += 64
-                else:
-                    qt[tq] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
-                    i += 128
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT between scans
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                nsym = sum(counts)
-                huff[(tc, th)] = _canonical_codes(
-                    counts, list(seg[i + 17 : i + 17 + nsym])
-                )
-                i += 17 + nsym
+            _parse_dht(seg, huff)
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # one scan
@@ -734,25 +747,10 @@ def _decode_progressive(data, pos, frame, qt, huff, restart_interval):
             .transpose(0, 2, 1, 3)
             .reshape(by_t * 8, bx_t * 8)
         )
-        plane = np.repeat(
-            np.repeat(plane, vmax // comp["v"], axis=0),
-            hmax // comp["h"], axis=1,
+        full.append(
+            _upsample_crop(plane, comp["v"], comp["h"], vmax, hmax, h, w)
         )
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
-    if len(full) != 3:
-        raise NotImplementedError(f"JPEG with {len(full)} components")
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _planes_to_image(full)
 
 
 def _decode_prog_scan(
@@ -774,6 +772,11 @@ def _decode_prog_scan(
             if tbl is None and ah > 0:
                 tbl = {}  # refinement reads raw bits, no codes
             if tbl is None:
+                # same DHT-omitted tolerance the baseline lane documents
+                # (the AVI1/MJPEG convention): fall back to the T.81
+                # Annex K tables instead of narrowing the contract here
+                tbl = _default_huff().get((0, dc_t))
+            if tbl is None:
                 raise ValueError("JPEG scan references undefined Huffman table")
             dluts[ci] = _build_dectab(tbl, ac=False)[0] if tbl else None
 
@@ -794,7 +797,6 @@ def _decode_prog_scan(
                     for bx in range(niw[ci]):
                         yield ci, by, bx
 
-        mcu_of = {}  # block index -> restart counting unit
         per_restart = restart_interval
         if len(sel) > 1:
             blocks_per_mcu = sum(
@@ -827,7 +829,7 @@ def _decode_prog_scan(
     if len(sel) != 1:
         raise ValueError("JPEG progressive AC scan must have one component")
     ci, _dc_t, ac_t = sel[0]
-    tbl = huff.get((1, ac_t))
+    tbl = huff.get((1, ac_t), _default_huff().get((1, ac_t)))
     if tbl is None:
         raise ValueError("JPEG scan references undefined Huffman table")
     alut = _build_dectab(tbl, ac=True)[0]
@@ -1199,26 +1201,48 @@ def _pt_ac(v: int, al: int) -> int:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 90, subsample: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    al: int = 1,
+    ac_bands: tuple = ((1, 63),),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w[, 1|3]) uint8 array as a progressive (SOF2) JPEG.
 
-    Fixed scan script exercising every progressive decode path:
-      1. DC first, all components interleaved, Al=1
-      2. DC refinement, Ah=1 -> Al=0
-      3. per component: AC first, Ss=1..63, Al=1 (EOB runs, ZRL)
-      4. per component: AC refinement, Ah=1 -> Al=0 (correction bits,
-         newly-significant coefficients, buffered EOB-run bits)
+    Default scan script exercising every progressive decode path:
+      1. DC first, all components interleaved, Al=``al``
+      2. DC refinement passes, Ah=a -> Al=a-1 down to 0
+      3. per (band, component): AC first, Ss..Se, Al=``al`` (EOB runs, ZRL)
+      4. per (level, band, component): AC refinement, Ah=a -> Al=a-1
+         (correction bits, newly-significant coefficients, buffered
+         EOB-run bits)
+
+    ``al`` deepens the successive approximation (al=2 → two refinement
+    passes per coefficient class); ``ac_bands`` splits the AC spectrum
+    into libjpeg-style spectral-selection bands (must tile 1..63);
+    ``restart_interval`` emits a DRI segment and RSTn markers every that
+    many MCUs (interleaved DC scan) / blocks (single-component scans) —
+    together these parameterize the generic scan scripts real encoders
+    produce, so tests can pin the decoder's band-split / Al>=2 / DRI
+    branches (round-10 review).
 
     The quantized coefficients are IDENTICAL to ``encode_jpeg``'s for the
     same (img, quality, subsample), so ``decode_jpeg`` of this stream
     must equal ``decode_jpeg`` of the baseline stream bit-for-bit — the
     self-consistency proof pinned in tests/test_jpeg.py."""
+    if al < 1 or al > 13:
+        raise ValueError("al must be in 1..13")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in 0..65535")
+    bands = sorted(tuple(b) for b in ac_bands)
+    flat = [k for ss_, se_ in bands for k in range(ss_, se_ + 1)]
+    if flat != list(range(1, 64)):
+        raise ValueError("ac_bands must tile 1..63 without gaps/overlap")
     qplanes, samp, tsel, qy, qc, h, w, ch, mcux, mcuy = _prep_encode(
         img, quality, subsample
     )
     ncomp = len(qplanes)
-    al = 1
     dc_tabs = [_encode_codes(*_HT_DC_LUMA), _encode_codes(*_HT_DC_CHROMA)]
     act = _encode_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
     hmax = max(s[0] for s in samp)
@@ -1243,10 +1267,30 @@ def encode_jpeg_progressive(
             p += bytes([cid, (dc_t << 4) | ac_t])
         return p + bytes([ss_, se_, (ah_ << 4) | al_])
 
+    def join_restarts(chunks: list) -> bytes:
+        out = bytearray()
+        for i, c in enumerate(chunks):
+            out += c
+            if i < len(chunks) - 1:
+                out += bytes([0xFF, 0xD0 + (i % 8)])
+        return bytes(out)
+
+    # restart counting mirrors the decoder: MCUs when interleaved (the DC
+    # scan covers blocks_per_mcu blocks per unit), blocks when ns == 1
+    dc_per_restart = restart_interval * (
+        sum(sh * sv for sh, sv in samp) if ncomp > 1 else 1
+    )
+
     # ---- scan 1: DC first, interleaved, Al=al
     wtr = _BitWriter()
+    chunks: list = []
     pred = [0] * ncomp
-    for ci, gy, gx in interleaved_blocks():
+    for n, (ci, gy, gx) in enumerate(interleaved_blocks()):
+        if dc_per_restart and n and n % dc_per_restart == 0:
+            wtr.flush()
+            chunks.append(bytes(wtr.out))
+            wtr = _BitWriter()
+            pred = [0] * ncomp
         v = int(qplanes[ci][gy, gx, 0]) >> al  # arithmetic shift (G.1.2.1)
         diff = v - pred[ci]
         pred[ci] = v
@@ -1256,104 +1300,150 @@ def encode_jpeg_progressive(
         if t:
             wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     wtr.flush()
+    chunks.append(bytes(wtr.out))
     scans.append((
         sos_payload([(c + 1, tsel[c], 0) for c in range(ncomp)], 0, 0, 0, al),
-        bytes(wtr.out),
+        join_restarts(chunks),
     ))
 
-    # ---- scan 2: DC refinement, Ah=al -> Al=al-1 (= 0)
-    wtr = _BitWriter()
-    for ci, gy, gx in interleaved_blocks():
-        wtr.write((int(qplanes[ci][gy, gx, 0]) >> (al - 1)) & 1, 1)
-    wtr.flush()
-    scans.append((
-        sos_payload(
-            [(c + 1, tsel[c], 0) for c in range(ncomp)], 0, 0, al, al - 1
-        ),
-        bytes(wtr.out),
-    ))
-
-    # ---- per component: AC first (Al=al) then AC refinement (Ah=al)
-    ac_first, ac_ref = [], []
-    for ci in range(ncomp):
-        # AC first
+    # ---- DC refinement passes, Ah=a -> Al=a-1 down to 0
+    for a in range(al, 0, -1):
         wtr = _BitWriter()
-        ac = _ProgACWriter(wtr, act)
-        for gy in range(nih[ci]):
-            for gx in range(niw[ci]):
-                blk = qplanes[ci][gy, gx]
-                shifted = [_pt_ac(int(blk[k]), al) for k in range(1, 64)]
-                nz = [i for i, v in enumerate(shifted) if v]
-                if not nz:
-                    ac.bump_eobrun([])
-                    continue
-                ac.flush_eobrun()
-                r = 0
-                for i in range(nz[-1] + 1):
-                    v = shifted[i]
-                    if v == 0:
-                        r += 1
-                        continue
-                    while r > 15:
-                        ac.sym(0xF0)
-                        r -= 16
-                    s = _category(v)
-                    ac.sym((r << 4) | s)
-                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    r = 0
-                if nz[-1] < 62:  # trailing zeros: starts an EOB run
-                    ac.bump_eobrun([])
-        ac.flush_eobrun()
+        chunks = []
+        for n, (ci, gy, gx) in enumerate(interleaved_blocks()):
+            if dc_per_restart and n and n % dc_per_restart == 0:
+                wtr.flush()
+                chunks.append(bytes(wtr.out))
+                wtr = _BitWriter()
+            wtr.write((int(qplanes[ci][gy, gx, 0]) >> (a - 1)) & 1, 1)
         wtr.flush()
-        ac_first.append((
-            sos_payload([(ci + 1, 0, 0)], 1, 63, 0, al), bytes(wtr.out)
+        chunks.append(bytes(wtr.out))
+        scans.append((
+            sos_payload(
+                [(c + 1, tsel[c], 0) for c in range(ncomp)], 0, 0, a, a - 1
+            ),
+            join_restarts(chunks),
         ))
 
-        # AC refinement (T.81 G.1.2.3 / the classic two-buffer shape)
-        wtr = _BitWriter()
-        ac = _ProgACWriter(wtr, act)
-        for gy in range(nih[ci]):
-            for gx in range(niw[ci]):
-                blk = qplanes[ci][gy, gx]
-                absv = [abs(int(blk[k])) >> (al - 1) for k in range(1, 64)]
-                eob = 0  # index AFTER the last newly-significant coef
-                for i, t in enumerate(absv):
-                    if t == 1:
-                        eob = i + 1
-                r = 0
-                corr: list[int] = []  # bits since the last emitted code
-                for i in range(63):
-                    t = absv[i]
-                    if t == 0:
-                        r += 1
-                        continue
-                    while r > 15 and i < eob:
+    # ---- per (band, component): AC first (Al=al)
+    for ss_, se_ in bands:
+        for ci in range(ncomp):
+            wtr = _BitWriter()
+            ac = _ProgACWriter(wtr, act)
+            chunks = []
+            count = 0
+            for gy in range(nih[ci]):
+                for gx in range(niw[ci]):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
                         ac.flush_eobrun()
-                        ac.sym(0xF0)
-                        r -= 16
-                        for b in corr:
-                            wtr.write(b, 1)
-                        corr = []
-                    if t > 1:  # history-nonzero: buffer its correction bit
-                        corr.append(t & 1)
+                        wtr.flush()
+                        chunks.append(bytes(wtr.out))
+                        wtr = _BitWriter()
+                        ac = _ProgACWriter(wtr, act)
+                    count += 1
+                    blk = qplanes[ci][gy, gx]
+                    shifted = [
+                        _pt_ac(int(blk[k]), al) for k in range(ss_, se_ + 1)
+                    ]
+                    nz = [i for i, v in enumerate(shifted) if v]
+                    if not nz:
+                        ac.bump_eobrun([])
                         continue
-                    # newly significant (magnitude 1 at this precision)
                     ac.flush_eobrun()
-                    ac.sym((r << 4) | 1)
-                    wtr.write(0 if int(blk[i + 1]) < 0 else 1, 1)
-                    for b in corr:
-                        wtr.write(b, 1)
-                    corr = []
                     r = 0
-                if r > 0 or corr:
-                    ac.bump_eobrun(corr)
-        ac.flush_eobrun()
-        wtr.flush()
-        ac_ref.append((
-            sos_payload([(ci + 1, 0, 0)], 1, 63, al, al - 1), bytes(wtr.out)
-        ))
-    scans.extend(ac_first)
-    scans.extend(ac_ref)
+                    for i in range(nz[-1] + 1):
+                        v = shifted[i]
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            ac.sym(0xF0)
+                            r -= 16
+                        s = _category(v)
+                        ac.sym((r << 4) | s)
+                        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        r = 0
+                    if nz[-1] < se_ - ss_:  # trailing zeros: EOB run
+                        ac.bump_eobrun([])
+            ac.flush_eobrun()
+            wtr.flush()
+            chunks.append(bytes(wtr.out))
+            scans.append((
+                sos_payload([(ci + 1, 0, 0)], ss_, se_, 0, al),
+                join_restarts(chunks),
+            ))
+
+    # ---- per (level, band, component): AC refinement, Ah=a -> Al=a-1
+    # (T.81 G.1.2.3 / the classic two-buffer shape)
+    for a in range(al, 0, -1):
+        for ss_, se_ in bands:
+            for ci in range(ncomp):
+                wtr = _BitWriter()
+                ac = _ProgACWriter(wtr, act)
+                chunks = []
+                count = 0
+                for gy in range(nih[ci]):
+                    for gx in range(niw[ci]):
+                        if (
+                            restart_interval
+                            and count
+                            and count % restart_interval == 0
+                        ):
+                            ac.flush_eobrun()
+                            wtr.flush()
+                            chunks.append(bytes(wtr.out))
+                            wtr = _BitWriter()
+                            ac = _ProgACWriter(wtr, act)
+                        count += 1
+                        blk = qplanes[ci][gy, gx]
+                        absv = [
+                            abs(int(blk[k])) >> (a - 1)
+                            for k in range(ss_, se_ + 1)
+                        ]
+                        eob = 0  # index AFTER the last newly-significant coef
+                        for i, t in enumerate(absv):
+                            if t == 1:
+                                eob = i + 1
+                        r = 0
+                        corr: list = []  # bits since the last emitted code
+                        for i in range(se_ - ss_ + 1):
+                            t = absv[i]
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and i < eob:
+                                ac.flush_eobrun()
+                                ac.sym(0xF0)
+                                r -= 16
+                                for b in corr:
+                                    wtr.write(b, 1)
+                                corr = []
+                            if t > 1:  # history-nonzero: buffer its bit
+                                corr.append(t & 1)
+                                continue
+                            # newly significant (magnitude 1 this precision)
+                            ac.flush_eobrun()
+                            ac.sym((r << 4) | 1)
+                            wtr.write(
+                                0 if int(blk[ss_ + i]) < 0 else 1, 1
+                            )
+                            for b in corr:
+                                wtr.write(b, 1)
+                            corr = []
+                            r = 0
+                        if r > 0 or corr:
+                            ac.bump_eobrun(corr)
+                ac.flush_eobrun()
+                wtr.flush()
+                chunks.append(bytes(wtr.out))
+                scans.append((
+                    sos_payload([(ci + 1, 0, 0)], ss_, se_, a, a - 1),
+                    join_restarts(chunks),
+                ))
 
     # ---- assemble segments
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1378,6 +1468,8 @@ def encode_jpeg_progressive(
         sh, sv = samp[c]
         sof += bytes([c + 1, (sh << 4) | sv, 0 if c == 0 else 1])
     out.append(seg(0xC2, sof))  # SOF2: progressive
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     for payload, entropy in scans:
         out.append(seg(0xDA, payload))
         out.append(entropy)

@@ -675,8 +675,13 @@ def minhash_lsh_pairs(
     if preflight not in ("warn", "error", "off"):
         raise ValueError(f"unknown preflight mode: {preflight!r}")
     if verify and preflight != "off":
-        n_docs = df.count()
+        # bounded smallness probe first: limit(N).count() stops scanning
+        # once N rows are seen, so small corpora (every default-config
+        # call, including bench's timed loops) never pay a full count
+        # job for a pre-flight that cannot trigger below the doc floor
+        n_docs = df.limit(preflight_min_docs).count()
         if n_docs >= preflight_min_docs:
+            n_docs = df.count()
             est = estimate_verify_footprint(
                 df, id_col, text_col, k, hash_family, n_docs=n_docs
             )

@@ -327,11 +327,15 @@ def cosine_pairs_lsh(
     from mindb_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    if pair_recall_target is not None:
-        sample = _gate_sample_pairs(
-            _normalized(df, id_col, vector_col, assume_normalized),
-            threshold, gate_sample, seed,
-        )
+    norm = _normalized(df, id_col, vector_col, assume_normalized)
+    gated = pair_recall_target is not None
+    if gated:
+        # persisted: the gate's count + sample collect and the main
+        # exploded pass all read the same normalized projection — without
+        # the cache the scan + normalize pipeline would run three times
+        # (the ungated path stays lazy and uncached: one consumer)
+        norm = norm.persist()
+        sample = _gate_sample_pairs(norm, threshold, gate_sample, seed)
         pair_cos = sample[3] if sample is not None else np.empty(0)
         if pair_cos.size == 0:
             warnings.warn(
@@ -364,7 +368,6 @@ def cosine_pairs_lsh(
     # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands
     planes = rng.normal(size=(n_bands * n_bits, dim))
     weights = (1 << np.arange(n_bits)).astype(np.int64)
-    norm = _normalized(df, id_col, vector_col, assume_normalized)
 
     @pandas_udf("array<long>")
     def all_sigs(vectors: pd.Series) -> pd.Series:
@@ -386,13 +389,21 @@ def cosine_pairs_lsh(
         )
         .where(F.size("_ids") > 1)
     )
-    return (
+    result = (
         packed.mapInArrow(
             _score_packed_buckets(threshold, score_col),
             f"id_a long, id_b long, {score_col} double",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not gated:
+        return result
+    try:
+        # eager materialization so the gate's cache can be released on
+        # return (same shape as the IVF lane below)
+        return result.localCheckpoint(eager=True)
+    finally:
+        norm.unpersist()
 
 
 def cosine_pairs_ivf(
@@ -484,13 +495,15 @@ def cosine_pairs_ivf(
             cap = min(max_assign, centroids.shape[0])
 
             def recall_at(m: int) -> float:
-                cells = np.sort(order[:, :m], axis=1)
-                hits = sum(
-                    1 for a, b in zip(gi, gj)
-                    if np.intersect1d(
-                        cells[a], cells[b], assume_unique=True
-                    ).size
-                )
+                # vectorized pair intersection: (pairs, m, m) broadcast
+                # equality, chunked so a duplicate-heavy sample (pairs ~
+                # sample^2 worst case) never materializes a huge cube
+                ca, cb = order[gi, :m], order[gj, :m]
+                hits = 0
+                step = max(1, int((1 << 24) // max(1, m * m)))
+                for s in range(0, ca.shape[0], step):
+                    eq = ca[s : s + step, :, None] == cb[s : s + step, None, :]
+                    hits += int(eq.any(axis=(1, 2)).sum())
                 return hits / gi.size
 
             measured = recall_at(na)
