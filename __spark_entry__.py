@@ -865,9 +865,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine self-join via random-hyperplane LSH (the linear
     scale path). 6-bit base config with the round-10 recall GATE: a seeded
-    sample's exact pairs set the band count in closed form so expected
-    pair recall >= 0.95 at the 0.45 threshold (VERDICT r9 #2). Seeded →
-    deterministic; rows-only check (the banding is not SQL-expressible)."""
+    sample's exact pairs are simulated against the ACTUAL seeded planes
+    and the band count raised until measured pair recall >= 0.95 at the
+    0.45 threshold (VERDICT r9 #2). Seeded → deterministic; rows-only
+    check (the banding is not SQL-expressible)."""
     from mindb_spark.operators.similarity import cosine_pairs_lsh
 
     emb = _emb(spark, sf_dir)

@@ -241,13 +241,42 @@ def _gate_sample_pairs(
 def lsh_expected_pair_recall(
     pair_cos: np.ndarray, n_bits: int, n_bands: int
 ) -> float:
-    """Exact expected recall of banded hyperplane LSH over the given pair
+    """Expected recall of banded hyperplane LSH over the given pair
     cosines: per pair, P(some band collides) = 1 - (1 - p^bits)^bands with
-    p = 1 - theta/pi (Charikar 2002). Closed form — no simulation noise —
-    so the gate's estimator variance comes only from pair sampling."""
+    p = 1 - theta/pi (Charikar 2002). Closed form over the RANDOM plane
+    draw — the gate certifies on :func:`lsh_measured_pair_recall` instead
+    (the actual seeded draw can realize below this expectation); this is
+    kept for reporting and for choosing sane configs analytically."""
     theta = np.arccos(np.clip(pair_cos, -1.0, 1.0))
     p = 1.0 - theta / np.pi
     return float(np.mean(1.0 - (1.0 - p ** int(n_bits)) ** int(n_bands)))
+
+
+def lsh_measured_pair_recall(
+    gmat: np.ndarray,
+    gi: np.ndarray,
+    gj: np.ndarray,
+    n_bits: int,
+    n_bands: int,
+    dim: int,
+    seed: int,
+) -> float:
+    """Realized banded-LSH pair recall over sampled pairs, measured by
+    simulating the ACTUAL seeded hyperplanes the full run draws for this
+    (seed, n_bands, n_bits). Signatures are deterministic per row, so a
+    sampled pair survives the full run iff one of its band signatures
+    collides here — measured, not modeled: unlike the closed form this
+    carries no error from the specific plane draw (the same
+    simulate-the-real-structure principle as the IVF gate's centroid
+    simulation and the ANN post-train gate)."""
+    if gi.size == 0:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bands * n_bits, dim))
+    bits = (gmat @ planes.T) > 0
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    sigs = bits.reshape(gmat.shape[0], n_bands, n_bits) @ weights
+    return float((sigs[gi] == sigs[gj]).any(axis=1).mean())
 
 
 def simhash_signature_udf(planes: np.ndarray):
@@ -312,13 +341,15 @@ def cosine_pairs_lsh(
 
     Recall gate (VERDICT r9 #2 — mirrors the ANN post-train gate): with
     ``pair_recall_target`` set, a seeded bounded sample's exact qualifying
-    pairs are collected and the lane's EXPECTED recall over them is
-    computed in closed form (collision probability is a function of the
-    pair angle only); ``n_bands`` is doubled until the expectation meets
-    the target or ``max_bands`` is hit, and a ``UserWarning`` carries the
-    measured number when the target is unreachable. ``gate_report`` (a
-    caller-supplied dict) receives {gate_pairs, n_bands,
-    expected_pair_recall}.
+    pairs are collected and the lane is SIMULATED driver-side with the
+    ACTUAL seeded hyperplanes (signatures are deterministic per row, so a
+    sampled pair survives the full run iff a band signature collides in
+    the simulation — measured, not the closed-form expectation, which the
+    fixed plane draw can realize below); ``n_bands`` is doubled until the
+    measured recall meets the target or ``max_bands`` is hit, and a
+    ``UserWarning`` carries the measured number when the target is
+    unreachable. ``gate_report`` (a caller-supplied dict) receives
+    {gate_pairs, n_bands, measured_pair_recall, expected_pair_recall}.
     """
     import warnings
 
@@ -344,16 +375,18 @@ def cosine_pairs_lsh(
                 f"n_bands={n_bands} untuned"
             )
         else:
-            while (
-                lsh_expected_pair_recall(pair_cos, n_bits, n_bands)
-                < pair_recall_target
-                and n_bands * 2 <= max_bands
-            ):
+            gmat, gi, gj = sample[0], sample[1], sample[2]
+            measured = lsh_measured_pair_recall(
+                gmat, gi, gj, n_bits, n_bands, dim, seed
+            )
+            while measured < pair_recall_target and n_bands * 2 <= max_bands:
                 n_bands *= 2
-            expected = lsh_expected_pair_recall(pair_cos, n_bits, n_bands)
-            if expected < pair_recall_target:
+                measured = lsh_measured_pair_recall(
+                    gmat, gi, gj, n_bits, n_bands, dim, seed
+                )
+            if measured < pair_recall_target:
                 warnings.warn(
-                    f"cosine_pairs_lsh expected pair recall {expected:.4f} "
+                    f"cosine_pairs_lsh measured pair recall {measured:.4f} "
                     f"< target {pair_recall_target} even at n_bands="
                     f"{n_bands} (max_bands={max_bands}); lower n_bits or "
                     "raise max_bands"
@@ -362,7 +395,11 @@ def cosine_pairs_lsh(
                 gate_report.update(
                     gate_pairs=int(pair_cos.size),
                     n_bands=int(n_bands),
-                    expected_pair_recall=round(expected, 4),
+                    measured_pair_recall=round(measured, 4),
+                    expected_pair_recall=round(
+                        lsh_expected_pair_recall(pair_cos, n_bits, n_bands),
+                        4,
+                    ),
                 )
     rng = np.random.default_rng(seed)
     # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands

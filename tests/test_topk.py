@@ -206,8 +206,10 @@ def _exact_pairs(mat, tau):
 
 def test_lsh_recall_gate_escalates_bands_to_target(mid_sim_corpus):
     """VERDICT r9 #2: the gate must turn a low-recall config into one
-    meeting pair_recall_target by raising n_bands, and report the
-    closed-form expectation it certified."""
+    meeting pair_recall_target by raising n_bands. The gate simulates
+    the ACTUAL seeded planes (round 10: measured, not the closed-form
+    expectation), so on a corpus small enough that the gate sample is
+    the whole corpus, the realized recall equals the certified one."""
     df, mat = mid_sim_corpus
     tau = 0.65
     exact = _exact_pairs(mat, tau)
@@ -232,17 +234,19 @@ def test_lsh_recall_gate_escalates_bands_to_target(mid_sim_corpus):
         ).collect()
     }
     assert report["n_bands"] > 2                      # it escalated
-    assert report["expected_pair_recall"] >= 0.95     # certified target
+    assert report["measured_pair_recall"] >= 0.95     # certified target
     assert report["gate_pairs"] == len(exact)         # full-corpus sample
     assert gated <= exact                             # still exact-verified
     recall = len(gated & exact) / len(exact)
-    # expectation >= 0.95; the realization over >=60 pairs stays near it
-    assert recall >= 0.88, f"gated LSH recall {recall}"
+    # the gate simulated the exact planes over the full corpus, so the
+    # realized recall IS the certified measured recall
+    assert recall >= 0.95, f"gated LSH recall {recall}"
+    assert abs(recall - report["measured_pair_recall"]) < 1e-9
 
 
 def test_lsh_recall_gate_warns_when_capped(mid_sim_corpus):
     df, _ = mid_sim_corpus
-    with pytest.warns(UserWarning, match="expected pair recall"):
+    with pytest.warns(UserWarning, match="measured pair recall"):
         S.cosine_pairs_lsh(
             df, 0.65, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
             pair_recall_target=0.95, max_bands=4,
