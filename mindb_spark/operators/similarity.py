@@ -366,7 +366,13 @@ def cosine_pairs_lsh(
         # the cache the scan + normalize pipeline would run three times
         # (the ungated path stays lazy and uncached: one consumer)
         norm = norm.persist()
-        sample = _gate_sample_pairs(norm, threshold, gate_sample, seed)
+        try:
+            sample = _gate_sample_pairs(norm, threshold, gate_sample, seed)
+        except BaseException:
+            # the gate's count/collect jobs can fail mid-flight; don't
+            # leak the cache for the life of the session when they do
+            norm.unpersist()
+            raise
         pair_cos = sample[3] if sample is not None else np.empty(0)
         if pair_cos.size == 0:
             warnings.warn(
@@ -499,113 +505,116 @@ def cosine_pairs_ivf(
     # k-means sample, the exploded join) — without the cache the scan +
     # normalize pipeline would run three times
     norm = _normalized(df, id_col, vector_col, assume_normalized).persist()
-    n = norm.count()
-    if n == 0:
-        norm.unpersist()
-        return norm.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, {score_col} double"
-        )
-    k = int(n_cells or max(4, round(n**0.5)))
-    frac = min(1.0, sample_rows / n)
-    sample = (
-        norm.sample(fraction=frac, seed=seed) if frac < 1.0 else norm
-    ).select(vector_col).collect()
-    smat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
-    centroids = PQ._kmeans(smat, min(k, len(smat)), seed=seed).astype(np.float64)
-    c2 = (centroids**2).sum(axis=1)
-    na = min(n_assign, centroids.shape[0])
-    if pair_recall_target is not None:
-        gate = _gate_sample_pairs(norm, threshold, gate_sample, seed, n=n)
-        gi = gate[1] if gate is not None else np.empty(0, dtype=np.int64)
-        if gi.size == 0:
-            warnings.warn(
-                "cosine_pairs_ivf recall gate inconclusive: no pairs >= "
-                f"{threshold} in a {gate_sample}-row sample; running with "
-                f"n_assign={na} untuned"
-            )
-        else:
-            gmat, gj = gate[0], gate[2]
-            # one distance pass sample -> every centroid, then the
-            # escalation just widens the per-row nearest-cell prefix
-            d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * (gmat @ centroids.T)
-            order = np.argsort(d2, axis=1)
-            cap = min(max_assign, centroids.shape[0])
-
-            def recall_at(m: int) -> float:
-                # vectorized pair intersection: (pairs, m, m) broadcast
-                # equality, chunked so a duplicate-heavy sample (pairs ~
-                # sample^2 worst case) never materializes a huge cube
-                ca, cb = order[gi, :m], order[gj, :m]
-                hits = 0
-                step = max(1, int((1 << 24) // max(1, m * m)))
-                for s in range(0, ca.shape[0], step):
-                    eq = ca[s : s + step, :, None] == cb[s : s + step, None, :]
-                    hits += int(eq.any(axis=(1, 2)).sum())
-                return hits / gi.size
-
-            measured = recall_at(na)
-            while measured < pair_recall_target and na < cap:
-                na = min(cap, na * 2)
-                measured = recall_at(na)
-            if measured < pair_recall_target:
-                warnings.warn(
-                    f"cosine_pairs_ivf measured pair recall {measured:.4f}"
-                    f" < target {pair_recall_target} even at n_assign={na}"
-                    f" (max_assign={max_assign}); raise max_assign or use"
-                    " fewer cells"
-                )
-            if gate_report is not None:
-                gate_report.update(
-                    gate_pairs=int(gi.size),
-                    n_assign=int(na),
-                    measured_pair_recall=round(measured, 4),
-                )
-
-    @pandas_udf("array<int>")
-    def nearest_cells(vectors: pd.Series) -> pd.Series:
-        mat = np.array(vectors.tolist(), dtype=np.float64)
-        kcells = centroids.shape[0]
-        # row-chunked so the (rows, k) score matrix stays bounded — the
-        # same 100x hazard assign_cells fixes in index/build.py (an
-        # unchunked batch materializes gigabytes once k reaches the
-        # tens of thousands)
-        step = max(1, int((1 << 27) // (8 * max(kcells, 1))))
-        rows = []
-        for s in range(0, mat.shape[0], step):
-            d2 = c2[None, :] - 2.0 * (mat[s : s + step] @ centroids.T)
-            if na < d2.shape[1]:
-                part = np.argpartition(d2, kth=na - 1, axis=1)[:, :na]
-            else:
-                part = np.broadcast_to(
-                    np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])
-                )
-            rows.extend(row.astype(np.int32) for row in part)
-        return pd.Series(rows)
-
-    exploded = norm.select(
-        F.col(id_col),
-        F.col(vector_col),
-        F.explode(nearest_cells(F.col(vector_col))).alias("_cell"),
-    )
-    packed = (
-        exploded.groupBy("_cell")
-        .agg(
-            F.collect_list(F.col(id_col)).alias("_ids"),
-            F.collect_list(F.col(vector_col)).alias("_vecs"),
-        )
-        .where(F.size("_ids") > 1)
-    )
     try:
+        n = norm.count()
+        if n == 0:
+            return norm.sparkSession.createDataFrame(
+                [], f"id_a long, id_b long, {score_col} double"
+            )
+        k = int(n_cells or max(4, round(n**0.5)))
+        frac = min(1.0, sample_rows / n)
+        sample = (
+            norm.sample(fraction=frac, seed=seed) if frac < 1.0 else norm
+        ).select(vector_col).collect()
+        smat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+        centroids = PQ._kmeans(smat, min(k, len(smat)), seed=seed).astype(np.float64)
+        c2 = (centroids**2).sum(axis=1)
+        na = min(n_assign, centroids.shape[0])
+        if pair_recall_target is not None:
+            gate = _gate_sample_pairs(norm, threshold, gate_sample, seed, n=n)
+            gi = gate[1] if gate is not None else np.empty(0, dtype=np.int64)
+            if gi.size == 0:
+                warnings.warn(
+                    "cosine_pairs_ivf recall gate inconclusive: no pairs >= "
+                    f"{threshold} in a {gate_sample}-row sample; running with "
+                    f"n_assign={na} untuned"
+                )
+            else:
+                gmat, gj = gate[0], gate[2]
+                # one distance pass sample -> every centroid, then the
+                # escalation just widens the per-row nearest-cell prefix
+                d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * (gmat @ centroids.T)
+                order = np.argsort(d2, axis=1)
+                cap = min(max_assign, centroids.shape[0])
+
+                def recall_at(m: int) -> float:
+                    # vectorized pair intersection: (pairs, m, m) broadcast
+                    # equality, chunked so a duplicate-heavy sample (pairs ~
+                    # sample^2 worst case) never materializes a huge cube
+                    ca, cb = order[gi, :m], order[gj, :m]
+                    hits = 0
+                    step = max(1, int((1 << 24) // max(1, m * m)))
+                    for s in range(0, ca.shape[0], step):
+                        eq = ca[s : s + step, :, None] == cb[s : s + step, None, :]
+                        hits += int(eq.any(axis=(1, 2)).sum())
+                    return hits / gi.size
+
+                measured = recall_at(na)
+                while measured < pair_recall_target and na < cap:
+                    na = min(cap, na * 2)
+                    measured = recall_at(na)
+                if measured < pair_recall_target:
+                    warnings.warn(
+                        f"cosine_pairs_ivf measured pair recall {measured:.4f}"
+                        f" < target {pair_recall_target} even at n_assign={na}"
+                        f" (max_assign={max_assign}); raise max_assign or use"
+                        " fewer cells"
+                    )
+                if gate_report is not None:
+                    gate_report.update(
+                        gate_pairs=int(gi.size),
+                        n_assign=int(na),
+                        measured_pair_recall=round(measured, 4),
+                    )
+
+        @pandas_udf("array<int>")
+        def nearest_cells(vectors: pd.Series) -> pd.Series:
+            mat = np.array(vectors.tolist(), dtype=np.float64)
+            kcells = centroids.shape[0]
+            # row-chunked so the (rows, k) score matrix stays bounded — the
+            # same 100x hazard assign_cells fixes in index/build.py (an
+            # unchunked batch materializes gigabytes once k reaches the
+            # tens of thousands)
+            step = max(1, int((1 << 27) // (8 * max(kcells, 1))))
+            rows = []
+            for s in range(0, mat.shape[0], step):
+                d2 = c2[None, :] - 2.0 * (mat[s : s + step] @ centroids.T)
+                if na < d2.shape[1]:
+                    part = np.argpartition(d2, kth=na - 1, axis=1)[:, :na]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1])
+                    )
+                rows.extend(row.astype(np.int32) for row in part)
+            return pd.Series(rows)
+
+        exploded = norm.select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.explode(nearest_cells(F.col(vector_col))).alias("_cell"),
+        )
+        packed = (
+            exploded.groupBy("_cell")
+            .agg(
+                F.collect_list(F.col(id_col)).alias("_ids"),
+                F.collect_list(F.col(vector_col)).alias("_vecs"),
+            )
+            .where(F.size("_ids") > 1)
+        )
         return (
             packed.mapInArrow(
                 _score_packed_buckets(threshold, score_col),
                 f"id_a long, id_b long, {score_col} double",
             )
             .dropDuplicates(["id_a", "id_b"])
-            # eager materialization so the cache can be released on return
+            # eager materialization so the cache can be released on
+            # return
             .localCheckpoint(eager=True)
         )
     finally:
+        # one finally covers every job the lane runs (count, k-means
+        # sample, gate collects, the join itself): no path — including
+        # a failed gate — can leak the session-lifetime cache
         norm.unpersist()
 
 
