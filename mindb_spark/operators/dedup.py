@@ -797,8 +797,20 @@ def minhash_lsh_pairs(
             F.col("_id").alias("_sid"), F.col("_shs")
         ).persist()
         sets.count()
+        # Join shape at corpus scale (plan-pinned in tests/test_plans.py):
+        # the cached sets side needs NO new exchange (the groupBy's hash
+        # partitioning on _id propagates through the _sid/id_a aliases and
+        # satisfies both join distributions), and the shuffle_hash hints
+        # on the candidate side stop the planner from choosing sort-merge
+        # — SMJ would SORT the full per-doc shingle-set relation (the
+        # ~18 GB side at 20.4M docs), and that sort spill is the disk
+        # high-water the r9 20.4M run died on. Shuffle-hash builds the
+        # hashmap from the candidate side (two longs / +one array per
+        # row, bounded per partition) and streams the sets rows untouched.
         out = (
-            cand.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+            cand.hint("shuffle_hash")
+            .join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+            .hint("shuffle_hash")
             .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
             .select(
                 "id_a",

@@ -328,3 +328,60 @@ def test_similarity_lsh_signature_stage_is_arrow_not_row_python(spark, sf_dir):
     assert "BatchEvalPython" not in p, p
     assert "ArrowEvalPython" in p  # the all-band signature pandas_udf
     assert "MapInArrow" in p or "PythonMapInArrow" in p  # bucket GEMM kernel
+
+
+def test_minhash_verify_join_streams_sets_without_sort(spark, sf_dir):
+    """Round 10: the verify path's candidate<->sets joins, at the
+    at-scale shape (no broadcast), must (a) be shuffle-hash joins built
+    from the CANDIDATE side, never sort-merge — SMJ sorts the full
+    per-doc shingle-set relation (~18 GB at 20.4M docs) and that sort
+    spill is the disk high-water the r9 20.4M run died on — and (b)
+    stream the cached sets side with NO new exchange (the groupBy's
+    hash partitioning propagates through the _sid/id_a aliases)."""
+    from pyspark.sql import functions as F
+
+    from mindb_spark.functions.text import exploded_shingle_hashes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shingled = exploded_shingle_hashes(docs, "doc_id", "text", 3).persist()
+    sets = (
+        shingled.groupBy("_id")
+        .agg(F.collect_list("shingle").alias("_shs"))
+        .select(F.col("_id").alias("_sid"), F.col("_shs"))
+        .persist()
+    )
+    cand = spark.range(64).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = (
+            cand.hint("shuffle_hash")
+            .join(
+                sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")),
+                "id_a",
+            )
+            .hint("shuffle_hash")
+            .join(
+                sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")),
+                "id_b",
+            )
+        )
+        p = plan_of(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        sets.unpersist()
+        shingled.unpersist()
+    assert p.count("ShuffledHashJoin") == 2, p
+    assert "SortMergeJoin" not in p, p
+    # the sets InMemoryTableScan must feed the join directly: no Sort
+    # node and no exchange between the cache and either join
+    for line in p.splitlines():
+        if "Sort " in line and "InMemoryTableScan" not in line:
+            raise AssertionError(f"unexpected sort at scale shape: {line}")
