@@ -798,31 +798,39 @@ def minhash_lsh_pairs(
         ).persist()
         sets.count()
         # Join shape at corpus scale (plan-pinned in tests/test_plans.py):
-        # the cached sets side needs NO new exchange (the groupBy's hash
-        # partitioning on _id propagates through the _sid/id_a aliases and
-        # satisfies both join distributions), and the shuffle_hash hints
-        # on the candidate side stop the planner from choosing sort-merge
-        # — SMJ would SORT the full per-doc shingle-set relation (the
-        # ~18 GB side at 20.4M docs), and that sort spill is the disk
-        # high-water the r9 20.4M run died on. Shuffle-hash builds the
-        # hashmap from the candidate side (two longs / +one array per
-        # row, bounded per partition) and streams the sets rows untouched.
+        # each candidate pair explodes into two (id_a, id_b, _sid) rows
+        # and the sets relation is joined exactly ONCE — shuffle-hash
+        # with the exploded candidates as the build side (two longs per
+        # row, bounded per partition), while the cached sets side moves
+        # through NO new exchange (the groupBy's hash partitioning on
+        # _id propagates through the _sid alias) and NO sort. The pair's
+        # two shingle sets then meet in a groupBy that spills safely
+        # (ObjectHashAggregate falls back to sort-based). Both shapes
+        # this replaces fail at the 20.4M single-box scale: sort-merge
+        # SORTS the ~18 GB sets relation twice (the r9 disk death), and
+        # two-sided shuffle-hash builds a hashmap of candidate rows with
+        # attached set ARRAYS (~10 GB of boxed arrays -> the r10 heap
+        # death). Work stays O(|candidates|), never all-pairs.
+        expl = cand.select(
+            "id_a",
+            "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_sid"),
+        )
+        two = (
+            expl.hint("shuffle_hash")
+            .join(sets, "_sid")
+            .groupBy("id_a", "id_b")
+            .agg(F.collect_list("_shs").alias("_two"))
+            .where(F.size("_two") == 2)  # both endpoints resolved
+        )
+        sa = F.element_at(F.col("_two"), 1)
+        sb = F.element_at(F.col("_two"), 2)
+        inter = F.size(F.array_intersect(sa, sb))
         out = (
-            cand.hint("shuffle_hash")
-            .join(sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
-            .hint("shuffle_hash")
-            .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
-            .select(
+            two.select(
                 "id_a",
                 "id_b",
-                (
-                    F.size(F.array_intersect("_sa", "_sb"))
-                    / (
-                        F.size("_sa")
-                        + F.size("_sb")
-                        - F.size(F.array_intersect("_sa", "_sb"))
-                    )
-                ).alias("jaccard"),
+                (inter / (F.size(sa) + F.size(sb) - inter)).alias("jaccard"),
             )
             .where(F.col("jaccard") >= threshold)
         )

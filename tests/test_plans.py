@@ -331,13 +331,14 @@ def test_similarity_lsh_signature_stage_is_arrow_not_row_python(spark, sf_dir):
 
 
 def test_minhash_verify_join_streams_sets_without_sort(spark, sf_dir):
-    """Round 10: the verify path's candidate<->sets joins, at the
-    at-scale shape (no broadcast), must (a) be shuffle-hash joins built
-    from the CANDIDATE side, never sort-merge — SMJ sorts the full
-    per-doc shingle-set relation (~18 GB at 20.4M docs) and that sort
-    spill is the disk high-water the r9 20.4M run died on — and (b)
-    stream the cached sets side with NO new exchange (the groupBy's
-    hash partitioning propagates through the _sid/id_a aliases)."""
+    """Round 10: the verify path joins the per-doc shingle-set relation
+    exactly ONCE, shuffle-hash built from the exploded CANDIDATE side
+    (two longs per row, bounded), at the at-scale shape (no broadcast):
+    never sort-merge (SMJ sorts the ~18 GB sets relation — the r9
+    20.4M disk death), never a build side carrying set arrays (the
+    two-sided shuffle-hash heap death), and the cached sets side moves
+    through NO new exchange (the groupBy partitioning propagates
+    through the _sid alias)."""
     from pyspark.sql import functions as F
 
     from mindb_spark.functions.text import exploded_shingle_hashes
@@ -360,17 +361,16 @@ def test_minhash_verify_join_streams_sets_without_sort(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        expl = cand.select(
+            "id_a",
+            "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_sid"),
+        )
         out = (
-            cand.hint("shuffle_hash")
-            .join(
-                sets.select(F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")),
-                "id_a",
-            )
-            .hint("shuffle_hash")
-            .join(
-                sets.select(F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")),
-                "id_b",
-            )
+            expl.hint("shuffle_hash")
+            .join(sets, "_sid")
+            .groupBy("id_a", "id_b")
+            .agg(F.collect_list("_shs").alias("_two"))
         )
         p = plan_of(out)
     finally:
@@ -378,10 +378,12 @@ def test_minhash_verify_join_streams_sets_without_sort(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         sets.unpersist()
         shingled.unpersist()
-    assert p.count("ShuffledHashJoin") == 2, p
+    assert p.count("ShuffledHashJoin") == 1, p
     assert "SortMergeJoin" not in p, p
+    # the pair gather must be the spill-safe object hash aggregate
+    assert "ObjectHashAggregate" in p, p
     # the sets InMemoryTableScan must feed the join directly: no Sort
-    # node and no exchange between the cache and either join
+    # node anywhere at this shape
     for line in p.splitlines():
         if "Sort " in line and "InMemoryTableScan" not in line:
             raise AssertionError(f"unexpected sort at scale shape: {line}")
