@@ -961,6 +961,52 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("doc_id", "fingerprint").localCheckpoint()
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup at ingest (round 10): documents stream in
+    (3 micro-batches via maxFilesPerTrigger=1) and each batch is
+    MinHash-LSH banded against a fixed corpus index
+    (streaming/ingest.py::corpus_minhash_index /
+    near_dup_against_corpus), candidates exact-Jaccard verified — the
+    streaming extension of `dedup_incremental` (which is
+    exact-fingerprint only). md5 lane so the DuckDB oracle reproduces
+    the banding bit-for-bit: the oracle is the batch minhash SQL
+    restricted to (corpus, new) cross pairs, which the stream must
+    equal exactly because signatures and buckets are seedless pure
+    functions of the text."""
+    import tempfile
+
+    from mindb_spark.streaming.ingest import (
+        corpus_minhash_index,
+        stream_near_dup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") < INCR_DEDUP_CUTOFF)
+    new = docs.where(F.col("doc_id") >= INCR_DEDUP_CUTOFF)
+    kw = dict(k=JACCARD_K, num_hashes=MINHASH_HASHES, n_bands=MINHASH_BANDS,
+              hash_family="md5")
+    bands, sets = corpus_minhash_index(corpus, **kw)
+    bands, sets = bands.persist(), sets.persist()
+    with tempfile.TemporaryDirectory() as tmp:
+        src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+        new.repartition(3).write.parquet(src)
+        raw = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_near_dup(
+            raw, bands, sets, NEAR_DUP_TAU, sink, ckpt, **kw
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink).select(
+            "new_id", "corpus_id", _fl6("jaccard").alias("jaccard")
+        ).localCheckpoint(eager=True)
+    bands.unpersist()
+    sets.unpersist()
+    return out
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (size/digest/mime sniff), all JVM expressions.
 
@@ -1957,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- room for ann_fused_query — streaming keeps
         # ---------------- stream_window_agg as its in-window row)
         "stream_dedup": q_stream_dedup,
+        "stream_near_dup": q_stream_near_dup,
         "join_top_customers": q_join_top_customers,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -2087,7 +2134,7 @@ codes as (
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(cross_cutoff: int | None = None) -> str:
     # Kirsch-Mitzenmacher double hashing, mirroring
     # operators.dedup._signatures_from_shingled: ONE md5 per shingle,
     # h_i = (a + i*b) mod 2^48 with a = hex[1..12], b = hex[17..28] forced
@@ -2128,9 +2175,12 @@ bandrows as ({band_rows}),
 cand as (
   select distinct a.doc_id id_a, b.doc_id id_b
   from bandrows a join bandrows b using (band, bucket)
-  where a.doc_id < b.doc_id
+  where {"a.doc_id < " + str(cross_cutoff) + " and b.doc_id >= " + str(cross_cutoff)
+         if cross_cutoff is not None else "a.doc_id < b.doc_id"}
 )
-select c.id_a, c.id_b, floor(j.j * 1000000 + 0.5) / 1000000 as jaccard
+select {"c.id_b as new_id, c.id_a as corpus_id"
+        if cross_cutoff is not None else "c.id_a, c.id_b"},
+       floor(j.j * 1000000 + 0.5) / 1000000 as jaccard
 from cand c join jac j on c.id_a = j.id_a and c.id_b = j.id_b
 where j.j >= {NEAR_DUP_TAU}
 """
@@ -2738,6 +2788,7 @@ select l_returnflag,
 from lineitem
 group by 1
 """,
+        "stream_near_dup": _minhash_sql(cross_cutoff=INCR_DEDUP_CUTOFF),
         "stream_dedup": r"""
 select min(doc_id) as doc_id,
        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) as fingerprint

@@ -501,6 +501,51 @@ def _signatures_from_hashes(
     )
 
 
+def band_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    n_bands: int,
+    fast: bool,
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature table: one row per band,
+    bucket = hash of that band's signature slice. The bucket key only
+    needs to be injective on the band's row slice; the fast lane hashes
+    the r longs directly (8-byte buckets), the portable lane keeps the
+    md5-of-concat string the SQL oracle reproduces. Shared by the batch
+    self-join (``minhash_lsh_pairs``) and the streaming batch-vs-corpus
+    join (``streaming.ingest.near_dup_against_corpus``) — both sides of
+    any banding join MUST come from this one function or buckets won't
+    collide."""
+    r = num_hashes // n_bands
+
+    def _bucket(b: int):
+        if fast:
+            return F.xxhash64(
+                *[F.col("signature")[b * r + i] for i in range(r)]
+            )
+        return F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col("signature")[b * r + i].cast("string") for i in range(r)],
+            )
+        )
+
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -702,7 +747,6 @@ def minhash_lsh_pairs(
                 if preflight == "error":
                     raise RuntimeError(msg)
                 warnings.warn(msg)
-    r = num_hashes // n_bands
     # The exploded (id, shingle) rows feed BOTH the signature aggregation
     # and (when verifying) the per-doc shingle-set aggregation, so the
     # regex shingle pipeline is cached and runs once. All caches are
@@ -735,34 +779,7 @@ def minhash_lsh_pairs(
     # when verifying, the shingled cache they read) before the race
     sigs.count()
 
-    def _bucket(b: int):
-        # the bucket key only needs to be injective on the band's row
-        # slice; the fast lane hashes the r longs directly (8-byte
-        # buckets), the portable lane keeps the md5-of-concat string
-        if fast:
-            return F.xxhash64(
-                *[F.col("signature")[b * r + i] for i in range(r)]
-            )
-        return F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col("signature")[b * r + i].cast("string") for i in range(r)],
-            )
-        )
-
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = band_buckets(sigs, id_col, num_hashes, n_bands, fast)
 
     a = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))

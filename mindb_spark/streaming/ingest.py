@@ -309,3 +309,157 @@ def interval_join_attribution(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).cast("long").alias("lag_seconds"),
     )
+
+
+# ------------------------------------------------------- near-dup at ingest
+# The production shape for LLM-corpus ingestion: documents STREAM in and
+# each micro-batch is near-dup-checked against a FIXED existing corpus
+# before admission (the streaming extension of corpus.incremental_dedup,
+# which is exact-fingerprint only). The corpus side is indexed ONCE —
+# LSH band table + per-doc shingle sets — then every micro-batch pays
+# only its own shingling plus a banding join against the index. In-stream
+# (new-vs-new) duplicates are streaming_dedup's job (exact) — compose
+# both for the full ingest gate.
+
+
+def corpus_minhash_index(
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    n_bands: int = 8,
+    hash_family: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """The static side of streaming near-dup, built once per corpus:
+    ``(bands, sets)`` where bands = (corpus_id, band, bucket) and sets =
+    (corpus_id, _cshs: the doc's distinct shingle array). Persist both
+    (or write bands out bucketed by (band, bucket)) so micro-batches
+    join against materialized data instead of re-shingling the corpus
+    per trigger. Same seedless hash families as ``minhash_lsh_pairs`` —
+    both sides of a banding join must agree bit-for-bit."""
+    from mindb_spark.functions.text import exploded_shingle_hashes
+    from mindb_spark.operators.dedup import (
+        _exploded_shingles,
+        _signatures_from_hashes,
+        _signatures_from_shingled,
+        band_buckets,
+    )
+
+    fast = hash_family in ("auto", "xxhash64")
+    if not fast and hash_family != "md5":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    shingled = (
+        exploded_shingle_hashes(corpus_df, id_col, text_col, k)
+        if fast
+        else _exploded_shingles(corpus_df, id_col, text_col, k)
+    )
+    sig_fn = _signatures_from_hashes if fast else _signatures_from_shingled
+    sigs = sig_fn(shingled.withColumnRenamed("_id", "corpus_id"), "corpus_id", num_hashes)
+    bands = band_buckets(sigs, "corpus_id", num_hashes, n_bands, fast)
+    sets = shingled.groupBy("_id").agg(
+        F.collect_list("shingle").alias("_cshs")
+    ).select(F.col("_id").alias("corpus_id"), "_cshs")
+    return bands, sets
+
+
+def near_dup_against_corpus(
+    batch_df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    n_bands: int = 8,
+    hash_family: str = "auto",
+) -> DataFrame:
+    """One micro-batch (or any static batch) of new documents near-dup
+    checked against a corpus index from :func:`corpus_minhash_index` —
+    returns (new_id, corpus_id, jaccard) for every banding candidate
+    whose exact Jaccard >= threshold.
+
+    Plan shape for 100 TB corpora: the batch side is micro-batch-sized,
+    so it is BROADCAST into both joins — the banding join streams the
+    corpus band table and the verify join streams the corpus sets, each
+    with zero shuffle and zero sort of the corpus side; per-trigger cost
+    is O(batch) + two corpus scans (cache the index to make those
+    memory-speed). Work never touches corpus-corpus pairs."""
+    from mindb_spark.functions.text import exploded_shingle_hashes
+    from mindb_spark.operators.dedup import (
+        _exploded_shingles,
+        _signatures_from_hashes,
+        _signatures_from_shingled,
+        band_buckets,
+    )
+
+    fast = hash_family in ("auto", "xxhash64")
+    if not fast and hash_family != "md5":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if num_hashes % n_bands != 0:
+        raise ValueError("num_hashes must be divisible by n_bands")
+    shingled = (
+        exploded_shingle_hashes(batch_df, id_col, text_col, k)
+        if fast
+        else _exploded_shingles(batch_df, id_col, text_col, k)
+    ).persist()
+    try:
+        sig_fn = _signatures_from_hashes if fast else _signatures_from_shingled
+        sigs = sig_fn(
+            shingled.withColumnRenamed("_id", "new_id"), "new_id", num_hashes
+        )
+        bbands = band_buckets(sigs, "new_id", num_hashes, n_bands, fast)
+        cand = (
+            corpus_bands.join(F.broadcast(bbands), ["band", "bucket"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+        bsets = shingled.groupBy("_id").agg(
+            F.collect_list("shingle").alias("_nshs")
+        ).select(F.col("_id").alias("new_id"), "_nshs")
+        paired = corpus_sets.join(
+            F.broadcast(cand.join(F.broadcast(bsets), "new_id")), "corpus_id"
+        )
+        inter = F.size(F.array_intersect("_nshs", "_cshs"))
+        out = paired.select(
+            "new_id",
+            "corpus_id",
+            (
+                inter / (F.size("_nshs") + F.size("_cshs") - inter)
+            ).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
+
+
+def stream_near_dup(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float,
+    sink_dir: str,
+    checkpoint_dir: str,
+    **kwargs: Any,
+):
+    """Wire :func:`near_dup_against_corpus` as a ``foreachBatch`` sink:
+    each micro-batch's verified (new_id, corpus_id, jaccard) rows are
+    appended to ``sink_dir`` as parquet. Idempotency: the emitted rows
+    for a replayed micro-batch are identical (the corpus index is fixed
+    and the check is deterministic), so downstream readers dedup on
+    (new_id, corpus_id) — same at-least-once contract as the ingest
+    sink above. Returns the started StreamingQuery."""
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        out = near_dup_against_corpus(
+            batch_df, corpus_bands, corpus_sets, threshold, **kwargs
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -337,3 +337,66 @@ def test_interval_join_stream_matches_batch(spark, tmpdir):
         for r in spark.table("ijoin").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_near_dup_matches_batch_cross_pairs(spark, tmpdir, sf_dir):
+    """Round 10: streaming near-dup at ingest. Three proofs in one run:
+    (1) the multi-micro-batch stream emits exactly what the batch
+    operator emits over the whole new set; (2) both equal the cross
+    (corpus, new) restriction of batch minhash_lsh_pairs over the UNION
+    — signatures and buckets are seedless pure functions of the text,
+    so banding between two tables equals union banding restricted to
+    cross pairs; (3) jaccard values are the exact set Jaccards."""
+    import os
+
+    from mindb_spark.operators.dedup import minhash_lsh_pairs
+    from mindb_spark.streaming.ingest import (
+        corpus_minhash_index,
+        near_dup_against_corpus,
+        stream_near_dup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cutoff = 400
+    corpus = docs.where(F.col("doc_id") < cutoff)
+    new = docs.where(F.col("doc_id") >= cutoff)
+    kw = dict(k=3, num_hashes=16, n_bands=8, hash_family="md5")
+    bands, sets = corpus_minhash_index(corpus, **kw)
+    bands, sets = bands.persist(), sets.persist()
+
+    batch = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in near_dup_against_corpus(
+            new, bands, sets, 0.5, **kw
+        ).collect()
+    }
+
+    union_cross = {
+        (r.id_b, r.id_a): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(
+            docs, 0.5, k=3, num_hashes=16, n_bands=8, hash_family="md5"
+        ).collect()
+        if r.id_a < cutoff <= r.id_b
+    }
+    assert batch == union_cross and len(batch) > 0
+
+    src = os.path.join(tmpdir, "nd_src")
+    sink = os.path.join(tmpdir, "nd_sink")
+    ckpt = os.path.join(tmpdir, "nd_ckpt")
+    new.repartition(3).write.parquet(src)
+    raw = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_near_dup(raw, bands, sets, 0.5, sink, ckpt, **kw)
+    q.awaitTermination()
+    streamed = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in spark.read.parquet(sink).collect()
+    }
+    bands.unpersist()
+    sets.unpersist()
+    assert streamed == batch
