@@ -441,6 +441,7 @@ def stream_near_dup(
     threshold: float,
     sink_dir: str,
     checkpoint_dir: str,
+    grow_dir: str | None = None,
     **kwargs: Any,
 ):
     """Wire :func:`near_dup_against_corpus` as a ``foreachBatch`` sink:
@@ -449,13 +450,76 @@ def stream_near_dup(
     for a replayed micro-batch are identical (the corpus index is fixed
     and the check is deterministic), so downstream readers dedup on
     (new_id, corpus_id) — same at-least-once contract as the ingest
-    sink above. Returns the started StreamingQuery."""
+    sink above. Returns the started StreamingQuery.
+
+    ``grow_dir``: with a path set, the corpus GROWS — after each batch
+    is checked, its own band rows and shingle sets are parquet-appended
+    under ``grow_dir``, and later batches join against the fixed index
+    UNIONED with everything appended so far. Cross-BATCH near-dups (a
+    doc arriving in batch 3 that near-matches one from batch 1) are
+    then caught, not just batch-vs-corpus; without it that job falls to
+    ``streaming_dedup`` (exact) or an offline pass. Replay caveat: a
+    replayed micro-batch re-appends its index rows — band/set rows are
+    duplicated, which only duplicates candidate generation (results
+    dedup on (new_id, corpus_id) as above), never changes jaccard."""
+    from mindb_spark.operators.dedup import band_buckets
+    from mindb_spark.functions.text import exploded_shingle_hashes
+    from mindb_spark.operators.dedup import (
+        _exploded_shingles,
+        _signatures_from_hashes,
+        _signatures_from_shingled,
+    )
+
+    fast = kwargs.get("hash_family", "auto") in ("auto", "xxhash64")
+    k = kwargs.get("k", 3)
+    num_hashes = kwargs.get("num_hashes", 16)
+    n_bands = kwargs.get("n_bands", 8)
+    id_col = kwargs.get("id_col", "doc_id")
+    text_col = kwargs.get("text_col", "text")
 
     def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands, sets = corpus_bands, corpus_sets
+        if grow_dir is not None:
+            import os
+
+            if os.path.isdir(f"{grow_dir}/bands"):
+                bands = bands.unionByName(
+                    spark.read.parquet(f"{grow_dir}/bands")
+                )
+                sets = sets.unionByName(
+                    spark.read.parquet(f"{grow_dir}/sets")
+                )
+        batch_df = batch_df.localCheckpoint(eager=True)
         out = near_dup_against_corpus(
-            batch_df, corpus_bands, corpus_sets, threshold, **kwargs
+            batch_df, bands, sets, threshold, **kwargs
         )
         out.write.mode("append").parquet(sink_dir)
+        if grow_dir is not None:
+            shingled = (
+                exploded_shingle_hashes(batch_df, id_col, text_col, k)
+                if fast
+                else _exploded_shingles(batch_df, id_col, text_col, k)
+            ).persist()
+            try:
+                sig_fn = (
+                    _signatures_from_hashes if fast
+                    else _signatures_from_shingled
+                )
+                sigs = sig_fn(
+                    shingled.withColumnRenamed("_id", "corpus_id"),
+                    "corpus_id", num_hashes,
+                )
+                band_buckets(
+                    sigs, "corpus_id", num_hashes, n_bands, fast
+                ).write.mode("append").parquet(f"{grow_dir}/bands")
+                shingled.groupBy("_id").agg(
+                    F.collect_list("shingle").alias("_cshs")
+                ).select(
+                    F.col("_id").alias("corpus_id"), "_cshs"
+                ).write.mode("append").parquet(f"{grow_dir}/sets")
+            finally:
+                shingled.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_batch_fn)

@@ -400,3 +400,50 @@ def test_stream_near_dup_matches_batch_cross_pairs(spark, tmpdir, sf_dir):
     bands.unpersist()
     sets.unpersist()
     assert streamed == batch
+
+
+def test_stream_near_dup_grow_corpus_catches_cross_batch(spark, tmpdir):
+    """grow_dir mode: a doc arriving in a LATER batch that near-matches
+    one from an EARLIER batch (neither in the fixed corpus) is caught —
+    the fixed-index mode misses it by design."""
+    import os
+
+    from mindb_spark.streaming.ingest import (
+        corpus_minhash_index,
+        stream_near_dup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, "totally unrelated corpus words only here " + "x " * 10)],
+        "doc_id long, text string",
+    )
+    kw = dict(k=3, num_hashes=16, n_bands=8, hash_family="md5")
+    bands, sets = corpus_minhash_index(corpus, **kw)
+    src = os.path.join(tmpdir, "g_src")
+    # batch order pinned by file name (file source lists lexically):
+    # doc 100 arrives before its near-dup 200
+    spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(
+        [(200, base + " lambda")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b=1")
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b=*")
+    )
+    sink = os.path.join(tmpdir, "g_sink")
+    q = stream_near_dup(
+        raw, bands, sets, 0.5, sink,
+        os.path.join(tmpdir, "g_ckpt"),
+        grow_dir=os.path.join(tmpdir, "g_idx"), **kw,
+    )
+    q.awaitTermination()
+    pairs = {
+        (r.new_id, r.corpus_id) for r in spark.read.parquet(sink).collect()
+    }
+    # (200, 100): caught only because batch 1's index rows were appended
+    assert (200, 100) in pairs
+    assert all(c != 1 for _n, c in pairs)  # corpus doc matches nothing
