@@ -868,7 +868,10 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample's exact pairs are simulated against the ACTUAL seeded planes
     and the band count raised until measured pair recall >= 0.95 at the
     0.45 threshold (VERDICT r9 #2). Seeded → deterministic; rows-only
-    check (the banding is not SQL-expressible)."""
+    check (the banding is not SQL-expressible). Round 11: ``cert_key``
+    identifies the corpus (the parquet path) so repeat calls — the
+    bench's second timed pass, the sim-compare probe — reuse the
+    certified band count with zero gate jobs (VERDICT r10 #3)."""
     from mindb_spark.operators.similarity import cosine_pairs_lsh
 
     emb = _emb(spark, sf_dir)
@@ -879,6 +882,7 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, 0.45, dim=d, id_col="vec_id", vector_col="embedding",
         n_bits=6, n_bands=16, seed=42,
         pair_recall_target=0.95, gate_report=report,
+        cert_key=f"{sf_dir}/embeddings.parquet",
     ).select(
         "id_a", "id_b", _fl6("cosine_similarity").alias("score")
     ).localCheckpoint()
@@ -927,6 +931,7 @@ def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), 0.45, id_col="vec_id", vector_col="embedding",
         n_assign=4, seed=42,
         pair_recall_target=0.95, gate_report=report,
+        cert_key=f"{sf_dir}/embeddings.parquet",
     ).select(
         "id_a", "id_b", _fl6("cosine_similarity").alias("score")
     ).localCheckpoint()

@@ -157,6 +157,82 @@ def _host_sentinel(spark) -> dict:
     }
 
 
+# Micro-sentinel (round 11, VERDICT r10 #1): the start/end sentinel pair
+# proved INTRA-run drift is the dominant error term (r10 measured the host
+# at 1.32x degraded when the run started and 0.77x when it ended), which
+# start/end-only normalization cannot attribute per query. A ~0.6 s
+# zero-repo-code reading — the jvm probe at HALF range, so its reference
+# wall is half the jvm REF — runs every MICRO_EVERY queries in each timed
+# pass; each query's wall is normalized by the host index interpolated at
+# its position. Single-shot by design: it samples the weather at that
+# instant (best-of-N would erase exactly the signal it exists to catch).
+MICRO_EVERY = 8
+
+
+def _micro_wall(spark) -> float:
+    """Raw wall of one micro reading. Readings are used RELATIVELY —
+    anchored to a reading taken right beside the full start sentinel —
+    because the half-range probe carries proportionally more fixed job
+    overhead than the full jvm probe, so a standalone REF constant would
+    put micro indices on a different absolute scale than host_index
+    (measured: ~1.2 micro vs 0.87 full on the same quiet host)."""
+    t0 = time.time()
+    spark.range(1 << 31).selectExpr(
+        "sum(xxhash64(id) % 1000000007)").collect()
+    return time.time() - t0
+
+
+def _index_at(micro: list, pos: float) -> float:
+    """Piecewise-linear host index at a query position from the pass's
+    (position, index) micro readings."""
+    for (p0, v0), (p1, v1) in zip(micro, micro[1:]):
+        if pos <= p1:
+            if pos <= p0 or p1 == p0:
+                return v0
+            t = (pos - p0) / (p1 - p0)
+            return v0 + t * (v1 - v0)
+    return micro[-1][1]
+
+
+def _timed_pass(spark, qs, order, errors, sf_dir, label, to_index):
+    """One timed pass over ``order``: each query runs ONCE (the other
+    pass, in reverse order, provides the second run — min-of-orders
+    replaces round-10's back-to-back best-of-2 so a slow half-hour
+    degrades each query in at most ONE of its two runs), with a micro-
+    sentinel reading every MICRO_EVERY queries bracketing the walls."""
+    walls: dict[str, float] = {}
+    micro: list = []
+    for i, name in enumerate(order):
+        if i % MICRO_EVERY == 0:
+            try:
+                micro.append((float(i), to_index(_micro_wall(spark))))
+            except Exception as e:
+                print(f"# micro sentinel failed: {e}", file=sys.stderr)
+        fn = qs[name]
+        # fault-isolated per query (round-2 lesson: one data-drift throw
+        # must degrade ONE row, not zero out the whole scoreboard)
+        try:
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            walls[name] = time.time() - t0
+            print(f"# [{label}] {name}: {walls[name]:.2f}s ({n} rows)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            errors.setdefault(name, f"{type(e).__name__}: {e}"[:300])
+            print(f"# [{label}] {name}: FAILED {errors[name]}",
+                  file=sys.stderr)
+    try:
+        micro.append((float(len(order)), to_index(_micro_wall(spark))))
+    except Exception as e:
+        print(f"# micro sentinel failed: {e}", file=sys.stderr)
+    if not micro:
+        micro = [(0.0, 1.0)]
+    return walls, micro
+
+
 class BenchQualityRegression(RuntimeError):
     """Deterministic quality-gate failure (recall pin). A dedicated
     RuntimeError subclass so the fiqa-probe's broad `except Exception`
@@ -200,31 +276,61 @@ def main() -> None:
         print(f"# host sentinel failed: {e}", file=sys.stderr)
 
     qs = E.queries()
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # DUAL-ORDER passes (round 11, VERDICT r10 #1): pass A forward, pass
+    # B reversed — each query still gets two runs (min absorbs codegen/GC
+    # debt exactly like round-10's best-of-2), but the two runs land at
+    # OPPOSITE ends of the run's weather window, so a drifting host
+    # degrades at most one of them. Micro-sentinels every MICRO_EVERY
+    # queries give each wall a local host index; the per-query normalized
+    # wall (min over passes of wall / local index) is the attribution
+    # column the raw numbers lacked in r7/r9/r10.
+    order_a = list(BENCH_QUERIES)
+    order_b = list(reversed(order_a))
+    # anchor: a best-of-2 micro reading taken HERE, adjacent to the full
+    # start sentinel, carries that sentinel's trusted absolute index;
+    # every later reading's index = start_index * (wall / anchor_wall) —
+    # micro measures DRIFT, the full sentinel provides the scale
+    anchor_idx = (sentinel or {}).get("host_index", 1.0)
+    try:
+        anchor_wall = min(_micro_wall(spark), _micro_wall(spark))
+    except Exception as e:
+        print(f"# micro anchor failed: {e}", file=sys.stderr)
+        anchor_wall = None
+
+    def to_index(wall: float) -> float:
+        if anchor_wall is None:
+            return 1.0
+        return anchor_idx * wall / anchor_wall
+
+    walls_a, micro_a = _timed_pass(
+        spark, qs, order_a, errors, SF_DIR, "A", to_index)
+    _quiesce(spark)
+    walls_b, micro_b = _timed_pass(
+        spark, qs, order_b, errors, SF_DIR, "B", to_index)
+    timings: dict[str, float] = {}
+    timings_norm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
-        # best-of-2 steady-state timing: the first pass absorbs plan
-        # compilation/codegen and any GC debt from the previous query;
-        # between passes persisted blocks are dropped and garbage collected
-        # so one query's memory pressure doesn't bleed into the next.
-        # Fault-isolated per query (round-2 lesson: one data-drift throw
-        # must degrade ONE row, not zero out the whole scoreboard).
-        try:
-            best = None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                spark._jvm.System.gc()
-                t0 = time.time()
-                df = fn(spark, SF_DIR)
-                n = df.count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+        raw, norm = [], []
+        if name in walls_a:
+            pos = order_a.index(name) + 0.5
+            raw.append(walls_a[name])
+            norm.append(walls_a[name] / _index_at(micro_a, pos))
+        if name in walls_b:
+            pos = order_b.index(name) + 0.5
+            raw.append(walls_b[name])
+            norm.append(walls_b[name] / _index_at(micro_b, pos))
+        if raw:
+            timings[name] = round(min(raw), 3)
+            timings_norm[name] = round(min(norm), 3)
+    # a query that succeeded in either pass is not an error
+    errors = {k: v for k, v in errors.items() if k not in timings}
+    micro_vals = [v for _, v in micro_a + micro_b]
+    print(
+        f"# micro sentinel range: {min(micro_vals):.3f}"
+        f"-{max(micro_vals):.3f} over {len(micro_vals)} readings",
+        file=sys.stderr,
+    )
 
     # quality gate alongside throughput: ANN recall@10 vs exact brute force
     # (BASELINE.md's contract is recall >= 0.97 trained / ~1.0 flat)
@@ -814,28 +920,42 @@ def main() -> None:
         # v6 (round 10): + host_sentinel / host_index / normalized — raw
         # walls divided by the zero-repo-code sentinel's host_index so
         # cross-round diffs separate host weather from code regressions.
-        "bench_schema": 6,
+        # v7 (round 11): per-QUERY attribution (VERDICT r10 #1) — the
+        # timed loop became two opposite-order passes with micro-sentinel
+        # readings every MICRO_EVERY queries; "queries" stays the raw
+        # min-of-orders wall (same two-run semantics as v6's best-of-2),
+        # and "queries_norm" is each query's wall divided by the host
+        # index interpolated at ITS position in the run — the per-query
+        # normalized column. normalized.headline_sec is now the sum of
+        # queries_norm (was: total / end-to-end host_index).
+        "bench_schema": 7,
         # measurement discipline, recorded in the artifact itself: headline
-        # queries and per-point ANN latencies are best-of-N wall clock with
-        # cache-clear + JVM GC quiesce between passes; point_query_ms is a
-        # median of 3-5 warm runs.
+        # queries run once per pass in two opposite-order passes (min =
+        # steady state) with cache-clear + JVM GC quiesce before each;
+        # point_query_ms is a median of 3-5 warm runs.
         "runs": 2,
-        "discipline": "best-of-2 wall clock, clearCache+System.gc between passes; point_query_ms median-of-3/5 warm",
+        "discipline": "min over two opposite-order passes, clearCache+System.gc before each query, micro-sentinel every 8 queries; point_query_ms median-of-3/5 warm",
         "queries": timings,
+        "queries_norm": timings_norm,
+        "micro_sentinels": {
+            "every": MICRO_EVERY,
+            "pass_a": [[p, round(v, 3)] for p, v in micro_a],
+            "pass_b": [[p, round(v, 3)] for p, v in micro_b],
+        },
         "sf": sf_val,
         "host_sentinel": sentinel,
         "host_index": (sentinel or {}).get("host_index"),
-        "normalized": (
-            {
-                "headline_sec": round(total / sentinel["host_index"], 3),
-                "ann_ms_per_query": {
+        "normalized": {
+            "headline_sec": round(sum(timings_norm.values()), 3),
+            "ann_ms_per_query": (
+                {
                     k: round(v / sentinel["host_index"], 2)
                     for k, v in (ann_ms_per_query or {}).items()
-                },
-            }
-            if sentinel
-            else None
-        ),
+                }
+                if sentinel
+                else None
+            ),
+        },
         "ann_recall_at_10": recall,
         "ann_ms_per_query": ann_ms_per_query,
         "ann_ms_per_query_routed": ann_ms_per_query_routed,
@@ -862,13 +982,19 @@ def main() -> None:
 
     compact = dict(full)
     compact.pop("host_sentinel", None)  # host_index+normalized suffice
+    compact.pop("micro_sentinels", None)  # full series in BENCH_FULL.json
     compact.pop("dedup_scale", None)
     compact.pop("similarity_exact_vs_lsh", None)
     compact.pop("baseline_only", None)
     compact.pop("discipline", None)  # long string; lives in BENCH_FULL.json
     if compact.get("errors") is None:
         compact.pop("errors", None)
-    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    # the compact line carries the NORMALIZED per-query walls (the
+    # attribution column VERDICT r10 #1 demanded); raw walls live in
+    # BENCH_FULL.json plus the raw headline total here
+    compact["queries"] = {k: round(v, 2) for k, v in timings_norm.items()}
+    compact.pop("queries_norm", None)
+    compact["queries_are"] = "normalized"
 
     def _emit(d):
         return json.dumps(d, separators=(",", ":"))

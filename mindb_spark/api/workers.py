@@ -193,7 +193,20 @@ class ResidentWorkerPool:
         (VERDICT r9 #7) — a transient kill must not permanently drop the
         pool to single-process throughput. Only a respawn that itself
         fails propagates to the caller's fallback path."""
-        lock = self._locks[worker]
+        # closed-pool check BEFORE indexing: close() reassigns the lock /
+        # conn lists to [], so a post-close caller would otherwise see an
+        # IndexError instead of the intended clean error (ADVICE r10).
+        # The IndexError catch covers the close-raced window between the
+        # flag check and the list read; a genuinely out-of-range worker on
+        # a live pool still IndexErrors (caller bug, not lifecycle).
+        if self._closed:
+            raise RuntimeError("pool is closed")
+        try:
+            lock = self._locks[worker]
+        except IndexError:
+            if self._closed:
+                raise RuntimeError("pool is closed") from None
+            raise
         qmat = np.asarray(query_vectors, dtype=np.float64)
         if qmat.ndim == 1:
             qmat = qmat[None, :]

@@ -356,6 +356,11 @@ def assign_cells(
     return out
 
 
+# warn when the biggest IVF cell exceeds this multiple of the median
+# (VERDICT r10 #6) — past ~8x one cell dominates any probe that hits it
+CELL_SKEW_WARN_RATIO = 8.0
+
+
 def default_n_buckets(num_clusters: int) -> int:
     """Bucket-count heuristic: ~32 cells per bucket directory, clamped.
 
@@ -594,10 +599,51 @@ def build_index(
             .option("parquet.block.size", str(2 * 1024 * 1024))
             .parquet(os.path.join(index_dir, "codes"))
         )
+        # CELL-SKEW TELEMETRY (round 11, VERDICT r10 #6): two-level
+        # allocation balances by design, but nothing MEASURED realized
+        # cell sizes post-train — on a skewed real corpus one hot cell
+        # silently serializes the probe stage at 100x (every query that
+        # probes it scans the whole cell). One bounded agg off the still-
+        # persisted codes (k counts, k = num_clusters) records
+        # max/median/skew in {index_dir}/cell_stats.json (picked up into
+        # the DB manifest and info()) and warns past an 8x max/median
+        # ratio — the operator's cue to retrain with more clusters or
+        # two-level allocation.
+        counts = sorted(
+            r["count"]
+            for r in codes.groupBy("cluster_id").count().collect()
+        )
+        cell_stats = None
+        if counts:
+            median = counts[len(counts) // 2]
+            cell_stats = {
+                "nonempty_cells": len(counts),
+                "num_clusters": int(centroids.shape[0]),
+                "max_cell_size": int(counts[-1]),
+                "median_cell_size": int(median),
+                "skew_ratio": round(counts[-1] / max(median, 1), 2),
+            }
+            if cell_stats["skew_ratio"] > CELL_SKEW_WARN_RATIO:
+                import warnings
+
+                warnings.warn(
+                    "IVF cell-size skew: max cell "
+                    f"{cell_stats['max_cell_size']} rows is "
+                    f"{cell_stats['skew_ratio']}x the median "
+                    f"{cell_stats['median_cell_size']} (threshold "
+                    f"{CELL_SKEW_WARN_RATIO}x) — the hot cell will "
+                    "serialize probes that touch it; consider more "
+                    "clusters or two-level clustering"
+                )
     finally:
         codes.unpersist()
 
     spark = vectors.sparkSession
+    if cell_stats is not None:
+        import json as _json
+
+        with open(os.path.join(index_dir, "cell_stats.json"), "w") as f:
+            _json.dump(cell_stats, f)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(artifacts.centroids)]
     spark.createDataFrame(cent_rows, "cluster_id int, centroid array<double>").write.mode(
         "overwrite"

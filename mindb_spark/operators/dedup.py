@@ -591,7 +591,17 @@ def minhash_signatures(
 # + 8.98 GB signature-agg shuffle + ~9 GB sets-agg shuffle + ~18 GB verify
 # read/candidate join ≈ 55 GB ≈ 46 B/row; md5-lane shingle STRINGS are
 # ~3x (20 GB of strings vs 5 GB of longs at 5.1M, same notes).
-_VERIFY_BYTES_PER_SHINGLE_ROW = {"fast": 48, "md5": 150}
+#
+# Round 11 (VERDICT r10 #4) splits the budget into the CONCURRENT-FIXED
+# part (caches + signature/sets aggregation shuffles — paid once, live
+# while the verify runs) and the CHUNKABLE part (band self-join +
+# candidate/verify shuffles — divided by ``verify_band_chunks`` when the
+# verify is processed band-group by band-group). Per the r9 component
+# table above: fixed ≈ (19+9+9)/55, chunkable ≈ 18/55 of the total.
+_VERIFY_BYTES_PER_SHINGLE_ROW = {
+    "fast": {"fixed": 32, "chunkable": 16},
+    "md5": {"fixed": 100, "chunkable": 50},
+}
 
 
 def estimate_verify_footprint(
@@ -633,15 +643,28 @@ def estimate_verify_footprint(
     avg = float(row["s"] or 0.0)
     lane = "md5" if hash_family == "md5" else "fast"
     per_row = _VERIFY_BYTES_PER_SHINGLE_ROW[lane]
+    fixed = int(n_docs * avg * per_row["fixed"])
+    chunkable = int(n_docs * avg * per_row["chunkable"])
     return {
         "n_docs": int(n_docs),
         "avg_shingles_per_doc": round(avg, 2),
-        "est_bytes": int(n_docs * avg * per_row),
+        "est_bytes": fixed + chunkable,
+        # the split verify_band_chunks="auto" plans with: fixed stays
+        # resident for the whole verify; chunkable divides by the chunks
+        "fixed_bytes": fixed,
+        "chunkable_bytes": chunkable,
     }
 
 
 def _shuffle_free_bytes(spark) -> int | None:
-    """Free bytes on the volume backing Spark's shuffle/spill dir."""
+    """Free bytes on the volume backing Spark's shuffle/spill dir.
+
+    SINGLE-BOX assumption (ADVICE r10): this measures the DRIVER's local
+    shuffle volume, which equals the executors' only in local mode. On a
+    real cluster executor spill lands on executor disks this function
+    cannot see — callers there MUST pass ``disk_budget_bytes`` (the
+    per-run budget reflecting executor volumes) to the pre-flight instead
+    of relying on this default."""
     import os
     import shutil as _sh
     import tempfile
@@ -671,6 +694,7 @@ def minhash_lsh_pairs(
     preflight: str = "warn",
     preflight_min_docs: int = 1_000_000,
     disk_budget_bytes: int | None = None,
+    verify_band_chunks: int | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, exact-Jaccard verified.
 
@@ -709,6 +733,20 @@ def minhash_lsh_pairs(
     never auto-switches ``verify`` — verify=False emits a different
     schema (no jaccard column), so degrading silently would corrupt
     callers.
+
+    Band-chunked verify (round 11, VERDICT r10 #4): the verify stage can
+    run band-group by band-group — each chunk generates candidates from
+    its slice of the bands and exact-verifies them while the signature /
+    shingle-set caches are shared, so the CONCURRENT shuffle footprint of
+    the candidate+verify joins divides by the chunk count (trading wall
+    clock for disk; the union of chunk outputs is deduped on (id_a, id_b),
+    and since every chunk's jaccard for a pair is identical the result
+    set is bit-equal to the unchunked run — pinned in tests).
+    ``verify_band_chunks``: ``"auto"`` (default) chunks ONLY when the
+    disk pre-flight predicts a budget breach that chunking can fix, using
+    the estimator's fixed/chunkable split (auto-engage instead of dying
+    or crying wolf); an int >= 2 forces that many chunks; 1 forbids
+    chunking (the pre-flight then warns/errors exactly as in round 10).
     """
     import warnings
 
@@ -719,6 +757,15 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     if preflight not in ("warn", "error", "off"):
         raise ValueError(f"unknown preflight mode: {preflight!r}")
+    auto_chunks = verify_band_chunks == "auto"
+    if not auto_chunks and (
+        not isinstance(verify_band_chunks, int) or verify_band_chunks < 1
+    ):
+        raise ValueError(
+            "verify_band_chunks must be 'auto' or a positive int, got "
+            f"{verify_band_chunks!r}"
+        )
+    n_chunks = 1 if auto_chunks else min(int(verify_band_chunks), n_bands)
     if verify and preflight != "off":
         # bounded smallness probe first: limit(N).count() stops scanning
         # once N rows are seen, so small corpora (every default-config
@@ -734,19 +781,46 @@ def minhash_lsh_pairs(
             if budget is None:
                 free = _shuffle_free_bytes(df.sparkSession)
                 budget = int(free * 0.8) if free is not None else None
-            if budget is not None and est["est_bytes"] > budget:
-                msg = (
-                    "minhash_lsh_pairs(verify=True) disk pre-flight: "
-                    f"estimated high-water {est['est_bytes'] / 1e9:.1f} GB "
-                    f"({est['n_docs']} docs x "
-                    f"{est['avg_shingles_per_doc']} shingles/doc) exceeds "
-                    f"budget {budget / 1e9:.1f} GB; run verify=False "
-                    "(candidates only, no jaccard column), raise n_bands "
-                    "selectivity, or add shuffle disk"
-                )
-                if preflight == "error":
-                    raise RuntimeError(msg)
-                warnings.warn(msg)
+            if budget is not None:
+                if auto_chunks and est["est_bytes"] > budget:
+                    headroom = budget - est["fixed_bytes"]
+                    need = (
+                        -(-est["chunkable_bytes"] // headroom)
+                        if headroom > 0
+                        else n_bands + 1
+                    )
+                    if 2 <= need <= n_bands:
+                        # chunking fits the run in budget: engage it
+                        # instead of warning-and-dying-anyway
+                        # (VERDICT r10 #4)
+                        n_chunks = int(need)
+                        warnings.warn(
+                            "minhash_lsh_pairs disk pre-flight: estimated "
+                            f"high-water {est['est_bytes'] / 1e9:.1f} GB "
+                            f"over budget {budget / 1e9:.1f} GB; engaging "
+                            f"{n_chunks}-chunk band-sequential verify "
+                            f"(fixed {est['fixed_bytes'] / 1e9:.1f} GB + "
+                            f"{est['chunkable_bytes'] / 1e9:.1f} GB / "
+                            f"{n_chunks} chunks)"
+                        )
+                # effective high-water GIVEN the (auto or forced) chunk
+                # count: the fixed part stays resident, the chunkable
+                # part runs one band group at a time
+                eff = est["fixed_bytes"] + est["chunkable_bytes"] // n_chunks
+                if eff > budget:
+                    msg = (
+                        "minhash_lsh_pairs(verify=True) disk pre-flight: "
+                        f"estimated high-water {eff / 1e9:.1f} GB "
+                        f"({est['n_docs']} docs x "
+                        f"{est['avg_shingles_per_doc']} shingles/doc"
+                        + (f", {n_chunks}-chunk verify" if n_chunks > 1 else "")
+                        + f") exceeds budget {budget / 1e9:.1f} GB; run "
+                        "verify=False (candidates only, no jaccard column), "
+                        "raise n_bands selectivity, or add shuffle disk"
+                    )
+                    if preflight == "error":
+                        raise RuntimeError(msg)
+                    warnings.warn(msg)
     # The exploded (id, shingle) rows feed BOTH the signature aggregation
     # and (when verifying) the per-doc shingle-set aggregation, so the
     # regex shingle pipeline is cached and runs once. All caches are
@@ -781,18 +855,21 @@ def minhash_lsh_pairs(
 
     bands = band_buckets(sigs, id_col, num_hashes, n_bands, fast)
 
-    a = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-    b = bands.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    def _candidates(band_slice) -> DataFrame:
+        bsel = bands if band_slice is None else bands.where(band_slice)
+        a = bsel.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+        b = bsel.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+        return (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
     sets = None
     try:
         if not verify:
-            return cand.localCheckpoint(eager=True)
+            return _candidates(None).localCheckpoint(eager=True)
         # verify ONLY the candidate pairs: join each side's distinct shingle
         # set (two hash joins on id, sets re-aggregated from the cached
         # exploded rows — collect_list of already-distinct shingles) and
@@ -814,44 +891,87 @@ def minhash_lsh_pairs(
             F.col("_id").alias("_sid"), F.col("_shs")
         ).persist()
         sets.count()
-        # Join shape at corpus scale (plan-pinned in tests/test_plans.py):
-        # each candidate pair explodes into two (id_a, id_b, _sid) rows
-        # and the sets relation is joined exactly ONCE — shuffle-hash
-        # with the exploded candidates as the build side (two longs per
-        # row, bounded per partition), while the cached sets side moves
-        # through NO new exchange (the groupBy's hash partitioning on
-        # _id propagates through the _sid alias) and NO sort. The pair's
-        # two shingle sets then meet in a groupBy that spills safely
-        # (ObjectHashAggregate falls back to sort-based). Both shapes
-        # this replaces fail at the 20.4M single-box scale: sort-merge
-        # SORTS the ~18 GB sets relation twice (the r9 disk death), and
-        # two-sided shuffle-hash builds a hashmap of candidate rows with
-        # attached set ARRAYS (~10 GB of boxed arrays -> the r10 heap
-        # death). Work stays O(|candidates|), never all-pairs.
-        expl = cand.select(
-            "id_a",
-            "id_b",
-            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_sid"),
-        )
-        two = (
-            expl.hint("shuffle_hash")
-            .join(sets, "_sid")
-            .groupBy("id_a", "id_b")
-            .agg(F.collect_list("_shs").alias("_two"))
-            .where(F.size("_two") == 2)  # both endpoints resolved
-        )
-        sa = F.element_at(F.col("_two"), 1)
-        sb = F.element_at(F.col("_two"), 2)
-        inter = F.size(F.array_intersect(sa, sb))
-        out = (
-            two.select(
+        # EARLY cache release (round 11, VERDICT r10 #4): after sigs and
+        # sets are both materialized nothing reads the exploded shingle
+        # rows again — dropping the ~19 GB (at 10.2M docs) cache HERE,
+        # before the candidate+verify joins run, removes the single
+        # largest resident block from the verify stage's concurrent
+        # high-water instead of holding it until the end. (If a later
+        # stage loses a sets/sigs cached block it recomputes through the
+        # unpersisted lineage — slower, never wrong.)
+        shingled.unpersist()
+
+        def _verify(cand: DataFrame) -> DataFrame:
+            # Join shape at corpus scale (plan-pinned in
+            # tests/test_plans.py): each candidate pair explodes into two
+            # (id_a, id_b, _sid) rows and the sets relation is joined
+            # exactly ONCE — shuffle-hash with the exploded candidates as
+            # the build side (two longs per row, bounded per partition),
+            # while the cached sets side moves through NO new exchange
+            # (the groupBy's hash partitioning on _id propagates through
+            # the _sid alias) and NO sort. The pair's two shingle sets
+            # then meet in a groupBy that spills safely
+            # (ObjectHashAggregate falls back to sort-based). Both shapes
+            # this replaces fail at the 20.4M single-box scale:
+            # sort-merge SORTS the ~18 GB sets relation twice (the r9
+            # disk death), and two-sided shuffle-hash builds a hashmap of
+            # candidate rows with attached set ARRAYS (~10 GB of boxed
+            # arrays -> the r10 heap death). Work stays O(|candidates|),
+            # never all-pairs.
+            expl = cand.select(
+                "id_a",
+                "id_b",
+                F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_sid"),
+            )
+            two = (
+                expl.hint("shuffle_hash")
+                .join(sets, "_sid")
+                .groupBy("id_a", "id_b")
+                .agg(F.collect_list("_shs").alias("_two"))
+                .where(F.size("_two") == 2)  # both endpoints resolved
+            )
+            sa = F.element_at(F.col("_two"), 1)
+            sb = F.element_at(F.col("_two"), 2)
+            inter = F.size(F.array_intersect(sa, sb))
+            return two.select(
                 "id_a",
                 "id_b",
                 (inter / (F.size(sa) + F.size(sb) - inter)).alias("jaccard"),
-            )
-            .where(F.col("jaccard") >= threshold)
+            ).where(F.col("jaccard") >= threshold)
+
+        if n_chunks <= 1:
+            return _verify(_candidates(None)).localCheckpoint(eager=True)
+        # band-sequential verify (VERDICT r10 #4): each chunk's candidate
+        # self-join + verify join run alone, so their shuffle files —
+        # the chunkable part of the footprint — peak at ~1/n_chunks of
+        # the all-bands run. Chunk outputs are eagerly checkpointed
+        # (truncating lineage so the chunk's shuffles become collectable
+        # between iterations — the GC nudge lets Spark's ContextCleaner
+        # drop them) and unioned; a pair caught in several band groups
+        # carries the SAME exact jaccard, so the final dropDuplicates
+        # makes the union bit-equal to the unchunked output.
+        per = -(-n_bands // n_chunks)
+        chunks = []
+        spark = df.sparkSession
+        for g in range(n_chunks):
+            lo, hi = g * per, min((g + 1) * per, n_bands)
+            if lo >= hi:
+                break
+            part = _verify(
+                _candidates((F.col("band") >= lo) & (F.col("band") < hi))
+            ).localCheckpoint(eager=True)
+            chunks.append(part)
+            # nudge the ContextCleaner: the finished chunk's shuffle
+            # dependencies are driver-side garbage now; collecting them
+            # lets the shuffle files be removed before the next chunk
+            # writes its own
+            spark._jvm.System.gc()
+        out = chunks[0]
+        for part in chunks[1:]:
+            out = out.unionByName(part)
+        return (
+            out.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=True)
         )
-        return out.localCheckpoint(eager=True)
     finally:
         # sets is the most expensive cache in the verify path (~9 GB at
         # 10.2M docs); unpersist it here, not after the checkpoint, so a
@@ -861,7 +981,7 @@ def minhash_lsh_pairs(
             sets.unpersist()
         sigs.unpersist()
         if verify:
-            shingled.unpersist()
+            shingled.unpersist()  # idempotent if already released early
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -279,6 +279,39 @@ def lsh_measured_pair_recall(
     return float((sigs[gi] == sigs[gj]).any(axis=1).mean())
 
 
+# ---------------------------------------------------------------- gate cert
+# Certified recall-gate knobs, keyed by caller-supplied corpus identity
+# (VERDICT r10 #3 — mirrors the ANN post-train gate recording its tuned
+# (prelim, n_probe) defaults in the DB manifest, core/database.py). The
+# escalation ladder (sample collect + band/assign doubling) is pure
+# measurement: for a fixed (corpus, seed, knobs) it lands on the same
+# certified config every run, so a repeated pipeline re-paying it is waste
+# — BENCH_r10 measured the gate eating most of the LSH lane's lead over
+# the exact baseline at entry shape. Entries hold the gate_report dict of
+# the certifying run; a hit skips every gate job (no count, no sample
+# collect, no simulation) and stamps the report with ``reused=True``.
+#
+# Keys include every input the certification depends on; the corpus is
+# identified by ``cert_key`` — the CALLER's statement of data identity
+# (e.g. a parquet path + snapshot/mtime). Content addressing would need a
+# full data pass, which is exactly what the cache exists to avoid; a
+# caller that mutates data behind a stable cert_key gets stale-but-safe
+# knobs (correctness is unaffected — candidates are exact-verified — only
+# recall certification staleness), same trust model as the ANN manifest.
+_GATE_CERTS: dict[tuple, dict] = {}
+_GATE_RUNS = {"lsh": 0, "ivf": 0}  # measurement-run counters (test hook)
+
+
+def clear_gate_certifications() -> None:
+    """Drop all cached gate certifications (test/benchmark hook)."""
+    _GATE_CERTS.clear()
+
+
+def gate_certifications() -> dict[tuple, dict]:
+    """Read-only view (by convention) of the certification cache."""
+    return _GATE_CERTS
+
+
 def simhash_signature_udf(planes: np.ndarray):
     """Pandas UDF mapping vector -> int64 random-hyperplane signature."""
     from pyspark.sql.functions import pandas_udf
@@ -312,6 +345,7 @@ def cosine_pairs_lsh(
     gate_sample: int = 8192,
     max_bands: int = 256,
     gate_report: dict | None = None,
+    cert_key: str | None = None,
 ) -> DataFrame:
     """Approximate cosine self-join via random-hyperplane LSH.
 
@@ -350,6 +384,13 @@ def cosine_pairs_lsh(
     ``UserWarning`` carries the measured number when the target is
     unreachable. ``gate_report`` (a caller-supplied dict) receives
     {gate_pairs, n_bands, measured_pair_recall, expected_pair_recall}.
+
+    ``cert_key`` (VERDICT r10 #3): the caller's statement of corpus
+    identity (e.g. parquet path). When set and a previous gated call with
+    the same (cert_key, threshold, dim, knobs) certified a band count,
+    the gate is skipped entirely — zero gate jobs, no persist of the
+    normalized projection — and the cached certification is replayed into
+    ``gate_report`` with ``reused=True``. See ``_GATE_CERTS``.
     """
     import warnings
 
@@ -360,45 +401,55 @@ def cosine_pairs_lsh(
     ship_package(df.sparkSession)
     norm = _normalized(df, id_col, vector_col, assume_normalized)
     gated = pair_recall_target is not None
+    ck = None
+    if gated and cert_key is not None:
+        ck = ("lsh", cert_key, float(threshold), int(dim), int(n_bits),
+              int(seed), int(gate_sample), float(pair_recall_target),
+              int(max_bands), int(n_bands))
+        cert = _GATE_CERTS.get(ck)
+        if cert is not None:
+            n_bands = int(cert["n_bands"])
+            if gate_report is not None:
+                gate_report.update(cert, reused=True)
+            gated = False  # certified: run the lane lazy and uncached
     if gated:
         # persisted: the gate's count + sample collect and the main
         # exploded pass all read the same normalized projection — without
         # the cache the scan + normalize pipeline would run three times
-        # (the ungated path stays lazy and uncached: one consumer)
+        # (the ungated path stays lazy and uncached: one consumer).
+        # ONE try/finally from here to the final checkpoint covers the
+        # gate, UDF registration, plan build and materialization, so no
+        # exception path can leak the session-lifetime cache (ADVICE r10).
         norm = norm.persist()
-        try:
+    try:
+        if gated:
+            _GATE_RUNS["lsh"] += 1
             sample = _gate_sample_pairs(norm, threshold, gate_sample, seed)
-        except BaseException:
-            # the gate's count/collect jobs can fail mid-flight; don't
-            # leak the cache for the life of the session when they do
-            norm.unpersist()
-            raise
-        pair_cos = sample[3] if sample is not None else np.empty(0)
-        if pair_cos.size == 0:
-            warnings.warn(
-                "cosine_pairs_lsh recall gate inconclusive: no pairs >= "
-                f"{threshold} in a {gate_sample}-row sample; running with "
-                f"n_bands={n_bands} untuned"
-            )
-        else:
-            gmat, gi, gj = sample[0], sample[1], sample[2]
-            measured = lsh_measured_pair_recall(
-                gmat, gi, gj, n_bits, n_bands, dim, seed
-            )
-            while measured < pair_recall_target and n_bands * 2 <= max_bands:
-                n_bands *= 2
+            pair_cos = sample[3] if sample is not None else np.empty(0)
+            if pair_cos.size == 0:
+                warnings.warn(
+                    "cosine_pairs_lsh recall gate inconclusive: no pairs >= "
+                    f"{threshold} in a {gate_sample}-row sample; running with "
+                    f"n_bands={n_bands} untuned"
+                )
+            else:
+                gmat, gi, gj = sample[0], sample[1], sample[2]
                 measured = lsh_measured_pair_recall(
                     gmat, gi, gj, n_bits, n_bands, dim, seed
                 )
-            if measured < pair_recall_target:
-                warnings.warn(
-                    f"cosine_pairs_lsh measured pair recall {measured:.4f} "
-                    f"< target {pair_recall_target} even at n_bands="
-                    f"{n_bands} (max_bands={max_bands}); lower n_bits or "
-                    "raise max_bands"
-                )
-            if gate_report is not None:
-                gate_report.update(
+                while measured < pair_recall_target and n_bands * 2 <= max_bands:
+                    n_bands *= 2
+                    measured = lsh_measured_pair_recall(
+                        gmat, gi, gj, n_bits, n_bands, dim, seed
+                    )
+                if measured < pair_recall_target:
+                    warnings.warn(
+                        f"cosine_pairs_lsh measured pair recall {measured:.4f} "
+                        f"< target {pair_recall_target} even at n_bands="
+                        f"{n_bands} (max_bands={max_bands}); lower n_bits or "
+                        "raise max_bands"
+                    )
+                report = dict(
                     gate_pairs=int(pair_cos.size),
                     n_bands=int(n_bands),
                     measured_pair_recall=round(measured, 4),
@@ -407,46 +458,52 @@ def cosine_pairs_lsh(
                         4,
                     ),
                 )
-    rng = np.random.default_rng(seed)
-    # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands
-    planes = rng.normal(size=(n_bands * n_bits, dim))
-    weights = (1 << np.arange(n_bits)).astype(np.int64)
+                if gate_report is not None:
+                    gate_report.update(report)
+                if ck is not None:
+                    # certify: the next gated call on the same corpus +
+                    # knobs reuses these bands with zero gate jobs
+                    _GATE_CERTS[ck] = report
+        rng = np.random.default_rng(seed)
+        # (n_bands*n_bits, dim) stacked hyperplanes; one GEMM covers all bands
+        planes = rng.normal(size=(n_bands * n_bits, dim))
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
 
-    @pandas_udf("array<long>")
-    def all_sigs(vectors: pd.Series) -> pd.Series:
-        mat = np.array(vectors.tolist(), dtype=np.float64)
-        bits = (mat @ planes.T) > 0  # (n, n_bands*n_bits)
-        sigs = bits.reshape(len(mat), n_bands, n_bits) @ weights  # (n, n_bands)
-        return pd.Series(list(sigs))
+        @pandas_udf("array<long>")
+        def all_sigs(vectors: pd.Series) -> pd.Series:
+            mat = np.array(vectors.tolist(), dtype=np.float64)
+            bits = (mat @ planes.T) > 0  # (n, n_bands*n_bits)
+            sigs = bits.reshape(len(mat), n_bands, n_bits) @ weights  # (n, n_bands)
+            return pd.Series(list(sigs))
 
-    exploded = norm.select(
-        F.col(id_col),
-        F.col(vector_col),
-        F.posexplode(all_sigs(F.col(vector_col))).alias("band", "sig"),
-    )
-    packed = (
-        exploded.groupBy("band", "sig")
-        .agg(
-            F.collect_list(F.col(id_col)).alias("_ids"),
-            F.collect_list(F.col(vector_col)).alias("_vecs"),
+        exploded = norm.select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.posexplode(all_sigs(F.col(vector_col))).alias("band", "sig"),
         )
-        .where(F.size("_ids") > 1)
-    )
-    result = (
-        packed.mapInArrow(
-            _score_packed_buckets(threshold, score_col),
-            f"id_a long, id_b long, {score_col} double",
+        packed = (
+            exploded.groupBy("band", "sig")
+            .agg(
+                F.collect_list(F.col(id_col)).alias("_ids"),
+                F.collect_list(F.col(vector_col)).alias("_vecs"),
+            )
+            .where(F.size("_ids") > 1)
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    if not gated:
-        return result
-    try:
+        result = (
+            packed.mapInArrow(
+                _score_packed_buckets(threshold, score_col),
+                f"id_a long, id_b long, {score_col} double",
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        if not gated:
+            return result
         # eager materialization so the gate's cache can be released on
         # return (same shape as the IVF lane below)
         return result.localCheckpoint(eager=True)
     finally:
-        norm.unpersist()
+        if gated:
+            norm.unpersist()
 
 
 def cosine_pairs_ivf(
@@ -464,6 +521,7 @@ def cosine_pairs_ivf(
     gate_sample: int = 8192,
     max_assign: int = 64,
     gate_report: dict | None = None,
+    cert_key: str | None = None,
 ) -> DataFrame:
     """Approximate cosine self-join bucketed by a LEARNED coarse quantizer.
 
@@ -492,6 +550,14 @@ def cosine_pairs_ivf(
     ``max_assign`` is hit (with a ``UserWarning`` carrying the measured
     number when unreachable). ``gate_report`` receives {gate_pairs,
     n_assign, measured_pair_recall}.
+
+    ``cert_key`` (VERDICT r10 #3): caller-declared corpus identity; a
+    repeat gated call with the same (cert_key, threshold, knobs) reuses
+    the certified ``n_assign`` and skips the gate's sample collect and
+    escalation (the count and seeded k-means still run — they build the
+    quantizer the join itself needs, and the seeded pipeline makes the
+    centroids — hence the certification — reproducible across calls).
+    ``gate_report`` gets the cached report plus ``reused=True``.
     """
     import warnings
 
@@ -520,7 +586,19 @@ def cosine_pairs_ivf(
         centroids = PQ._kmeans(smat, min(k, len(smat)), seed=seed).astype(np.float64)
         c2 = (centroids**2).sum(axis=1)
         na = min(n_assign, centroids.shape[0])
-        if pair_recall_target is not None:
+        ck = None
+        if pair_recall_target is not None and cert_key is not None:
+            ck = ("ivf", cert_key, float(threshold), n_cells, int(n_assign),
+                  int(sample_rows), int(seed), int(gate_sample),
+                  float(pair_recall_target), int(max_assign))
+            cert = _GATE_CERTS.get(ck)
+            if cert is not None:
+                na = min(int(cert["n_assign"]), centroids.shape[0])
+                if gate_report is not None:
+                    gate_report.update(cert, reused=True)
+                ck = "hit"
+        if pair_recall_target is not None and ck != "hit":
+            _GATE_RUNS["ivf"] += 1
             gate = _gate_sample_pairs(norm, threshold, gate_sample, seed, n=n)
             gi = gate[1] if gate is not None else np.empty(0, dtype=np.int64)
             if gi.size == 0:
@@ -560,12 +638,15 @@ def cosine_pairs_ivf(
                         f" (max_assign={max_assign}); raise max_assign or use"
                         " fewer cells"
                     )
+                report = dict(
+                    gate_pairs=int(gi.size),
+                    n_assign=int(na),
+                    measured_pair_recall=round(measured, 4),
+                )
                 if gate_report is not None:
-                    gate_report.update(
-                        gate_pairs=int(gi.size),
-                        n_assign=int(na),
-                        measured_pair_recall=round(measured, 4),
-                    )
+                    gate_report.update(report)
+                if ck is not None:
+                    _GATE_CERTS[ck] = report
 
         @pandas_udf("array<int>")
         def nearest_cells(vectors: pd.Series) -> pd.Series:

@@ -337,7 +337,13 @@ def corpus_minhash_index(
     (or write bands out bucketed by (band, bucket)) so micro-batches
     join against materialized data instead of re-shingling the corpus
     per trigger. Same seedless hash families as ``minhash_lsh_pairs`` —
-    both sides of a banding join must agree bit-for-bit."""
+    both sides of a banding join must agree bit-for-bit.
+
+    The build config (k, num_hashes, n_bands, resolved hash family) is
+    recorded as column metadata on the band table's ``band`` column
+    (ADVICE r10) — Spark persists it through a parquet round-trip — and
+    :func:`near_dup_against_corpus` raises on a config mismatch instead
+    of silently producing disjoint buckets and zero near-dups."""
     from mindb_spark.functions.text import exploded_shingle_hashes
     from mindb_spark.operators.dedup import (
         _exploded_shingles,
@@ -349,6 +355,8 @@ def corpus_minhash_index(
     fast = hash_family in ("auto", "xxhash64")
     if not fast and hash_family != "md5":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if num_hashes % n_bands != 0:
+        raise ValueError("num_hashes must be divisible by n_bands")
     shingled = (
         exploded_shingle_hashes(corpus_df, id_col, text_col, k)
         if fast
@@ -357,10 +365,45 @@ def corpus_minhash_index(
     sig_fn = _signatures_from_hashes if fast else _signatures_from_shingled
     sigs = sig_fn(shingled.withColumnRenamed("_id", "corpus_id"), "corpus_id", num_hashes)
     bands = band_buckets(sigs, "corpus_id", num_hashes, n_bands, fast)
+    bands = bands.withColumn(
+        "band",
+        F.col("band").alias("band", metadata={"mindb_near_dup_config": [
+            f"k={k}", f"num_hashes={num_hashes}", f"n_bands={n_bands}",
+            f"hash_family={'xxhash64' if fast else 'md5'}",
+        ]}),
+    )
     sets = shingled.groupBy("_id").agg(
         F.collect_list("shingle").alias("_cshs")
     ).select(F.col("_id").alias("corpus_id"), "_cshs")
     return bands, sets
+
+
+def _check_index_config(
+    corpus_bands: DataFrame, k: int, num_hashes: int, n_bands: int,
+    fast: bool,
+) -> None:
+    """Config agreement with the corpus index (ADVICE r10): an index
+    built with different (k, num_hashes, n_bands, hash family) would
+    produce disjoint buckets and SILENT zero near-dups — error loudly
+    instead. The index records its config as column metadata (survives
+    parquet); an index without it (pre-round-11, hand-built) skips the
+    check."""
+    try:
+        recorded = dict(corpus_bands.schema["band"].metadata or {}).get(
+            "mindb_near_dup_config"
+        )
+    except KeyError:
+        recorded = None
+    if recorded is not None:
+        mine = [
+            f"k={k}", f"num_hashes={num_hashes}", f"n_bands={n_bands}",
+            f"hash_family={'xxhash64' if fast else 'md5'}",
+        ]
+        if list(recorded) != mine:
+            raise ValueError(
+                "corpus index was built with a different near-dup config: "
+                f"index {list(recorded)} vs query {mine}"
+            )
 
 
 def near_dup_against_corpus(
@@ -399,6 +442,7 @@ def near_dup_against_corpus(
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     if num_hashes % n_bands != 0:
         raise ValueError("num_hashes must be divisible by n_bands")
+    _check_index_config(corpus_bands, k, num_hashes, n_bands, fast)
     shingled = (
         exploded_shingle_hashes(batch_df, id_col, text_col, k)
         if fast
@@ -410,28 +454,124 @@ def near_dup_against_corpus(
             shingled.withColumnRenamed("_id", "new_id"), "new_id", num_hashes
         )
         bbands = band_buckets(sigs, "new_id", num_hashes, n_bands, fast)
-        cand = (
-            corpus_bands.join(F.broadcast(bbands), ["band", "bucket"])
-            .select("new_id", "corpus_id")
-            .dropDuplicates(["new_id", "corpus_id"])
-        )
         bsets = shingled.groupBy("_id").agg(
             F.collect_list("shingle").alias("_nshs")
         ).select(F.col("_id").alias("new_id"), "_nshs")
-        paired = corpus_sets.join(
-            F.broadcast(cand.join(F.broadcast(bsets), "new_id")), "corpus_id"
-        )
-        inter = F.size(F.array_intersect("_nshs", "_cshs"))
-        out = paired.select(
-            "new_id",
-            "corpus_id",
-            (
-                inter / (F.size("_nshs") + F.size("_cshs") - inter)
-            ).alias("jaccard"),
-        ).where(F.col("jaccard") >= threshold)
-        return out.localCheckpoint(eager=True)
+        return _near_dup_check(bbands, bsets, corpus_bands, corpus_sets, threshold)
     finally:
         shingled.unpersist()
+
+
+# Partition-column names of the GROWN near-dup index (stream_near_dup's
+# grow_dir layout, round 11 — VERDICT r10 #5). Band appends are
+# partitioned by _pband = band * P + pmod(bucket, P) and set appends by
+# _pset = pmod(corpus_id, P): each micro-batch touches at most
+# (batch_docs x n_bands) band partitions and (candidate count) set
+# partitions, so the per-batch join scans PRUNE to matching partitions
+# instead of reading the whole grown corpus per trigger.
+_GROW_BANDS_PART = "_pband"
+_GROW_SETS_PART = "_pset"
+
+
+def _grow_band_key(modulus: int):
+    """Partition-key expression for grown band rows: band * P +
+    pmod(xxhash64(bucket), P). xxhash64 (not a direct cast) because the
+    md5 lane's bucket is a hex STRING while the fast lane's is a long —
+    hashing gives both a stable int key; write and read sides use this
+    same expression so the static filter hits the right partitions."""
+    P = int(modulus)
+    return (
+        F.col("band") * P + F.pmod(F.xxhash64(F.col("bucket")), F.lit(P))
+    ).cast("long")
+
+
+def _near_dup_check(
+    bbands: DataFrame,
+    bsets: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float,
+    prune_modulus: int | None = None,
+    plan_report: dict | None = None,
+) -> DataFrame:
+    """Core of the batch-vs-corpus near-dup check given precomputed batch
+    artifacts: banding candidate join (batch side broadcast) + exact
+    Jaccard verify, returning (new_id, corpus_id, jaccard) >= threshold.
+
+    ``prune_modulus``: set when the corpus side is a GROWN index written
+    partitioned by ``_pband`` / ``_pset`` (see ``stream_near_dup``) with
+    that modulus. The batch's distinct band-partition keys (at most
+    batch_docs x n_bands small longs) are collected and applied as a
+    STATIC ``isin`` partition filter on the band scan, and — after the
+    candidate join materializes — the candidates' set-partition keys
+    prune the sets scan the same way. Static filters rather than relying
+    on dynamic partition pruning: the pruned scan is guaranteed
+    (PartitionFilters in the plan, pinned in tests), not an optimizer
+    heuristic. Per-batch scan cost then tracks the batch's partition
+    count, not the full grown corpus."""
+    cb, cs = corpus_bands, corpus_sets
+    cand = None
+    if prune_modulus is not None:
+        P = int(prune_modulus)
+        keys = [
+            r[0]
+            for r in bbands.select(_grow_band_key(P).alias("_k"))
+            .distinct()
+            .collect()
+        ]
+        if not keys:  # empty batch: nothing can collide
+            return bbands.sparkSession.createDataFrame(
+                [], "new_id long, corpus_id long, jaccard double"
+            )
+        cb = cb.where(F.col(_GROW_BANDS_PART).isin(keys))
+        if plan_report is not None:
+            # test/diagnostic hook: the pruned scan's physical plan (the
+            # partition IN-filter must reach FileScan's PartitionFilters)
+            plan_report["bands_keys"] = sorted(keys)
+            plan_report["bands_plan"] = (
+                cb._jdf.queryExecution().executedPlan().toString()
+            )
+    cand = (
+        cb.join(F.broadcast(bbands), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    if prune_modulus is not None:
+        # candidates are the (small) near-collision set; materialize them
+        # once so their partition keys can prune the sets scan
+        cand = cand.localCheckpoint(eager=True)
+        pset = [
+            r[0]
+            for r in cand.select(
+                F.pmod(F.col("corpus_id"), F.lit(int(prune_modulus)))
+                .cast("int")
+                .alias("_p")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not pset:  # no banding candidates: no pairs to verify
+            return bbands.sparkSession.createDataFrame(
+                [], "new_id long, corpus_id long, jaccard double"
+            )
+        cs = cs.where(F.col(_GROW_SETS_PART).isin(pset))
+        if plan_report is not None:
+            plan_report["sets_keys"] = sorted(pset)
+            plan_report["sets_plan"] = (
+                cs._jdf.queryExecution().executedPlan().toString()
+            )
+    paired = cs.join(
+        F.broadcast(cand.join(F.broadcast(bsets), "new_id")), "corpus_id"
+    )
+    inter = F.size(F.array_intersect("_nshs", "_cshs"))
+    out = paired.select(
+        "new_id",
+        "corpus_id",
+        (
+            inter / (F.size("_nshs") + F.size("_cshs") - inter)
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    return out.localCheckpoint(eager=True)
 
 
 def stream_near_dup(
@@ -442,6 +582,7 @@ def stream_near_dup(
     sink_dir: str,
     checkpoint_dir: str,
     grow_dir: str | None = None,
+    grow_partitions: int = 64,
     **kwargs: Any,
 ):
     """Wire :func:`near_dup_against_corpus` as a ``foreachBatch`` sink:
@@ -454,72 +595,127 @@ def stream_near_dup(
 
     ``grow_dir``: with a path set, the corpus GROWS — after each batch
     is checked, its own band rows and shingle sets are parquet-appended
-    under ``grow_dir``, and later batches join against the fixed index
-    UNIONED with everything appended so far. Cross-BATCH near-dups (a
-    doc arriving in batch 3 that near-matches one from batch 1) are
-    then caught, not just batch-vs-corpus; without it that job falls to
+    under ``grow_dir``, and later batches are ALSO checked against
+    everything appended so far. Cross-BATCH near-dups (a doc arriving
+    in batch 3 that near-matches one from batch 1) are then caught, not
+    just batch-vs-corpus; without it that job falls to
     ``streaming_dedup`` (exact) or an offline pass. Replay caveat: a
     replayed micro-batch re-appends its index rows — band/set rows are
     duplicated, which only duplicates candidate generation (results
-    dedup on (new_id, corpus_id) as above), never changes jaccard."""
-    from mindb_spark.operators.dedup import band_buckets
+    dedup on (new_id, corpus_id) within the batch, see _batch_fn),
+    never changes jaccard.
+
+    Grown-index layout (round 11, VERDICT r10 #5): appends under
+    ``grow_dir`` are PARTITIONED — bands by ``_pband = band *
+    grow_partitions + pmod(bucket, grow_partitions)``, sets by ``_pset
+    = pmod(corpus_id, grow_partitions)`` — and each batch's join applies
+    static ``isin`` partition filters from its own keys, so the
+    per-trigger scan of the grown index reads only the partitions the
+    batch can possibly collide with (~batch_docs x n_bands of
+    n_bands x grow_partitions) instead of the whole grown corpus. The
+    batch's shingles/signatures are computed ONCE and reused for the
+    fixed-corpus check, the grown-corpus check, and the grow append
+    (round 10 shingled every batch twice)."""
     from mindb_spark.functions.text import exploded_shingle_hashes
     from mindb_spark.operators.dedup import (
         _exploded_shingles,
         _signatures_from_hashes,
         _signatures_from_shingled,
+        band_buckets,
     )
 
-    fast = kwargs.get("hash_family", "auto") in ("auto", "xxhash64")
+    hash_family = kwargs.get("hash_family", "auto")
+    fast = hash_family in ("auto", "xxhash64")
+    if not fast and hash_family != "md5":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     k = kwargs.get("k", 3)
     num_hashes = kwargs.get("num_hashes", 16)
     n_bands = kwargs.get("n_bands", 8)
+    if num_hashes % n_bands != 0:
+        raise ValueError("num_hashes must be divisible by n_bands")
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
+    if grow_partitions < 1:
+        raise ValueError("grow_partitions must be >= 1")
+    # fail fast at wiring time, not inside the Nth micro-batch
+    _check_index_config(corpus_bands, k, num_hashes, n_bands, fast)
 
     def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bands, sets = corpus_bands, corpus_sets
-        if grow_dir is not None:
-            import os
-
-            if os.path.isdir(f"{grow_dir}/bands"):
-                bands = bands.unionByName(
-                    spark.read.parquet(f"{grow_dir}/bands")
-                )
-                sets = sets.unionByName(
-                    spark.read.parquet(f"{grow_dir}/sets")
-                )
         batch_df = batch_df.localCheckpoint(eager=True)
-        out = near_dup_against_corpus(
-            batch_df, bands, sets, threshold, **kwargs
-        )
-        out.write.mode("append").parquet(sink_dir)
-        if grow_dir is not None:
-            shingled = (
-                exploded_shingle_hashes(batch_df, id_col, text_col, k)
-                if fast
-                else _exploded_shingles(batch_df, id_col, text_col, k)
-            ).persist()
-            try:
-                sig_fn = (
-                    _signatures_from_hashes if fast
-                    else _signatures_from_shingled
+        if grow_dir is None:
+            out = near_dup_against_corpus(
+                batch_df, corpus_bands, corpus_sets, threshold, **kwargs
+            )
+            out.write.mode("append").parquet(sink_dir)
+            return
+        import os
+
+        # grow mode: batch shingles/signatures computed ONCE, reused for
+        # the fixed check, the grown check, and the grow append
+        shingled = (
+            exploded_shingle_hashes(batch_df, id_col, text_col, k)
+            if fast
+            else _exploded_shingles(batch_df, id_col, text_col, k)
+        ).persist()
+        try:
+            sig_fn = (
+                _signatures_from_hashes if fast else _signatures_from_shingled
+            )
+            sigs = sig_fn(
+                shingled.withColumnRenamed("_id", "new_id"),
+                "new_id", num_hashes,
+            )
+            bbands = band_buckets(
+                sigs, "new_id", num_hashes, n_bands, fast
+            ).localCheckpoint(eager=True)  # reused by check + prune + append
+            bsets = shingled.groupBy("_id").agg(
+                F.collect_list("shingle").alias("_nshs")
+            ).select(F.col("_id").alias("new_id"), "_nshs").localCheckpoint(
+                eager=True
+            )
+            out = _near_dup_check(
+                bbands, bsets, corpus_bands, corpus_sets, threshold
+            )
+            if os.path.isdir(f"{grow_dir}/bands"):
+                grown = _near_dup_check(
+                    bbands,
+                    bsets,
+                    spark.read.parquet(f"{grow_dir}/bands"),
+                    spark.read.parquet(f"{grow_dir}/sets").withColumnRenamed(
+                        "_nshs", "_cshs"
+                    ),
+                    threshold,
+                    prune_modulus=grow_partitions,
                 )
-                sigs = sig_fn(
-                    shingled.withColumnRenamed("_id", "corpus_id"),
-                    "corpus_id", num_hashes,
-                )
-                band_buckets(
-                    sigs, "corpus_id", num_hashes, n_bands, fast
-                ).write.mode("append").parquet(f"{grow_dir}/bands")
-                shingled.groupBy("_id").agg(
-                    F.collect_list("shingle").alias("_cshs")
-                ).select(
-                    F.col("_id").alias("corpus_id"), "_cshs"
-                ).write.mode("append").parquet(f"{grow_dir}/sets")
-            finally:
-                shingled.unpersist()
+                out = out.unionByName(grown)
+            # replayed grow_dir appends duplicate index rows, which would
+            # duplicate verify-output rows per pair WITHIN one batch's
+            # result — dedup before the sink append so the at-least-once
+            # contract stays "replayed BATCHES may duplicate rows" only
+            # (readers still dedup on (new_id, corpus_id)) (ADVICE r10)
+            out = out.dropDuplicates(["new_id", "corpus_id"])
+            out.write.mode("append").parquet(sink_dir)
+            # grow append LAST (partitioned — see layout note above), so
+            # a batch never near-dup-matches itself; the same computed
+            # bbands/bsets are renamed to the corpus-side schema
+            P = int(grow_partitions)
+            bbands.withColumnRenamed("new_id", "corpus_id").withColumn(
+                _GROW_BANDS_PART, _grow_band_key(P)
+            ).write.mode("append").partitionBy(_GROW_BANDS_PART).parquet(
+                f"{grow_dir}/bands"
+            )
+            bsets.select(
+                F.col("new_id").alias("corpus_id"),
+                F.col("_nshs"),
+                F.pmod(F.col("new_id"), F.lit(P)).cast("int").alias(
+                    _GROW_SETS_PART
+                ),
+            ).write.mode("append").partitionBy(_GROW_SETS_PART).parquet(
+                f"{grow_dir}/sets"
+            )
+        finally:
+            shingled.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_batch_fn)

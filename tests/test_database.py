@@ -123,6 +123,48 @@ def clustered_corpus():
     return mat.astype(np.float32)
 
 
+def test_cell_skew_telemetry_warns_on_hot_cell(spark, tmp_path):
+    """VERDICT r10 #6: a corpus with one dominant tight blob must produce
+    a cell-skew warning from the build and measurable stats on disk; a
+    balanced corpus must stay silent."""
+    import json
+    import warnings as W
+
+    from mindb_spark.core.heuristics import IndexParams
+    from mindb_spark.index.build import CELL_SKEW_WARN_RATIO, build_index
+
+    rng = np.random.default_rng(7)
+    # 90% of rows in one tight blob, the rest spread wide -> with 16
+    # cells the blob lands in ~1 cell: max >> median
+    blob = rng.normal(size=(2700, 16)) * 0.01 + 5.0
+    spread = rng.normal(size=(300, 16)) * 8.0
+    mat = np.vstack([blob, spread])
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(mat)],
+        "id long, vector array<double>",
+    )
+    params = IndexParams(
+        num_clusters=16, n_probe=4, pca_dimension=16,
+        opq_dimension=None, omit_opq=True, compressed_vector_bytes=4,
+    )
+    with pytest.warns(UserWarning, match="cell-size skew"):
+        build_index(df, params, str(tmp_path / "skewed"), n_buckets=4)
+    stats = json.load(open(tmp_path / "skewed" / "cell_stats.json"))
+    assert stats["skew_ratio"] > CELL_SKEW_WARN_RATIO
+    assert stats["max_cell_size"] >= 2000
+    # balanced corpus: no skew warning
+    bal = rng.normal(size=(3000, 16))
+    bdf = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(bal)],
+        "id long, vector array<double>",
+    )
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        build_index(bdf, params, str(tmp_path / "balanced"), n_buckets=4)
+    bstats = json.load(open(tmp_path / "balanced" / "cell_stats.json"))
+    assert bstats["skew_ratio"] <= CELL_SKEW_WARN_RATIO
+
+
 @pytest.mark.slow
 def test_trained_index_recall(spark, tmp_path, clustered_corpus):
     mat = clustered_corpus
@@ -138,6 +180,13 @@ def test_trained_index_recall(spark, tmp_path, clustered_corpus):
     assert db.is_trained
     info = db.info()
     assert info["trained_index_coverage_ratio"] == 1.0
+    # realized cell telemetry surfaced by the build (VERDICT r10 #6)
+    cs = info["cell_stats"]
+    assert cs is not None and cs["nonempty_cells"] >= 1
+    assert cs["max_cell_size"] >= cs["median_cell_size"] >= 1
+    assert cs["skew_ratio"] == pytest.approx(
+        cs["max_cell_size"] / cs["median_cell_size"], rel=0.02
+    )
 
     # ground truth by exact brute force over normalized corpus
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)

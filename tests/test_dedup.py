@@ -495,6 +495,79 @@ def test_verify_preflight_warns_and_errors_on_small_budget(spark):
         D.minhash_lsh_pairs(df, 0.5, preflight="maybe")
 
 
+def _near_dup_corpus(spark, n=120):
+    """Docs with planted near-dup clusters (shared token runs + salt)."""
+    rows = []
+    for i in range(n):
+        fam = i % 17
+        base = " ".join(f"tok{fam}_{j}" for j in range(25))
+        salt = f" uniq{i} tail{i % 5}" if i % 3 else ""
+        rows.append((i, base + salt))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_chunked_verify_bit_equal_to_unchunked(spark):
+    """VERDICT r10 #4: the band-sequential verify must emit exactly the
+    unchunked pair set with identical jaccard values, for chunk counts
+    that divide the bands evenly and ones that don't."""
+    df = _near_dup_corpus(spark)
+    kw = dict(k=3, num_hashes=16, n_bands=8, preflight="off")
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(df, 0.5, **kw).collect()
+    }
+    assert len(ref) > 50  # the corpus actually has near-dups to find
+    for chunks in (2, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.minhash_lsh_pairs(
+                df, 0.5, verify_band_chunks=chunks, **kw
+            ).collect()
+        }
+        assert got == ref, f"chunked({chunks}) diverged from unchunked"
+    # chunk counts beyond n_bands clamp to n_bands rather than erroring
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(df, 0.5, verify_band_chunks=99, **kw).collect()
+    }
+    assert got == ref
+    with pytest.raises(ValueError, match="verify_band_chunks"):
+        D.minhash_lsh_pairs(df, 0.5, verify_band_chunks=0, **kw)
+    with pytest.raises(ValueError, match="verify_band_chunks"):
+        D.minhash_lsh_pairs(df, 0.5, verify_band_chunks="half", **kw)
+
+
+def test_preflight_auto_engages_band_chunked_verify(spark):
+    """When the estimate breaches the budget but the FIXED part fits,
+    auto mode must engage chunking (warning says so) and still return
+    the correct pairs — instead of warning and running the breaching
+    plan anyway (round-10 behavior)."""
+    df = _near_dup_corpus(spark, n=40)
+    kw = dict(k=3, num_hashes=16, n_bands=8, preflight_min_docs=1)
+    est = D.estimate_verify_footprint(df, k=3)
+    # budget between fixed and fixed+chunkable -> chunking fixes it
+    budget = est["fixed_bytes"] + est["chunkable_bytes"] // 4
+    with pytest.warns(UserWarning, match="band-sequential verify"):
+        out = D.minhash_lsh_pairs(df, 0.5, disk_budget_bytes=budget, **kw)
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(df, 0.5, preflight="off", **kw).collect()
+    }
+    assert {(r.id_a, r.id_b): r.jaccard for r in out.collect()} == ref
+    # budget below even the fixed part -> chunking can't fix it: the
+    # round-10 warn/error contract is preserved
+    with pytest.raises(RuntimeError, match="disk pre-flight"):
+        D.minhash_lsh_pairs(
+            df, 0.5, disk_budget_bytes=10, preflight="error", **kw
+        )
+    # verify_band_chunks=1 forbids chunking: plain warn even when
+    # chunking would have fixed the breach
+    with pytest.warns(UserWarning, match="exceeds budget"):
+        D.minhash_lsh_pairs(
+            df, 0.5, disk_budget_bytes=budget, verify_band_chunks=1, **kw
+        )
+
+
 def test_verify_preflight_skipped_below_min_docs(spark):
     """Small corpora must not pay the estimator jobs or warn."""
     rows = [(i, "a b c d e") for i in range(5)]

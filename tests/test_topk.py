@@ -302,6 +302,84 @@ def test_ivf_recall_gate_escalates_probes_to_target(mid_sim_corpus):
     assert recall > ungated_recall
 
 
+def test_lsh_gate_certification_reused_zero_gate_jobs(mid_sim_corpus):
+    """VERDICT r10 #3: a second gated call with the same cert_key must
+    reuse the certified band count WITHOUT re-running the gate (no count,
+    no sample collect, no escalation) and produce identical pairs."""
+    df, mat = mid_sim_corpus
+    tau = 0.65
+    S.clear_gate_certifications()
+    runs0 = S._GATE_RUNS["lsh"]
+    r1: dict = {}
+    first = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_lsh(
+            df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+            pair_recall_target=0.95, gate_report=r1, cert_key="corpus-A",
+        ).collect()
+    }
+    assert S._GATE_RUNS["lsh"] == runs0 + 1
+    assert r1["n_bands"] > 2 and "reused" not in r1
+    r2: dict = {}
+    second = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_lsh(
+            df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+            pair_recall_target=0.95, gate_report=r2, cert_key="corpus-A",
+        ).collect()
+    }
+    assert S._GATE_RUNS["lsh"] == runs0 + 1  # zero gate measurement runs
+    assert r2["reused"] is True
+    assert r2["n_bands"] == r1["n_bands"]
+    assert r2["measured_pair_recall"] == r1["measured_pair_recall"]
+    assert second == first
+    # a DIFFERENT corpus identity must re-certify, not reuse
+    r3: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r3, cert_key="corpus-B",
+    )
+    assert S._GATE_RUNS["lsh"] == runs0 + 2 and "reused" not in r3
+    # ...and so must different knobs under the SAME key (key includes them)
+    r4: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=4, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r4, cert_key="corpus-A",
+    )
+    assert S._GATE_RUNS["lsh"] == runs0 + 3 and "reused" not in r4
+    S.clear_gate_certifications()
+
+
+def test_ivf_gate_certification_reused(mid_sim_corpus):
+    """IVF twin of the LSH certification pin: the repeat call skips the
+    gate sample + escalation and reuses the certified n_assign."""
+    df, _ = mid_sim_corpus
+    tau = 0.65
+    S.clear_gate_certifications()
+    runs0 = S._GATE_RUNS["ivf"]
+    r1: dict = {}
+    first = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_ivf(
+            df, tau, n_cells=32, n_assign=1, assume_normalized=True,
+            pair_recall_target=0.95, gate_report=r1, cert_key="corpus-A",
+        ).collect()
+    }
+    assert S._GATE_RUNS["ivf"] == runs0 + 1 and r1["n_assign"] > 1
+    r2: dict = {}
+    second = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_ivf(
+            df, tau, n_cells=32, n_assign=1, assume_normalized=True,
+            pair_recall_target=0.95, gate_report=r2, cert_key="corpus-A",
+        ).collect()
+    }
+    assert S._GATE_RUNS["ivf"] == runs0 + 1
+    assert r2["reused"] is True and r2["n_assign"] == r1["n_assign"]
+    assert second == first  # seeded k-means → identical centroids → identical pairs
+    S.clear_gate_certifications()
+
+
 def test_cosine_pairs_ivf_empty_and_deterministic(spark):
     import numpy as np
 
