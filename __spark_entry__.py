@@ -108,6 +108,40 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2 of the two-stage ANN path (exact rerank, ``ivf.rerank_exact``
+    — the same code ``ivf.search`` runs after the compressed probe;
+    reference two-stage semantics mindb.py:368-420) driven with a PINNED
+    candidate set so it becomes DuckDB-oracle-checkable (VERDICT r10 #8):
+    queries = embeddings vec_id < 8, candidates = every vec_id % 7 == 0
+    for every query. Given a fixed candidate set the stage is
+    deterministic exact math — broadcast einsum scoring, crash-dup
+    window, (score desc, id asc) tie-break, top-10 cut — and must
+    hash-match SQL's exact-cosine top-10 over the same rows. Converts the
+    ANN family's final stage from a rows-only check into a true value
+    oracle; stage 1 (the approximate probe) stays covered by the
+    embedded recall pins."""
+    import numpy as np
+
+    from mindb_spark.index.ivf import rerank_exact
+
+    corpus = _normalized_emb(spark, sf_dir)
+    qs = _query_vectors(spark, sf_dir, 8)
+    qids = np.array([qid for qid, _ in qs], dtype=np.int64)
+    qmat = np.array([v for _, v in qs], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    cands = (
+        spark.range(8).select(F.col("id").alias("query_id"))
+        .crossJoin(
+            corpus.where(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+    )
+    out = rerank_exact(cands, corpus, qids, qmat, 10, id_col="vec_id")
+    return out.select(
+        "query_id", "vec_id", _fl6("cosine_similarity").alias("score")
+    )
+
+
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine similarity join above SIM_TAU."""
     from mindb_spark.operators.similarity import cosine_pairs
@@ -2016,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation": q_pipeline_curation,
         "sample_mixture": q_sample_mixture,
         "knn_batch": q_knn_batch,
+        "ann_rerank_fixed": q_ann_rerank_fixed,
         "filtered_knn": q_filtered_knn,
         "filtered_knn_trained": q_filtered_knn_trained,
         "dedup_survivors": q_dedup_survivors,
@@ -2291,6 +2326,20 @@ ranked as (
   from scored
 )
 select query_id, vec_id, floor(s * 1000000 + 0.5) / 1000000 as score from ranked where rn <= 5
+""",
+        "ann_rerank_fixed": f"""
+with {_NORM_EMB_CTE.strip()},
+q as (select vec_id query_id, v qv from emb where vec_id < 8),
+cand as (select vec_id, v from emb where vec_id % 7 = 0),
+scored as (
+  select q.query_id, c.vec_id, list_dot_product(c.v, q.qv) s
+  from cand c cross join q
+),
+ranked as (
+  select *, row_number() over (partition by query_id order by s desc, vec_id) rn
+  from scored
+)
+select query_id, vec_id, floor(s * 1000000 + 0.5) / 1000000 as score from ranked where rn <= 10
 """,
         "similarity_join": f"""
 with {_NORM_EMB_CTE.strip()}
