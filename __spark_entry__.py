@@ -1138,6 +1138,32 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_mpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio (MP3-family) container metadata — the curation lane of
+    the compressed-audio gap (VERDICT r10 #7). Per document a VALID
+    MPEG-1 Layer III CBR frame sequence is synthesized on executors with
+    bitrate / sample rate / channels / frame count all deterministic
+    functions of doc_id (frame grammar per ISO 11172-3 §2.4;
+    multimodal/mpegaudio.py), then ``audio_container_meta`` walks the
+    frame grammar back. The oracle recomputes every field
+    arithmetically from doc_id, so the parser must invert the generator
+    exactly. Real-encoder validation (a third-party MPEG-2 Layer III
+    file) is pytest-pinned in tests/test_mpegaudio.py; PCM decode of
+    compressed audio stays env-gated (columns.py)."""
+    from mindb_spark.multimodal import audio_container_meta
+    from mindb_spark.multimodal.columns import synthesize_cbr_mpeg
+    from mindb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = synthesize_cbr_mpeg(_docs(spark, sf_dir))
+    out = audio_container_meta(docs)
+    return out.select(
+        "doc_id", "format", "sample_rate", "channels", "n_frames",
+        _fl6("duration_sec").alias("duration_sec"),
+        _fl6("bitrate_kbps_mean").alias("bitrate_kbps"),
+    )
+
+
 def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF frame extraction (`no_oracle`: LZW decoding is
     not SQL-expressible, so the entry embeds a bit-exact round-trip
@@ -2051,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "knn_batch": q_knn_batch,
         "ann_rerank_fixed": q_ann_rerank_fixed,
+        "multimodal_mpeg_meta": q_multimodal_mpeg_meta,
         "filtered_knn": q_filtered_knn,
         "filtered_knn_trained": q_filtered_knn_trained,
         "dedup_survivors": q_dedup_survivors,
@@ -2326,6 +2353,18 @@ ranked as (
   from scored
 )
 select query_id, vec_id, floor(s * 1000000 + 0.5) / 1000000 as score from ranked where rn <= 5
+""",
+        "multimodal_mpeg_meta": """
+select doc_id,
+       'mpeg1-layer3' as format,
+       ([44100, 48000, 32000][(doc_id % 3) + 1])::INTEGER as sample_rate,
+       (1 + doc_id % 2)::INTEGER as channels,
+       (3 + doc_id % 5)::BIGINT as n_frames,
+       floor((3 + doc_id % 5) * 1152.0 / ([44100, 48000, 32000][(doc_id % 3) + 1])
+             * 1000000 + 0.5) / 1000000 as duration_sec,
+       floor(([64, 128, 192, 320][(doc_id % 4) + 1])::DOUBLE
+             * 1000000 + 0.5) / 1000000 as bitrate_kbps
+from documents
 """,
         "ann_rerank_fixed": f"""
 with {_NORM_EMB_CTE.strip()},

@@ -1,5 +1,6 @@
 from mindb_spark.multimodal.columns import (
     binary_metadata,
+    audio_container_meta,
     decode_audio,
     decode_images,
     resample_audio,
@@ -10,6 +11,7 @@ from mindb_spark.multimodal.columns import (
 
 __all__ = [
     "binary_metadata",
+    "audio_container_meta",
     "decode_audio",
     "decode_images",
     "resample_audio",

@@ -340,6 +340,102 @@ def decode_audio(
     )
 
 
+def synthesize_cbr_mpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "content",
+    bitrates: tuple = (64, 128, 192, 320),
+    sample_rates: tuple = (44100, 48000, 32000),
+) -> DataFrame:
+    """Deterministic MPEG-1 Layer III CBR payload per id — the fixture
+    generator for the frame-grammar lane's oracle entry and tests
+    (bitrate / rate / channels / frame count are pure functions of the
+    id, so an oracle can recompute what the parser must report).
+    Arrow-batched; lives here (not __spark_entry__) so the pandas_udf
+    type hints resolve against this module's globals."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mindb_spark.multimodal.mpegaudio import encode_cbr_stream
+
+    brs, srs = tuple(bitrates), tuple(sample_rates)
+
+    @pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_cbr_stream(
+                    3 + int(i) % 5, version="1", layer=3,
+                    bitrate_kbps=brs[int(i) % len(brs)],
+                    sample_rate=srs[int(i) % len(srs)],
+                    channels=1 + int(i) % 2,
+                )
+                for i in ids
+            ]
+        )
+
+    return df.select(F.col(id_col), payload(F.col(id_col)).alias(out_col))
+
+
+def audio_container_meta(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Container-level audio metadata per payload — the curation lane
+    (round 11, VERDICT r10 #7): what a 100 TB audio pipeline filters on
+    (duration, bitrate, rate/channels, CBR/VBR, corruption) WITHOUT
+    decoding PCM. WAV payloads parse via the stdlib RIFF reader; MPEG
+    audio (MP1/MP2/MP3) via the frame-grammar walker in
+    ``multimodal/mpegaudio.py`` (header arithmetic only — PCM decode of
+    compressed codecs stays env-gated). Unknown payloads yield
+    format=NULL, n_frames=0 — total function, filter don't throw.
+    Arrow-batched ``mapInPandas`` on an (id, payload) projection, same
+    plan shape as ``decode_images``/``decode_audio``.
+    """
+    from mindb_spark.multimodal.audio import decode_wav, is_wav
+    from mindb_spark.multimodal.mpegaudio import mpeg_audio_meta
+
+    def _meta_one(payload: bytes):
+        if is_wav(payload):
+            rate, samples = decode_wav(payload)
+            n = samples.shape[0]
+            return (
+                "wav", rate, samples.shape[1], n,
+                n / rate if rate else 0.0, None, False, 0, False,
+            )
+        m = mpeg_audio_meta(payload)
+        if m["n_frames"] == 0:
+            return (None, None, None, 0, 0.0, None, None, 0, False)
+        return (
+            m["format"], m["sample_rate"], m["channels"], m["n_frames"],
+            m["duration_sec"], m["bitrate_kbps_mean"], bool(m["vbr"]),
+            m["desync_bytes"], bool(m["truncated"]),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "format", "sample_rate", "channels", "n_frames",
+            "duration_sec", "bitrate_kbps_mean", "vbr", "desync_bytes",
+            "truncated",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_meta_one(bytes(b)) for b in pdf[binary_col]]
+            out = {id_col: pdf[id_col].to_numpy()}
+            out.update({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, format string, sample_rate int, channels int,"
+            " n_frames long, duration_sec double, bitrate_kbps_mean double,"
+            " vbr boolean, desync_bytes long, truncated boolean"
+        ),
+    )
+
+
 def resample_audio(
     df: DataFrame,
     target_rate: int,
