@@ -586,21 +586,31 @@ def minhash_signatures(
 
 
 # Disk high-water bytes per exploded shingle row for the verify path,
-# calibrated on the round-9 scale points (PERF_NOTES r9 addendum): 10.2M
-# docs x ~118 shingles = 1.2B rows cost ~19 GB persisted (id, hash) cache
-# + 8.98 GB signature-agg shuffle + ~9 GB sets-agg shuffle + ~18 GB verify
-# read/candidate join ≈ 55 GB ≈ 46 B/row; md5-lane shingle STRINGS are
-# ~3x (20 GB of strings vs 5 GB of longs at 5.1M, same notes).
+# split into the CONCURRENT-FIXED part (caches + signature/sets
+# aggregation shuffles — live for the whole verify) and the CHUNKABLE
+# part (candidate + verify join shuffles — divided by
+# ``verify_band_chunks`` when the verify runs band-group by band-group).
 #
-# Round 11 (VERDICT r10 #4) splits the budget into the CONCURRENT-FIXED
-# part (caches + signature/sets aggregation shuffles — paid once, live
-# while the verify runs) and the CHUNKABLE part (band self-join +
-# candidate/verify shuffles — divided by ``verify_band_chunks`` when the
-# verify is processed band-group by band-group). Per the r9 component
-# table above: fixed ≈ (19+9+9)/55, chunkable ≈ 18/55 of the total.
+# Round-11 recalibration, MEASURED by tools/verify_chunk_disk_probe.py
+# (watcher-sampled used-bytes on the shuffle volume, xxhash64 lane,
+# corpus read from parquet like production):
+#   10.2M docs (1.20B shingle rows): high-water 25.9 GB — either config
+#     (the peak sits in the shared agg phase at this scale); the round-11
+#     early shingled-cache release alone halved the r9-era ~55 GB.
+#   20.4M docs (2.41B rows), 4 chunks: COMPLETED at 62.8 GB high-water /
+#     1984 s (the r9 run died on disk); the timeline shows each chunk
+#     releasing ~21-25 GB before the next starts, so unchunked the four
+#     footprints would stack — consistent with the unchunked 20.4M
+#     attempt dying past ~71 GB still climbing.
+# Constants are set CONSERVATIVE-HIGH from the 20.4M points: fixed 16 +
+# chunkable 44 = 60 B/row unchunked (predicts the v1 death at ~144 GB);
+# fixed + chunkable/4 = 27 B/row chunked (measured 26). Over-predicting
+# merely engages chunking early (equal results, bounded wall cost);
+# under-predicting kills hour-long runs — err high. md5-lane shingle
+# STRINGS are ~3x (20 GB strings vs 5 GB longs at 5.1M, r9 notes).
 _VERIFY_BYTES_PER_SHINGLE_ROW = {
-    "fast": {"fixed": 32, "chunkable": 16},
-    "md5": {"fixed": 100, "chunkable": 50},
+    "fast": {"fixed": 16, "chunkable": 44},
+    "md5": {"fixed": 48, "chunkable": 132},
 }
 
 
@@ -962,9 +972,16 @@ def minhash_lsh_pairs(
             ).localCheckpoint(eager=True)
             chunks.append(part)
             # nudge the ContextCleaner: the finished chunk's shuffle
-            # dependencies are driver-side garbage now; collecting them
-            # lets the shuffle files be removed before the next chunk
-            # writes its own
+            # dependencies are driver-side garbage now — Python GC first
+            # (the checkpointed `part` no longer references the chunk's
+            # pre-checkpoint plan, but the py4j proxies only release
+            # their JVM refs when Python collects them), then JVM GC so
+            # the ContextCleaner removes the shuffle files before the
+            # next chunk writes its own (measured: the 20.4M timeline
+            # shows inter-chunk usage dropping ~19 GB when this fires)
+            import gc as _gc
+
+            _gc.collect()
             spark._jvm.System.gc()
         out = chunks[0]
         for part in chunks[1:]:

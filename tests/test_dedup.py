@@ -467,12 +467,19 @@ def test_verify_footprint_estimator_matches_formula(spark):
     est = D.estimate_verify_footprint(df, k=3)
     assert est["n_docs"] == 50
     assert abs(est["avg_shingles_per_doc"] - 10.0) < 0.01
-    assert est["est_bytes"] == int(50 * 10.0 * 48)
+    assert est["est_bytes"] == int(50 * 10.0 * 60)
+    assert est["est_bytes"] == est["fixed_bytes"] + est["chunkable_bytes"]
+    assert est["fixed_bytes"] == int(50 * 10.0 * 16)
     # md5 lane strings cost ~3x
     est_md5 = D.estimate_verify_footprint(df, k=3, hash_family="md5")
-    assert est_md5["est_bytes"] == int(50 * 10.0 * 150)
-    # the r9 failure shape, extrapolated through the same constant
-    assert 20_400_000 * 118 * 48 > 80e9
+    assert est_md5["est_bytes"] == int(50 * 10.0 * 180)
+    # the r9 failure shape through the round-11 constants: UNCHUNKED it
+    # still predicts death on a ~60-80 GB budget (the v1 probe died
+    # exactly there), while max-chunked (8 bands) it predicts ~51 GB —
+    # the measured 4-chunk completion ran at 62.8 GB
+    rows_20m = 20_400_000 * 118
+    assert rows_20m * 60 > 80e9
+    assert rows_20m * (16 + 44 / 8) < 60e9
 
 
 def test_verify_preflight_warns_and_errors_on_small_budget(spark):

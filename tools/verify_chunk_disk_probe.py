@@ -47,19 +47,30 @@ from minhash_phase_probe import _planted  # noqa: E402
 
 
 class _DiskWatcher:
-    """Max used-bytes delta on ``path``'s volume while running."""
+    """Max used-bytes delta on ``path``'s volume while running, plus a
+    coarse (t_sec, used_gb_over_base) timeline for phase attribution."""
 
     def __init__(self, path: str, interval: float = 2.0):
         self.path, self.interval = path, interval
         self._stop = threading.Event()
         self.base = shutil.disk_usage(path).used
         self.high = self.base
+        self.t0 = time.time()
+        self.timeline: list = []
         self._t = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
+        last = None
         while not self._stop.is_set():
             try:
-                self.high = max(self.high, shutil.disk_usage(self.path).used)
+                used = shutil.disk_usage(self.path).used
+                self.high = max(self.high, used)
+                gb = round((used - self.base) / 2**30, 1)
+                if last is None or abs(gb - last) >= 1.0:
+                    self.timeline.append(
+                        (round(time.time() - self.t0), gb)
+                    )
+                    last = gb
             except OSError:
                 pass
             self._stop.wait(self.interval)
@@ -105,7 +116,20 @@ def _run_config(chunks: int, g: int) -> dict:
             spark._jvm.System.gc()
             time.sleep(0.5)
 
-        docs = corpus(spark, g).localCheckpoint()
+        # corpus from PARQUET, like production (the sf tables are parquet
+        # on disk): a localCheckpoint'ed corpus holds ~raw-size block-
+        # manager files plus the generation shuffles for the whole run —
+        # probe overhead that is NOT part of the operator's footprint.
+        # The parquet copy is written once, its size reported separately,
+        # and the generation session state dropped before the timed run.
+        corpus_dir = f"/tmp/verify_probe_corpus_{g}"
+        if not os.path.isdir(corpus_dir):
+            corpus(spark, g).write.mode("overwrite").parquet(corpus_dir)
+        spark.catalog.clearCache()
+        for _ in range(2):
+            spark._jvm.System.gc()
+            time.sleep(0.5)
+        docs = spark.read.parquet(corpus_dir)
         n_docs = docs.count()
         vol = _shuffle_volume(spark)
         with _DiskWatcher(vol) as w:
@@ -123,6 +147,13 @@ def _run_config(chunks: int, g: int) -> dict:
             "pairs": n_pairs,
             "end_to_end_sec": round(wall, 1),
             "disk_high_water_gb": w.high_water_gb,
+            "corpus_parquet_gb": round(
+                sum(
+                    os.path.getsize(os.path.join(corpus_dir, f))
+                    for f in os.listdir(corpus_dir)
+                ) / 2**30, 2,
+            ),
+            "disk_timeline": w.timeline,
             "volume": vol,
         }
         print(f"# chunks={chunks}: e2e {out['end_to_end_sec']}s, "
@@ -136,8 +167,11 @@ def _run_config(chunks: int, g: int) -> dict:
 
 def main() -> None:
     out = {"n_groups": G, "planted_pairs": _planted(G), "configs": []}
-    for c in CONFIGS:
-        out["configs"].append(_run_config(c, G))
+    try:
+        for c in CONFIGS:
+            out["configs"].append(_run_config(c, G))
+    finally:
+        shutil.rmtree(f"/tmp/verify_probe_corpus_{G}", ignore_errors=True)
     print(json.dumps(out))
 
 
