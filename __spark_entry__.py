@@ -1164,6 +1164,57 @@ def q_multimodal_mpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC / OGG-Vorbis / MP4 container metadata — the round-11
+    curation lanes for the remaining media gaps (multimodal/
+    containers.py: STREAMINFO fields, page-walk granule duration, BMFF
+    box walk). Per document a deterministic container payload is
+    synthesized (id % 3 picks the format, every header field is id
+    arithmetic), BOTH public lanes run distributed
+    (``audio_container_meta`` + ``video_container_meta``), and their
+    unified projection must match the oracle's arithmetic recomputation
+    exactly. Zero/empty sentinels instead of NULLs keep the value-hash
+    comparison type-stable."""
+    from mindb_spark.multimodal import audio_container_meta, video_container_meta
+    from mindb_spark.multimodal.columns import synthesize_media_containers
+    from mindb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = synthesize_media_containers(_docs(spark, sf_dir)).localCheckpoint()
+    a = audio_container_meta(docs).select(
+        "doc_id",
+        F.col("format").alias("a_fmt"),
+        F.col("sample_rate").alias("a_rate"),
+        F.col("channels").alias("a_ch"),
+        F.col("n_frames").alias("a_total"),
+        F.col("duration_sec").alias("a_dur"),
+    )
+    v = video_container_meta(docs).select(
+        "doc_id",
+        F.col("format").alias("v_fmt"),
+        F.col("duration_sec").alias("v_dur"),
+        F.col("width").alias("v_w"),
+        F.col("height").alias("v_h"),
+        F.col("codec").alias("v_codec"),
+    )
+    out = a.join(v, "doc_id")
+    # null-safe: v_fmt is NULL for audio rows, and ~(NULL == 'mp4') is
+    # NULL under SQL three-valued logic, which would zero every audio
+    # field through the when()s below
+    is_mp4 = F.col("v_fmt").eqNullSafe(F.lit("mp4"))
+    return out.select(
+        "doc_id",
+        F.when(is_mp4, F.col("v_fmt")).otherwise(F.col("a_fmt")).alias("format"),
+        F.coalesce(F.when(~is_mp4, F.col("a_rate")), F.lit(0)).cast("int").alias("sample_rate"),
+        F.coalesce(F.when(~is_mp4, F.col("a_ch")), F.lit(0)).cast("int").alias("channels"),
+        F.coalesce(F.when(~is_mp4, F.col("a_total")), F.lit(0)).cast("long").alias("total_samples"),
+        _fl6(F.when(is_mp4, F.col("v_dur")).otherwise(F.col("a_dur"))).alias("duration_sec"),
+        F.coalesce(F.col("v_w"), F.lit(0)).cast("int").alias("width"),
+        F.coalesce(F.col("v_h"), F.lit(0)).cast("int").alias("height"),
+        F.coalesce(F.col("v_codec"), F.lit("")).alias("codec"),
+    )
+
+
 def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF frame extraction (`no_oracle`: LZW decoding is
     not SQL-expressible, so the entry embeds a bit-exact round-trip
@@ -2078,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": q_knn_batch,
         "ann_rerank_fixed": q_ann_rerank_fixed,
         "multimodal_mpeg_meta": q_multimodal_mpeg_meta,
+        "multimodal_container_meta": q_multimodal_container_meta,
         "filtered_knn": q_filtered_knn,
         "filtered_knn_trained": q_filtered_knn_trained,
         "dedup_survivors": q_dedup_survivors,
@@ -2353,6 +2405,29 @@ ranked as (
   from scored
 )
 select query_id, vec_id, floor(s * 1000000 + 0.5) / 1000000 as score from ranked where rn <= 5
+""",
+        "multimodal_container_meta": """
+select doc_id,
+       case doc_id % 3 when 0 then 'flac' when 1 then 'ogg-vorbis'
+            else 'mp4' end as format,
+       (case when doc_id % 3 < 2
+             then [32000, 44100, 48000][((doc_id // 3) % 3) + 1]
+             else 0 end)::INTEGER as sample_rate,
+       (case when doc_id % 3 < 2 then 1 + doc_id % 2 else 0 end)::INTEGER
+           as channels,
+       (case when doc_id % 3 < 2 then 1000 * (1 + doc_id % 7)
+             else 0 end)::BIGINT as total_samples,
+       floor(case when doc_id % 3 < 2
+                  then (1000 * (1 + doc_id % 7)) * 1.0
+                       / [32000, 44100, 48000][((doc_id // 3) % 3) + 1]
+                  else (500 + 250 * (doc_id % 10)) / 1000.0 end
+             * 1000000 + 0.5) / 1000000 as duration_sec,
+       (case when doc_id % 3 = 2 then 320 + 64 * (doc_id % 5)
+             else 0 end)::INTEGER as width,
+       (case when doc_id % 3 = 2 then 240 + 48 * (doc_id % 5)
+             else 0 end)::INTEGER as height,
+       case when doc_id % 3 = 2 then 'avc1' else '' end as codec
+from documents
 """,
         "multimodal_mpeg_meta": """
 select doc_id,

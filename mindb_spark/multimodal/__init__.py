@@ -1,6 +1,7 @@
 from mindb_spark.multimodal.columns import (
     binary_metadata,
     audio_container_meta,
+    video_container_meta,
     decode_audio,
     decode_images,
     resample_audio,
@@ -12,6 +13,7 @@ from mindb_spark.multimodal.columns import (
 __all__ = [
     "binary_metadata",
     "audio_container_meta",
+    "video_container_meta",
     "decode_audio",
     "decode_images",
     "resample_audio",

@@ -340,6 +340,71 @@ def decode_audio(
     )
 
 
+def video_container_meta(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video-container metadata per payload — the curation lane for the
+    "non-MJPEG video" gap at the level a 100 TB pipeline filters on:
+    duration, resolution, codec fourcc, track inventory, truncation.
+    MP4/ISO-BMFF payloads walk the public box grammar
+    (``multimodal/containers.py``); MJPEG-AVI payloads reuse the
+    existing RIFF demuxer (frame count + dims from the first decoded
+    frame header). Coded-frame decode beyond MJPEG stays env-gated.
+    Unknown payloads yield format=NULL — total function, filter don't
+    throw."""
+    from mindb_spark.multimodal.avi import is_avi, read_avi_frames
+    from mindb_spark.multimodal.containers import (
+        is_mp4,
+        jpeg_dimensions,
+        mp4_meta,
+    )
+
+    def _meta_one(payload: bytes):
+        if is_mp4(payload):
+            m = mp4_meta(payload)
+            vids = [t for t in m["tracks"] if t["kind"] == "video"]
+            v = vids[0] if vids else {}
+            return (
+                "mp4", m["duration_sec"], v.get("width"), v.get("height"),
+                v.get("codec"), m["n_tracks"], None, bool(m["truncated"]),
+            )
+        if is_avi(payload):
+            frames = read_avi_frames(payload)
+            w = h = None
+            if frames:
+                dims = jpeg_dimensions(frames[0])
+                if dims is not None:
+                    h, w = dims
+            return (
+                "avi-mjpeg", None, w, h, "mjpg", 1, len(frames), False,
+            )
+        return (None, None, None, None, None, 0, None, False)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "format", "duration_sec", "width", "height", "codec",
+            "n_tracks", "n_frames", "truncated",
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_meta_one(bytes(b)) for b in pdf[binary_col]]
+            out = {id_col: pdf[id_col].to_numpy()}
+            out.update({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, format string, duration_sec double,"
+            " width int, height int, codec string, n_tracks int,"
+            " n_frames int, truncated boolean"
+        ),
+    )
+
+
 def synthesize_cbr_mpeg(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -376,6 +441,50 @@ def synthesize_cbr_mpeg(
     return df.select(F.col(id_col), payload(F.col(id_col)).alias(out_col))
 
 
+def synthesize_media_containers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "content",
+) -> DataFrame:
+    """Deterministic mixed media-container payload per id — fixture
+    generator for the container lanes' oracle entry: id % 3 picks
+    FLAC / OGG-Vorbis / MP4, and every header field is id arithmetic so
+    an oracle recomputes what the walkers must report."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mindb_spark.multimodal.containers import (
+        encode_flac_streaminfo,
+        encode_mp4_skeleton,
+        encode_ogg_vorbis,
+    )
+
+    RATES = (32000, 44100, 48000)
+
+    @pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            kind = i % 3
+            rate = RATES[(i // 3) % 3]
+            ch = 1 + i % 2
+            total = 1000 * (1 + i % 7)
+            if kind == 0:
+                out.append(encode_flac_streaminfo(rate, ch, 16, total))
+            elif kind == 1:
+                out.append(encode_ogg_vorbis(rate, ch, total, 3))
+            else:
+                out.append(
+                    encode_mp4_skeleton(
+                        (500 + 250 * (i % 10)) / 1000.0, 1000,
+                        320 + 64 * (i % 5), 240 + 48 * (i % 5), b"avc1",
+                    )
+                )
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), payload(F.col(id_col)).alias(out_col))
+
+
 def audio_container_meta(
     df: DataFrame,
     binary_col: str = "content",
@@ -393,6 +502,12 @@ def audio_container_meta(
     plan shape as ``decode_images``/``decode_audio``.
     """
     from mindb_spark.multimodal.audio import decode_wav, is_wav
+    from mindb_spark.multimodal.containers import (
+        flac_streaminfo,
+        is_flac,
+        is_ogg,
+        ogg_vorbis_meta,
+    )
     from mindb_spark.multimodal.mpegaudio import mpeg_audio_meta
 
     def _meta_one(payload: bytes):
@@ -402,6 +517,21 @@ def audio_container_meta(
             return (
                 "wav", rate, samples.shape[1], n,
                 n / rate if rate else 0.0, None, False, 0, False,
+            )
+        if is_flac(payload):
+            si = flac_streaminfo(payload)
+            if si is not None:
+                return (
+                    "flac", si["sample_rate"], si["channels"],
+                    si["total_samples"], si["duration_sec"], None, False,
+                    0, False,
+                )
+        if is_ogg(payload):
+            m = ogg_vorbis_meta(payload)
+            return (
+                m["format"], m["sample_rate"], m["channels"],
+                m["total_samples"], m["duration_sec"], None, None,
+                m["desync_bytes"], bool(m["truncated"]),
             )
         m = mpeg_audio_meta(payload)
         if m["n_frames"] == 0:
