@@ -312,6 +312,40 @@ def gate_certifications() -> dict[tuple, dict]:
     return _GATE_CERTS
 
 
+def save_gate_certifications(path: str) -> int:
+    """Persist the in-process certification cache to a JSON file so a
+    REPEATED pipeline (new process, same corpus) can skip the gate too —
+    the cross-process half of VERDICT r10 #3 (the ANN gate writes its
+    defaults into the DB manifest; the similarity lanes have no manifest,
+    so persistence is the caller's explicit choice). Returns the number
+    of certifications written."""
+    import json
+
+    payload = [[list(k), v] for k, v in _GATE_CERTS.items()]
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return len(payload)
+
+
+def load_gate_certifications(path: str) -> int:
+    """Load certifications saved by :func:`save_gate_certifications`
+    into the in-process cache (merging over existing entries). Returns
+    the number loaded; a missing file loads zero (not an error — the
+    first run of a pipeline has nothing saved yet)."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        payload = json.load(f)
+    n = 0
+    for key, report in payload:
+        _GATE_CERTS[tuple(key)] = dict(report)
+        n += 1
+    return n
+
+
 def simhash_signature_udf(planes: np.ndarray):
     """Pandas UDF mapping vector -> int64 random-hyperplane signature."""
     from pyspark.sql.functions import pandas_udf

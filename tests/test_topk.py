@@ -350,6 +350,34 @@ def test_lsh_gate_certification_reused_zero_gate_jobs(mid_sim_corpus):
     S.clear_gate_certifications()
 
 
+def test_gate_certifications_persist_across_processes(mid_sim_corpus, tmp_path):
+    """The saved JSON cache reloaded into a FRESH cache (simulating a
+    new process) must make the first gated call a zero-gate-job reuse."""
+    df, _ = mid_sim_corpus
+    tau = 0.65
+    S.clear_gate_certifications()
+    r1: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r1, cert_key="persist-A",
+    )
+    path = str(tmp_path / "gate_certs.json")
+    assert S.save_gate_certifications(path) >= 1
+    S.clear_gate_certifications()  # "new process"
+    assert S.load_gate_certifications(path) >= 1
+    runs0 = S._GATE_RUNS["lsh"]
+    r2: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r2, cert_key="persist-A",
+    )
+    assert S._GATE_RUNS["lsh"] == runs0  # zero gate jobs after reload
+    assert r2["reused"] is True and r2["n_bands"] == r1["n_bands"]
+    # missing file: clean zero, not an error
+    assert S.load_gate_certifications(str(tmp_path / "absent.json")) == 0
+    S.clear_gate_certifications()
+
+
 def test_ivf_gate_certification_reused(mid_sim_corpus):
     """IVF twin of the LSH certification pin: the repeat call skips the
     gate sample + escalation and reuses the certified n_assign."""
