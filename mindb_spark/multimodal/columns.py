@@ -361,26 +361,35 @@ def video_container_meta(
         mp4_meta,
     )
 
+    _NULL_ROW = (None, None, None, None, None, 0, None, False)
+
     def _meta_one(payload: bytes):
-        if is_mp4(payload):
-            m = mp4_meta(payload)
-            vids = [t for t in m["tracks"] if t["kind"] == "video"]
-            v = vids[0] if vids else {}
-            return (
-                "mp4", m["duration_sec"], v.get("width"), v.get("height"),
-                v.get("codec"), m["n_tracks"], None, bool(m["truncated"]),
-            )
-        if is_avi(payload):
-            frames = read_avi_frames(payload)
-            w = h = None
-            if frames:
-                dims = jpeg_dimensions(frames[0])
-                if dims is not None:
-                    h, w = dims
-            return (
-                "avi-mjpeg", None, w, h, "mjpg", 1, len(frames), False,
-            )
-        return (None, None, None, None, None, 0, None, False)
+        # TOTAL-function contract: a payload passing is_mp4/is_avi magic
+        # but malformed beyond it (empty boxes at EOF, corrupt RIFF
+        # index) yields the null row — one bad payload must never kill
+        # the Spark task.
+        try:
+            if is_mp4(payload):
+                m = mp4_meta(payload)
+                vids = [t for t in m["tracks"] if t["kind"] == "video"]
+                v = vids[0] if vids else {}
+                return (
+                    "mp4", m["duration_sec"], v.get("width"), v.get("height"),
+                    v.get("codec"), m["n_tracks"], None, bool(m["truncated"]),
+                )
+            if is_avi(payload):
+                frames = read_avi_frames(payload)
+                w = h = None
+                if frames:
+                    dims = jpeg_dimensions(frames[0])
+                    if dims is not None:
+                        h, w = dims
+                return (
+                    "avi-mjpeg", None, w, h, "mjpg", 1, len(frames), False,
+                )
+            return _NULL_ROW
+        except Exception:
+            return _NULL_ROW
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
@@ -510,37 +519,46 @@ def audio_container_meta(
     )
     from mindb_spark.multimodal.mpegaudio import mpeg_audio_meta
 
+    _NULL_ROW = (None, None, None, 0, 0.0, None, None, 0, False)
+
     def _meta_one(payload: bytes):
-        if is_wav(payload):
-            rate, samples = decode_wav(payload)
-            n = samples.shape[0]
-            return (
-                "wav", rate, samples.shape[1], n,
-                n / rate if rate else 0.0, None, False, 0, False,
-            )
-        if is_flac(payload):
-            si = flac_streaminfo(payload)
-            if si is not None:
+        # The total-function contract: any malformed payload — including a
+        # RIFF/WAVE magic that passes is_wav but then fails to parse
+        # (truncated, missing fmt/data chunk) — yields the null sentinel
+        # row, never an exception out of the Spark task.
+        try:
+            if is_wav(payload):
+                rate, samples = decode_wav(payload)
+                n = samples.shape[0]
                 return (
-                    "flac", si["sample_rate"], si["channels"],
-                    si["total_samples"], si["duration_sec"], None, False,
-                    0, False,
+                    "wav", rate, samples.shape[1], n,
+                    n / rate if rate else 0.0, None, False, 0, False,
                 )
-        if is_ogg(payload):
-            m = ogg_vorbis_meta(payload)
+            if is_flac(payload):
+                si = flac_streaminfo(payload)
+                if si is not None:
+                    return (
+                        "flac", si["sample_rate"], si["channels"],
+                        si["total_samples"], si["duration_sec"], None, False,
+                        0, False,
+                    )
+            if is_ogg(payload):
+                m = ogg_vorbis_meta(payload)
+                return (
+                    m["format"], m["sample_rate"], m["channels"],
+                    m["total_samples"], m["duration_sec"], None, None,
+                    m["desync_bytes"], bool(m["truncated"]),
+                )
+            m = mpeg_audio_meta(payload)
+            if m["n_frames"] == 0:
+                return _NULL_ROW
             return (
-                m["format"], m["sample_rate"], m["channels"],
-                m["total_samples"], m["duration_sec"], None, None,
+                m["format"], m["sample_rate"], m["channels"], m["n_frames"],
+                m["duration_sec"], m["bitrate_kbps_mean"], bool(m["vbr"]),
                 m["desync_bytes"], bool(m["truncated"]),
             )
-        m = mpeg_audio_meta(payload)
-        if m["n_frames"] == 0:
-            return (None, None, None, 0, 0.0, None, None, 0, False)
-        return (
-            m["format"], m["sample_rate"], m["channels"], m["n_frames"],
-            m["duration_sec"], m["bitrate_kbps_mean"], bool(m["vbr"]),
-            m["desync_bytes"], bool(m["truncated"]),
-        )
+        except Exception:
+            return _NULL_ROW
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (

@@ -294,13 +294,18 @@ def mp4_meta(data: bytes) -> dict | None:
             if cc == b"!trunc":
                 out["truncated"] = True
             elif cc == b"mvhd":
-                ver = data[s]
-                if ver == 1:
+                # TOTAL-function guard: an empty/short box body (s == e,
+                # possibly at EOF) must mark truncation, not IndexError.
+                ver = data[s] if s < e else None
+                if ver == 1 and s + 32 <= e:
                     ts = int.from_bytes(data[s + 20 : s + 24], "big")
                     dur = int.from_bytes(data[s + 24 : s + 32], "big")
-                else:
+                elif ver == 0 and s + 20 <= e:
                     ts = int.from_bytes(data[s + 12 : s + 16], "big")
                     dur = int.from_bytes(data[s + 16 : s + 20], "big")
+                else:
+                    out["truncated"] = True
+                    continue
                 out["duration_sec"] = dur / ts if ts else 0.0
             elif cc == b"trak":
                 trk = {"kind": None, "width": None, "height": None,
@@ -312,16 +317,20 @@ def mp4_meta(data: bytes) -> dict | None:
     def parse_trak(b0: int, b1: int, trk: dict):
         for cc, s, e in _walk_boxes(data, b0, b1):
             if cc == b"tkhd":
-                ver = data[s]
-                base = s + (32 if ver == 0 else 44)
+                # TOTAL-function guard: empty body → truncated, not a raise.
+                if e - s < 8:
+                    out["truncated"] = True
+                    continue
                 # width/height are 16.16 fixed point at the box tail
                 w = int.from_bytes(data[e - 8 : e - 4], "big") >> 16
                 h = int.from_bytes(data[e - 4 : e], "big") >> 16
                 trk["width"], trk["height"] = w or None, h or None
-                del base
             elif cc in (b"mdia", b"minf", b"stbl"):
                 parse_trak(s, e, trk)
             elif cc == b"hdlr":
+                if e - s < 12:
+                    out["truncated"] = True
+                    continue
                 kind = data[s + 8 : s + 12]
                 trk["kind"] = {
                     b"vide": "video", b"soun": "audio"

@@ -464,7 +464,7 @@ def near_dup_against_corpus(
 
 # Partition-column names of the GROWN near-dup index (stream_near_dup's
 # grow_dir layout, round 11 — VERDICT r10 #5). Band appends are
-# partitioned by _pband = band * P + pmod(bucket, P) and set appends by
+# partitioned by _pband = band * P + pmod(xxhash64(bucket), P) and set appends by
 # _pset = pmod(corpus_id, P): each micro-batch touches at most
 # (batch_docs x n_bands) band partitions and (candidate count) set
 # partitions, so the per-batch join scans PRUNE to matching partitions
@@ -607,8 +607,10 @@ def stream_near_dup(
 
     Grown-index layout (round 11, VERDICT r10 #5): appends under
     ``grow_dir`` are PARTITIONED — bands by ``_pband = band *
-    grow_partitions + pmod(bucket, grow_partitions)``, sets by ``_pset
-    = pmod(corpus_id, grow_partitions)`` — and each batch's join applies
+    grow_partitions + pmod(xxhash64(bucket), grow_partitions)`` (hashed,
+    not a direct cast, because the md5 lane's bucket is a hex string
+    while the fast lane's is a long — see ``_grow_band_key``), sets by
+    ``_pset = pmod(corpus_id, grow_partitions)`` — and each batch's join applies
     static ``isin`` partition filters from its own keys, so the
     per-trigger scan of the grown index reads only the partitions the
     batch can possibly collide with (~batch_docs x n_bands of

@@ -137,6 +137,67 @@ def test_distributed_lanes_mixed_batch(spark):
     assert v[1].format is None and v[5].format is None
 
 
+def test_mp4_meta_empty_boxes_at_eof_total():
+    """Round-12 ADVICE fix: a crafted ftyp + moov whose mvhd/tkhd box
+    body is EMPTY and ends exactly at EOF must report truncated, not
+    raise IndexError (`ver = data[s]` with s == len(data))."""
+    ftyp = C._box(b"ftyp", b"isom" + b"\x00" * 8)
+    # moov containing an empty-bodied mvhd — body_start == EOF
+    empty_mvhd = C._box(b"mvhd", b"")
+    m = C.mp4_meta(ftyp + C._box(b"moov", empty_mvhd))
+    assert m is not None and m["truncated"] is True
+    # same for an empty tkhd inside a trak, and an empty hdlr
+    for inner in (C._box(b"tkhd", b""), C._box(b"hdlr", b"")):
+        payload = ftyp + C._box(b"moov", C._box(b"trak", inner))
+        m = C.mp4_meta(payload)
+        assert m is not None and m["truncated"] is True
+    # short-but-nonempty mvhd bodies (1..19 bytes) are equally safe
+    for n in (1, 4, 12, 19):
+        m = C.mp4_meta(ftyp + C._box(b"moov", C._box(b"mvhd", b"\x00" * n)))
+        assert m is not None and m["truncated"] is True
+
+
+def test_mp4_meta_fuzz_truncations_never_raise():
+    """Every prefix truncation of a valid skeleton parses or returns a
+    flagged dict — never an exception (TOTAL-function sweep)."""
+    v = C.encode_mp4_skeleton(2.0, 1000, 640, 360)
+    for cut in range(0, len(v) + 1):
+        C.mp4_meta(v[:cut])  # must not raise
+    # random-ish corruption: flip bytes through the box headers
+    for pos in range(0, min(len(v), 120)):
+        corrupted = v[:pos] + b"\xff" + v[pos + 1 :]
+        C.mp4_meta(corrupted)  # must not raise
+
+
+def test_container_lanes_corrupt_payloads_yield_null_rows(spark):
+    """Round-12 ADVICE fix: payloads passing the magic sniff but corrupt
+    beyond it flow through BOTH distributed lanes as null/zero sentinel
+    rows — the documented 'filter, don't throw' contract."""
+    from mindb_spark.multimodal import audio_container_meta, video_container_meta
+
+    wav_ok_magic_bad_body = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"junk"
+    truncated_riff = b"RIFF\xff\xff\xff\xffWAVE"
+    ftyp = C._box(b"ftyp", b"isom" + b"\x00" * 8)
+    mp4_empty_mvhd = ftyp + C._box(b"moov", C._box(b"mvhd", b""))
+    avi_magic_bad = b"RIFF" + b"\x10\x00\x00\x00" + b"AVI LIST"
+    rows = [
+        (1, wav_ok_magic_bad_body),
+        (2, truncated_riff),
+        (3, mp4_empty_mvhd),
+        (4, avi_magic_bad),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    a = {r.doc_id: r for r in audio_container_meta(df).collect()}
+    assert len(a) == 4
+    for i in (1, 2, 3, 4):
+        assert a[i].format is None and a[i].n_frames == 0
+    v = {r.doc_id: r for r in video_container_meta(df).collect()}
+    assert len(v) == 4
+    assert v[1].format is None and v[2].format is None
+    # the structurally-sniffable mp4 still reports, flagged truncated
+    assert v[3].format == "mp4" and v[3].truncated is True
+
+
 def test_video_lane_reads_mjpeg_avi(spark):
     """The existing MJPEG-AVI demuxer rides the video lane: frame count
     and dims from the container, no full decode."""
