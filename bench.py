@@ -182,6 +182,38 @@ def _micro_wall(spark) -> float:
     return time.time() - t0
 
 
+_MICRO_GEMM_A = None
+
+
+def _micro_gemm_wall() -> float:
+    """Raw wall of one DRIVER-SIDE numpy micro reading (round 12,
+    VERDICT r11 #1): the jvm micro cannot attribute the resident/routed
+    probes, which never touch the JVM — they run on the BLAS substrate
+    the full sentinel's gemm probe measures. Same kernel shape at 1/4
+    the iterations; used RELATIVELY, anchored beside the start sentinel
+    like the jvm micro. MEDIAN of 3 shots, unlike the single-shot jvm
+    micro: measured in-process (Spark JVM resident, quiet host), BLAS
+    single-shot walls flap ~2.3x shot-to-shot (0.44-1.02 s on identical
+    input — scheduler preemption of the BLAS thread pool by 32 executor
+    threads), which is the very jitter band the r11 resident_q1
+    'regression' (10.97 vs 4.63 ms) sits in; the median reads the
+    substrate's current level through that flap."""
+    import numpy as np
+
+    global _MICRO_GEMM_A
+    if _MICRO_GEMM_A is None:
+        _MICRO_GEMM_A = np.random.default_rng(0).normal(size=(1536, 1536))
+    a = _MICRO_GEMM_A
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        b = a
+        for _ in range(6):
+            b = np.tanh(b @ a * 1e-3)
+        ts.append(time.time() - t0)
+    return sorted(ts)[1]
+
+
 def _index_at(micro: list, pos: float) -> float:
     """Piecewise-linear host index at a query position from the pass's
     (position, index) micro readings."""
@@ -253,6 +285,69 @@ def _quiesce(spark) -> None:
         time.sleep(0.5)
 
 
+def _normalized_block(timings_norm, sentinel, probe_index, ann_ms, routed_ms,
+                      clustered, fiqa, dedup_scale, sim_compare) -> dict:
+    """Probe-local normalization (round 12, VERDICT r11 #1): each side
+    probe's headline numbers divided by ITS OWN bracket's local host
+    index — jvm substrate for Spark-path walls, gemm for driver-side
+    numpy serving latencies — with the whole-run host_index as fallback
+    when a bracket is missing. The r11 lesson: dividing a probe by the
+    run geomean can move the normalized number the WRONG way when the
+    probe's weather differs from the run average."""
+    host = (sentinel or {}).get("host_index")
+
+    def idx(label, kind="jvm"):
+        return probe_index(label, kind) or host
+
+    def div(d, label, kind="jvm", nd=2):
+        i = idx(label, kind)
+        if not d or not i:
+            return None
+        return {k: round(v / i, nd) for k, v in d.items()}
+
+    out = {
+        "headline_sec": round(sum(timings_norm.values()), 3),
+        "ann_ms_per_query": div(ann_ms, "ann_amortized"),
+        "ann_ms_per_query_routed": div(routed_ms, "ann_routed", "gemm"),
+    }
+    if clustered:
+        out["clustered_heuristic_ms_per_query"] = div(
+            clustered.get("heuristic_ms_per_query"), "clustered")
+        pm = clustered.get("point_query_ms") or {}
+        i_j, i_g = idx("clustered"), idx("clustered", "gemm")
+        cpq = {}
+        for k, v in pm.items():
+            i = i_g if k == "resident_q1" else i_j
+            if i:
+                cpq[k] = round(v / i, 2)
+        out["clustered_point_query_ms"] = cpq or None
+    if fiqa:
+        i_g, i_j = idx("fiqa", "gemm"), idx("fiqa")
+        f = {}
+        for k, i in (("resident_q1_ms", i_g), ("resident_q128_ms_per_q", i_g),
+                     ("spark_q128_ms_per_q", i_j)):
+            if i and fiqa.get(k) is not None:
+                f[k] = round(fiqa[k] / i, 2)
+        out["fiqa"] = f or None
+    if dedup_scale:
+        i = idx("dedup_scale")
+        if i:
+            out["dedup_minhash_sec"] = {
+                k: round(v["minhash_sec"] / i, 2)
+                for k, v in dedup_scale.items()
+                if isinstance(v, dict) and "minhash_sec" in v
+            }
+    if sim_compare:
+        i = idx("similarity")
+        if i:
+            out["similarity_sec"] = {
+                k: round(sim_compare[f"{k}_sec"] / i, 2)
+                for k in ("exact", "lsh", "ivf")
+                if sim_compare.get(f"{k}_sec") is not None
+            }
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     import __spark_entry__ as E
@@ -302,6 +397,59 @@ def main() -> None:
         if anchor_wall is None:
             return 1.0
         return anchor_idx * wall / anchor_wall
+
+    # gemm anchor (round 12, VERDICT r11 #1): the driver-side micro's
+    # absolute scale comes from the start sentinel's own gemm ratio, so
+    # gemm micro indices and host_index share one scale like the jvm ones
+    gemm_anchor_idx = (
+        (sentinel["walls"]["gemm"] / SENTINEL_REF["gemm"])
+        if sentinel
+        else 1.0
+    )
+    try:
+        gemm_anchor_wall = min(_micro_gemm_wall(), _micro_gemm_wall())
+    except Exception as e:
+        print(f"# gemm micro anchor failed: {e}", file=sys.stderr)
+        gemm_anchor_wall = None
+
+    def to_gemm_index(wall: float) -> float:
+        if gemm_anchor_wall is None:
+            return 1.0
+        return gemm_anchor_idx * wall / gemm_anchor_wall
+
+    # Probe-local attribution (round 12, VERDICT r11 #1): every side
+    # probe below is BRACKETED by a dual-substrate micro reading (jvm for
+    # Spark-path probes, gemm for driver-side numpy probes), and each
+    # probe's numbers are normalized by the geomean of ITS OWN bracket
+    # instead of the whole-run host_index — r9/r10/r11 all saw probe
+    # readings flap 3-5x on zero code change precisely because the
+    # weather during an uninstrumented probe is invisible to start/end
+    # normalization.
+    probe_sentinels: dict[str, list] = {}
+
+    def probe_reading(label: str) -> None:
+        rec: dict[str, float] = {}
+        try:
+            rec["jvm"] = round(to_index(_micro_wall(spark)), 3)
+        except Exception as e:
+            print(f"# probe sentinel {label}/jvm failed: {e}", file=sys.stderr)
+        try:
+            rec["gemm"] = round(to_gemm_index(_micro_gemm_wall()), 3)
+        except Exception as e:
+            print(f"# probe sentinel {label}/gemm failed: {e}", file=sys.stderr)
+        probe_sentinels.setdefault(label, []).append(rec)
+        print(f"# probe sentinel [{label}] = {rec}", file=sys.stderr)
+
+    def probe_index(label: str, kind: str = "jvm"):
+        """Geomean of the bracket's readings for one substrate; None if
+        the bracket is missing (normalization then falls back to
+        host_index downstream)."""
+        import numpy as np
+
+        vals = [r[kind] for r in probe_sentinels.get(label, ()) if kind in r]
+        if not vals:
+            return None
+        return round(float(np.exp(np.mean(np.log(vals)))), 3)
 
     walls_a, micro_a = _timed_pass(
         spark, qs, order_a, errors, SF_DIR, "A", to_index)
@@ -354,6 +502,7 @@ def main() -> None:
     # from get_n_probe — the selective plan that would run at 100x scale,
     # mirroring the reference's FIQA bar (test_full_eval.py:75-78: > 0.97)
     clustered = None
+    probe_reading("clustered")
     try:
         import numpy as np
 
@@ -422,40 +571,42 @@ def main() -> None:
         # plan that runs at 100x scale (the headline ANN latency number)
         heuristic_ms: dict[str, float] = {}
         two_stage_ms: dict[str, float] = {}
+        # query sets pregenerated once (same rng draw order as before),
+        # then two INTERLEAVED repetition passes over all points (round
+        # 12, VERDICT r11 #1): back-to-back best-of-2 lands both runs in
+        # the same weather window; a full pass (~10s) between them means
+        # a transient degrades at most one run of each point.
+        bq_sets: dict[int, list] = {}
         for nq in (16, 128, 512):
             bq = rng.integers(0, 30_000, size=nq)
-            bqueries = [
+            bq_sets[nq] = [
                 (int(i), norm[bq[i]] + 0.05 * rng.normal(size=64)) for i in range(nq)
             ]
-            # best-of-2 per point: PERF_NOTES measured ~2x run-to-run host
-            # noise on single-shot timings; the min is the steady state
-            best = None
-            for _ in range(2):
+        h_walls: dict[int, list] = {nq: [] for nq in bq_sets}
+        ts_walls: list = []
+        for _rep in range(2):
+            for nq, bqueries in bq_sets.items():
                 t0 = time.time()
                 ivf.search(
                     codes_cov, vdf, arts_cov, bqueries, preliminary_top_k=500,
                     final_top_k=10, n_probe=params.n_probe,
                     max_trained_id=None, n_buckets=16, approx_rows=30_000,
                 ).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            heuristic_ms[f"q{nq}"] = round(best / nq * 1000, 1)
-            if nq == 512:
-                # attribution: the classic two-stage plan on the
-                # NON-covering index (rerank joins the vectors table) —
-                # the r5 regression lived here, in stage 2's shuffles
-                best = None
-                for _ in range(2):
-                    t0 = time.time()
-                    ivf.search(
-                        codes, vdf, arts, bqueries,
-                        preliminary_top_k=500, final_top_k=10,
-                        n_probe=params.n_probe, max_trained_id=None,
-                        n_buckets=16, approx_rows=30_000,
-                    ).count()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                two_stage_ms[f"q{nq}"] = round(best / nq * 1000, 1)
+                h_walls[nq].append(time.time() - t0)
+            # attribution: the classic two-stage plan on the
+            # NON-covering index (rerank joins the vectors table) —
+            # the r5 regression lived here, in stage 2's shuffles
+            t0 = time.time()
+            ivf.search(
+                codes, vdf, arts, bq_sets[512],
+                preliminary_top_k=500, final_top_k=10,
+                n_probe=params.n_probe, max_trained_id=None,
+                n_buckets=16, approx_rows=30_000,
+            ).count()
+            ts_walls.append(time.time() - t0)
+        for nq, ws in h_walls.items():
+            heuristic_ms[f"q{nq}"] = round(min(ws) / nq * 1000, 1)
+        two_stage_ms["q512"] = round(min(ts_walls) / 512 * 1000, 1)
         # interactive point-query latency (Q=1): the fused covering path
         # reranks inside the pruned stage-1 scan; two-stage pays the full
         # data-table fetch. Median of 3 warm runs each.
@@ -531,8 +682,10 @@ def main() -> None:
         print(f"# clustered heuristic-probe eval = {clustered}", file=sys.stderr)
     except Exception as e:
         print(f"# clustered recall probe failed: {e}", file=sys.stderr)
+    probe_reading("clustered")
 
     _quiesce(spark)
+    probe_reading("fiqa")
     # reference-REGIME probe (round 7): the FIQA shape — 57.6k x 768 — is
     # the reference's published benchmark (README table: 5.04 ms/query
     # mean, recall 20@20 = 0.995, in-RAM Faiss serving; defaults PCA 256 /
@@ -642,6 +795,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         spark_q128 = round(best / 128 * 1000, 2)
+        probe_reading("fiqa")  # mid: spark part above, resident part below
         # resident snapshot — the apples-to-apples serving path (Arrow
         # assemble; covering codes already carry the vectors)
         table = (
@@ -689,30 +843,38 @@ def main() -> None:
         raise  # the embedded recall pin is deterministic — fail the bench
     except Exception as e:
         print(f"# fiqa-shape probe failed: {e}", file=sys.stderr)
+    probe_reading("fiqa")
 
     _quiesce(spark)
+    probe_reading("ann_amortized")
     # amortized batch latency on the sf embeddings: measures the ENTRY plan
     # (structureless-sf probe fallback — near-exhaustive by design; the
     # selective-plan number is clustered_heuristic_probe above)
     ann_ms_per_query: dict[str, float] = {}
     try:
         pin = E._sf_fallback_probe(spark, SF_DIR)
-        # warm pass + best-of-2: the round-7 single-run readings drifted
-        # +69-75% vs round 6 purely from host/scheduling noise (round-8
-        # attribution, PERF_NOTES — same-host best-of-4 showed HEAD at or
-        # below the round-6 code on every Q)
+        # warm pass, then two INTERLEAVED repetition passes over the
+        # curve (round 12, VERDICT r11 #1 — was back-to-back best-of-2;
+        # the round-7 single-run readings drifted +69-75% on host noise
+        # alone, and r11's q512 read 15.3 ms raw vs 3.7 with zero code
+        # change; a mid-pass micro reading plus pass separation gives
+        # each point two runs in DIFFERENT weather windows)
         E._ann_search(spark, SF_DIR, n_queries=16, n_probe=pin).count()
-        for nq in (16, 128, 512):
-            best = None
-            for _ in range(2):
+        ann_walls: dict[int, list] = {16: [], 128: [], 512: []}
+        for _rep in range(2):
+            for nq in ann_walls:
                 t0 = time.time()
                 E._ann_search(spark, SF_DIR, n_queries=nq, n_probe=pin).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            ann_ms_per_query[f"q{nq}"] = round(best / nq * 1000, 1)
+                ann_walls[nq].append(time.time() - t0)
+            if _rep == 0:
+                probe_reading("ann_amortized")
+        for nq, ws in ann_walls.items():
+            ann_ms_per_query[f"q{nq}"] = round(min(ws) / nq * 1000, 1)
         print(f"# ann amortized ms/query = {ann_ms_per_query}", file=sys.stderr)
     except Exception as e:
         print(f"# ann amortized probe failed: {e}", file=sys.stderr)
+    probe_reading("ann_amortized")
+    probe_reading("ann_routed")
 
     # ROUTED curve on the same sf corpus (round 9, VERDICT r8 #6): the
     # raw curve above is the INTERNAL Spark two-stage path (what runs
@@ -741,27 +903,32 @@ def main() -> None:
         snap_sf = ResidentSnapshot.assemble_from_arrow(
             arts_sf, pin, table_sf, d_sf, arts_sf.m, True
         )
-        for nq in (16, 128, 512):
-            qmat_sf = np.array(
+        qmats_sf = {
+            nq: np.array(
                 [v for _, v in E._query_vectors(spark, SF_DIR, nq)],
                 dtype=np.float64,
             )
-            snap_sf.query(qmat_sf[:8], preliminary_top_k=500, final_top_k=10)
-            best = None
-            for _ in range(2):
+            for nq in (16, 128, 512)
+        }
+        snap_sf.query(qmats_sf[16][:8], preliminary_top_k=500, final_top_k=10)
+        routed_walls: dict[int, list] = {nq: [] for nq in qmats_sf}
+        for _rep in range(2):  # interleaved passes (round 12)
+            for nq, qmat_sf in qmats_sf.items():
                 t0 = time.time()
                 snap_sf.query(qmat_sf, preliminary_top_k=500, final_top_k=10)
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            ann_ms_per_query_routed[f"q{nq}"] = round(best / nq * 1000, 2)
+                routed_walls[nq].append(time.time() - t0)
+        for nq, ws in routed_walls.items():
+            ann_ms_per_query_routed[f"q{nq}"] = round(min(ws) / nq * 1000, 2)
         del snap_sf, table_sf
         print(
             f"# ann ROUTED ms/query = {ann_ms_per_query_routed}", file=sys.stderr
         )
     except Exception as e:
         print(f"# ann routed probe failed: {e}", file=sys.stderr)
+    probe_reading("ann_routed")
 
     _quiesce(spark)
+    probe_reading("dedup_scale")
     # duplicate-dense dedup scaling probe (PERF_NOTES linearity probe,
     # promoted per VERDICT r3 #6): replicate the documents with per-copy
     # salt (near- but not exact-dups), then measure the SCALABLE dedup
@@ -828,14 +995,18 @@ def main() -> None:
                 dedup_scale["x8"]["components_sec"] = round(cc_s, 3)
                 dedup_scale["x8"]["components_nodes"] = n_nodes
                 dedup_scale["x8"]["components_nodes_per_sec"] = round(n_nodes / cc_s)
+            if r == 2:  # mid reading: x2 and x8 get separate weather legs
+                probe_reading("dedup_scale")
         dedup_scale["minhash_time_ratio_x8_over_x2"] = round(
             dedup_scale["x8"]["minhash_sec"] / dedup_scale["x2"]["minhash_sec"], 2
         )
         print(f"# dedup scale probe = {dedup_scale}", file=sys.stderr)
     except Exception as e:
         print(f"# dedup scale probe failed: {e}", file=sys.stderr)
+    probe_reading("dedup_scale")
 
     _quiesce(spark)
+    probe_reading("similarity")
     # exact-quadratic vs LSH similarity at the same threshold (0.45): the
     # exact join is a BASELINE-ONLY oracle (O(n^2) by construction); the
     # banded LSH join is the linear scale path. Reported side-by-side so
@@ -875,6 +1046,7 @@ def main() -> None:
         print(f"# exact-vs-lsh similarity = {sim_compare}", file=sys.stderr)
     except Exception as e:
         print(f"# exact-vs-lsh probe failed: {e}", file=sys.stderr)
+    probe_reading("similarity")
 
     # end-of-run sentinel: the start sentinel misses INTRA-run drift (the
     # round-10 attribution measured the host swinging 1.6-3x within one
@@ -928,13 +1100,23 @@ def main() -> None:
         # index interpolated at ITS position in the run — the per-query
         # normalized column. normalized.headline_sec is now the sum of
         # queries_norm (was: total / end-to-end host_index).
-        "bench_schema": 7,
+        # v8 (round 12): probe-LOCAL attribution (VERDICT r11 #1) — every
+        # side probe is bracketed by dual-substrate micro readings (jvm
+        # for Spark-path numbers, gemm for driver-side numpy serving
+        # numbers), recorded under "probe_sentinels"; each entry in
+        # "normalized" now divides by the probe's OWN bracket geomean
+        # (was: the whole-run host_index, which r11 proved can move the
+        # normalized number the WRONG way when the probe's weather
+        # differs from the run average). Curve probes also interleave
+        # their two repetitions across full passes instead of
+        # back-to-back best-of-2.
+        "bench_schema": 8,
         # measurement discipline, recorded in the artifact itself: headline
         # queries run once per pass in two opposite-order passes (min =
         # steady state) with cache-clear + JVM GC quiesce before each;
         # point_query_ms is a median of 3-5 warm runs.
         "runs": 2,
-        "discipline": "min over two opposite-order passes, clearCache+System.gc before each query, micro-sentinel every 8 queries; point_query_ms median-of-3/5 warm",
+        "discipline": "min over two opposite-order passes, clearCache+System.gc before each query, micro-sentinel every 8 queries; side probes bracketed by jvm+gemm micro readings with probe-local normalization and interleaved repetition passes; point_query_ms median-of-3/5 warm",
         "queries": timings,
         "queries_norm": timings_norm,
         "micro_sentinels": {
@@ -945,17 +1127,19 @@ def main() -> None:
         "sf": sf_val,
         "host_sentinel": sentinel,
         "host_index": (sentinel or {}).get("host_index"),
-        "normalized": {
-            "headline_sec": round(sum(timings_norm.values()), 3),
-            "ann_ms_per_query": (
-                {
-                    k: round(v / sentinel["host_index"], 2)
-                    for k, v in (ann_ms_per_query or {}).items()
-                }
-                if sentinel
-                else None
-            ),
+        "probe_sentinels": {
+            k: {
+                "readings": v,
+                "index_jvm": probe_index(k, "jvm"),
+                "index_gemm": probe_index(k, "gemm"),
+            }
+            for k, v in probe_sentinels.items()
         },
+        "normalized": _normalized_block(
+            timings_norm, sentinel, probe_index, ann_ms_per_query,
+            ann_ms_per_query_routed, clustered, fiqa, dedup_scale,
+            sim_compare,
+        ),
         "ann_recall_at_10": recall,
         "ann_ms_per_query": ann_ms_per_query,
         "ann_ms_per_query_routed": ann_ms_per_query_routed,
@@ -983,6 +1167,7 @@ def main() -> None:
     compact = dict(full)
     compact.pop("host_sentinel", None)  # host_index+normalized suffice
     compact.pop("micro_sentinels", None)  # full series in BENCH_FULL.json
+    compact.pop("probe_sentinels", None)  # indexes live in normalized.*
     compact.pop("dedup_scale", None)
     compact.pop("similarity_exact_vs_lsh", None)
     compact.pop("baseline_only", None)
@@ -1020,6 +1205,16 @@ def main() -> None:
             "spark_q128_ms_per_q": fiqa.get("spark_q128_ms_per_q"),
             "reference_mean_ms": 5.04,
         }
+        line = _emit(compact)
+    if len(line) > 1900 and isinstance(compact.get("normalized"), dict):
+        # keep the adjudication-critical normalized probe numbers only
+        nrm = compact["normalized"]
+        keep = {"headline_sec": nrm.get("headline_sec")}
+        if nrm.get("ann_ms_per_query"):
+            keep["ann_ms_per_query"] = nrm["ann_ms_per_query"]
+        if nrm.get("fiqa"):
+            keep["fiqa_resident_q1_ms"] = nrm["fiqa"].get("resident_q1_ms")
+        compact["normalized"] = keep
         line = _emit(compact)
     if len(line) > 1900:
         # keep the slowest queries; fold the rest into one remainder key
