@@ -29,3 +29,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _isolated_gate_cert_store(tmp_path):
+    """Point the similarity lanes' AUTO gate-certification store at a
+    per-test temp file (round 12). Without this, certifications written
+    through to the default ~/.cache store by one pytest run would be
+    auto-loaded by the next, breaking every _GATE_RUNS counter pin."""
+    from mindb_spark.operators import similarity as S
+
+    S.set_gate_certification_store(str(tmp_path / "gate_certs.json"))
+    yield
+    S.set_gate_certification_store(None)
+    S.clear_gate_certifications()

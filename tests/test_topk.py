@@ -378,6 +378,76 @@ def test_gate_certifications_persist_across_processes(mid_sim_corpus, tmp_path):
     S.clear_gate_certifications()
 
 
+def test_gate_cert_auto_persists_without_manual_load(mid_sim_corpus):
+    """Round 12 (VERDICT r11 #3): certifications write THROUGH to the
+    auto-store on certify, and a fresh process (simulated by clearing the
+    in-process cache; the store file survives) reuses them on the first
+    gated call with NO manual save/load — zero gate jobs, reused=True.
+    The conftest autouse fixture points the store at a per-test file."""
+    df, _ = mid_sim_corpus
+    tau = 0.65
+    S.clear_gate_certifications()
+    r1: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r1, cert_key="auto-A",
+    )
+    assert r1["n_bands"] > 2
+    S.clear_gate_certifications()  # "new process": empty in-process cache
+    runs0 = S._GATE_RUNS["lsh"]
+    r2: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r2, cert_key="auto-A",
+    )
+    assert S._GATE_RUNS["lsh"] == runs0  # zero gate jobs, auto-loaded
+    assert r2["reused"] is True and r2["n_bands"] == r1["n_bands"]
+    # disabling the store really disables cross-process reuse
+    S.set_gate_certification_store(None)
+    S.clear_gate_certifications()
+    r3: dict = {}
+    S.cosine_pairs_lsh(
+        df, tau, dim=32, n_bits=8, n_bands=2, assume_normalized=True,
+        pair_recall_target=0.95, gate_report=r3, cert_key="auto-A",
+    )
+    assert S._GATE_RUNS["lsh"] == runs0 + 1 and "reused" not in r3
+
+
+def test_gate_cert_mutated_corpus_recertifies(spark, mid_sim_corpus):
+    """Round 12 (VERDICT r11 #3 stale-cert hole): the cert key carries a
+    (row count, max id) corpus fingerprint, so a caller that mutates the
+    data behind a STABLE cert_key re-certifies instead of replaying a
+    stale recall certification — for both lanes."""
+    df, mat = mid_sim_corpus
+    tau = 0.65
+    extra = spark.createDataFrame(
+        [(10_000, mat[0].tolist())], "id long, vector array<double>"
+    )
+    mutated = df.unionAll(extra)
+    S.clear_gate_certifications()
+    for lane, kwargs in (
+        ("lsh", dict(dim=32, n_bits=8, n_bands=2)),
+        ("ivf", dict(n_cells=32, n_assign=1)),
+    ):
+        fn = S.cosine_pairs_lsh if lane == "lsh" else S.cosine_pairs_ivf
+        runs0 = S._GATE_RUNS[lane]
+        r1: dict = {}
+        fn(df, tau, assume_normalized=True, pair_recall_target=0.95,
+           gate_report=r1, cert_key="stable-key", **kwargs)
+        assert S._GATE_RUNS[lane] == runs0 + 1
+        r2: dict = {}
+        fn(mutated, tau, assume_normalized=True, pair_recall_target=0.95,
+           gate_report=r2, cert_key="stable-key", **kwargs)
+        # same cert_key, different data → fingerprint differs → re-gate
+        assert S._GATE_RUNS[lane] == runs0 + 2 and "reused" not in r2
+        r3: dict = {}
+        fn(df, tau, assume_normalized=True, pair_recall_target=0.95,
+           gate_report=r3, cert_key="stable-key", **kwargs)
+        # the ORIGINAL corpus's certification is still valid and reused
+        assert S._GATE_RUNS[lane] == runs0 + 2 and r3["reused"] is True
+    S.clear_gate_certifications()
+
+
 def test_ivf_gate_certification_reused(mid_sim_corpus):
     """IVF twin of the LSH certification pin: the repeat call skips the
     gate sample + escalation and reuses the certified n_assign."""
