@@ -551,10 +551,12 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-lane MinHash-LSH (round 9): hash_family="xxhash64" — shingles
     are 64-bit xxhash64 fingerprints of token windows, no shingle string
     and no md5 anywhere in the plan (operators/dedup.py::
-    _signatures_from_hashes). xxhash64 is Spark-specific, so no SQL
-    oracle exists; the embedded proof asserts the verified pair set (ids
-    AND exact-Jaccard values) equals the md5 lane's — the lane the DuckDB
-    oracle reproduces bit-for-bit via `dedup_minhash`."""
+    _signatures_from_hashes). xxhash64 is Spark-specific, so DuckDB
+    cannot reproduce THIS lane's banding; the embedded proof asserts the
+    verified pair set (ids AND exact-Jaccard values) equals the md5
+    lane's, and since round 12 the entry therefore shares the md5 lane's
+    bit-exact oracle (VERDICT r11 #5) — the driver hash-matches values,
+    and any divergence between the hash families fails the gate."""
     from mindb_spark.operators.dedup import minhash_lsh_pairs
 
     kw = dict(k=JACCARD_K, num_hashes=MINHASH_HASHES, n_bands=MINHASH_BANDS)
@@ -976,6 +978,70 @@ def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_similarity_join_lsh_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH lane in escalate-to-COMPLETE mode — a TRUE value oracle
+    for the approximate machinery (round 12, VERDICT r11 #5, the
+    ann_rerank_fixed recipe applied to the similarity family): with
+    ``pair_recall_target=1.0`` and the 8192-row gate sample covering the
+    whole oracle-scale corpus, the gate's driver-side simulation of the
+    ACTUAL seeded hyperplanes measures the lane's REALIZED recall
+    exactly (sample == corpus ⇒ measured == realized), and escalates
+    ``n_bands`` until no qualifying pair can be missed. The emitted set
+    is then provably the exact >= 0.45 pair set with exact-verified
+    cosines, so DuckDB's O(n^2) exact join hash-matches the FULL lane —
+    banding, bucket shuffle, packed-bucket GEMM verify and all. The
+    benched 0.95-target entries keep their operating point; this entry
+    exists to value-check the machinery end to end. (At bench scale the
+    sample no longer covers the corpus and completeness would fall back
+    to certification — the entry is an oracle-scale proof by design.)"""
+    from mindb_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = _emb(spark, sf_dir)
+    d = len(emb.select("embedding").first()[0])
+    report = GATE_REPORTS.setdefault("similarity_join_lsh_full", {})
+    report.clear()
+    out = cosine_pairs_lsh(
+        emb, 0.45, dim=d, id_col="vec_id", vector_col="embedding",
+        n_bits=6, n_bands=16, seed=42,
+        pair_recall_target=1.0, max_bands=1024, gate_report=report,
+        cert_key=f"{sf_dir}/embeddings.parquet#full",
+    ).select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
+    # the oracle contract needs COMPLETE recall; an inconclusive gate
+    # (no qualifying pair in the sample == none in the corpus) is the
+    # one other acceptable state (both sides then emit zero rows)
+    measured = report.get("measured_pair_recall")
+    assert measured in (None, 1.0), (
+        f"escalate-to-complete failed: measured recall {measured} < 1.0"
+    )
+    return out
+
+
+def q_similarity_join_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of ``similarity_join_lsh_full``: learned-quantizer lane
+    with ``pair_recall_target=1.0``; termination is GUARANTEED because
+    ``max_assign`` equals ``n_cells`` — worst-case escalation assigns
+    every vector to every cell, which cannot miss a pair — and at the
+    oracle scale (sample == corpus) the gate stops exactly when realized
+    recall reaches 1.0, usually far earlier. Hash-matches the exact
+    O(n^2) SQL join; value-oracles k-means cell assignment, multi-probe
+    explode and the packed-bucket verify GEMM end to end."""
+    from mindb_spark.operators.similarity import cosine_pairs_ivf
+
+    report = GATE_REPORTS.setdefault("similarity_join_ivf_full", {})
+    report.clear()
+    out = cosine_pairs_ivf(
+        _emb(spark, sf_dir), 0.45, id_col="vec_id", vector_col="embedding",
+        n_cells=16, n_assign=2, max_assign=16, seed=42,
+        pair_recall_target=1.0, gate_report=report,
+        cert_key=f"{sf_dir}/embeddings.parquet#full",
+    ).select("id_a", "id_b", _fl6("cosine_similarity").alias("score"))
+    measured = report.get("measured_pair_recall")
+    assert measured in (None, 1.0), (
+        f"escalate-to-complete failed: measured recall {measured} < 1.0"
+    )
+    return out
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState): first occurrence
     per fingerprint survives across micro-batches. Drained with
@@ -1196,6 +1262,9 @@ def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").alias("v_w"),
         F.col("height").alias("v_h"),
         F.col("codec").alias("v_codec"),
+        F.col("n_frames").alias("v_frames"),
+        F.col("fps").alias("v_fps"),
+        F.col("bitrate_kbps").alias("v_kbps"),
     )
     out = a.join(v, "doc_id")
     # null-safe: v_fmt is NULL for audio rows, and ~(NULL == 'mp4') is
@@ -1212,6 +1281,11 @@ def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v_w"), F.lit(0)).cast("int").alias("width"),
         F.coalesce(F.col("v_h"), F.lit(0)).cast("int").alias("height"),
         F.coalesce(F.col("v_codec"), F.lit("")).alias("codec"),
+        # round-12 sample-table fields (mdhd/stts/stsz walk): zero
+        # sentinels on non-mp4 rows keep the hash type-stable
+        F.coalesce(F.col("v_frames"), F.lit(0)).cast("long").alias("n_frames"),
+        _fl6(F.coalesce(F.col("v_fps"), F.lit(0.0))).alias("fps"),
+        _fl6(F.coalesce(F.col("v_kbps"), F.lit(0.0))).alias("bitrate_kbps"),
     )
 
 
@@ -2003,7 +2077,6 @@ _PINNED_NO_ORACLE = (
     "ann_fused_query",
     "similarity_join_lsh",
     "similarity_join_ivf",
-    "dedup_minhash_fast",
     "multimodal_gif_frames",
     "multimodal_jpeg",
     "multimodal_video",
@@ -2067,6 +2140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_fused_query": q_ann_fused_query,
         "similarity_join_lsh": q_similarity_join_lsh,
         "similarity_join_ivf": q_similarity_join_ivf,
+        # -- round-12 value oracles for the approximate machinery
+        # (VERDICT r11 #5): escalate-to-complete lanes hash-matched
+        # against the exact O(n^2) join; dedup_minhash_fast shares the
+        # md5 lane's oracle (its embedded proof pins pair-set equality)
+        "similarity_join_lsh_full": q_similarity_join_lsh_full,
+        "similarity_join_ivf_full": q_similarity_join_ivf_full,
         # -- entries rotated into the driver window in round 5
         "dedup_incremental": q_dedup_incremental,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2426,7 +2505,17 @@ select doc_id,
              else 0 end)::INTEGER as width,
        (case when doc_id % 3 = 2 then 240 + 48 * (doc_id % 5)
              else 0 end)::INTEGER as height,
-       case when doc_id % 3 = 2 then 'avc1' else '' end as codec
+       case when doc_id % 3 = 2 then 'avc1' else '' end as codec,
+       (case when doc_id % 3 = 2 then 24 + 12 * (doc_id % 6)
+             else 0 end)::BIGINT as n_frames,
+       floor((case when doc_id % 3 = 2
+              then (24 + 12 * (doc_id % 6)) * 600.0
+                   / (300 + 150 * (doc_id % 10))
+              else 0 end) * 1000000 + 0.5) / 1000000 as fps,
+       floor((case when doc_id % 3 = 2
+              then (24 + 12 * (doc_id % 6)) * (800 + 200 * (doc_id % 4))
+                   * 8 * 600.0 / (300 + 150 * (doc_id % 10)) / 1000
+              else 0 end) * 1000000 + 0.5) / 1000000 as bitrate_kbps
 from documents
 """,
         "multimodal_mpeg_meta": """
@@ -2538,6 +2627,12 @@ jacf as (
 select id_a, id_b, floor(j * 1000000 + 0.5) / 1000000 as jaccard from jacf where j >= {NEAR_DUP_TAU}
 """,
         "dedup_minhash": _minhash_sql(),
+        # round 12 (VERDICT r11 #5): the fast lane's embedded proof pins
+        # its verified pair set (ids AND values) equal to the md5 lane's,
+        # so the md5 lane's bit-exact banding oracle is ITS oracle too —
+        # converting the entry from rows-only to hash-matched; any future
+        # divergence between the hash families fails the driver gate
+        "dedup_minhash_fast": _minhash_sql(),
         "dedup_components": f"""
 with recursive {_SHINGLE_CTE.strip()},
 stop as (
@@ -2631,6 +2726,23 @@ select h.doc_id,
 from h left join agg using (doc_id)
 """,
         "dedup_embedding": f"""
+with {_NORM_EMB_CTE.strip()}
+select a.vec_id id_a, b.vec_id id_b, floor(list_dot_product(a.v, b.v) * 1000000 + 0.5) / 1000000 as score
+from emb a join emb b on a.vec_id < b.vec_id
+where list_dot_product(a.v, b.v) >= 0.45
+""",
+        # round 12 (VERDICT r11 #5): the escalate-to-complete approximate
+        # lanes provably emit the exact >= 0.45 pair set at oracle scale
+        # (gate sample == corpus ⇒ measured recall == realized; entries
+        # assert measured == 1.0), so the exact O(n^2) join is their
+        # value oracle — banding/quantizing machinery included.
+        "similarity_join_lsh_full": f"""
+with {_NORM_EMB_CTE.strip()}
+select a.vec_id id_a, b.vec_id id_b, floor(list_dot_product(a.v, b.v) * 1000000 + 0.5) / 1000000 as score
+from emb a join emb b on a.vec_id < b.vec_id
+where list_dot_product(a.v, b.v) >= 0.45
+""",
+        "similarity_join_ivf_full": f"""
 with {_NORM_EMB_CTE.strip()}
 select a.vec_id id_a, b.vec_id id_b, floor(list_dot_product(a.v, b.v) * 1000000 + 0.5) / 1000000 as score
 from emb a join emb b on a.vec_id < b.vec_id

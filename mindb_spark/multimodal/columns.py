@@ -349,7 +349,9 @@ def video_container_meta(
     "non-MJPEG video" gap at the level a 100 TB pipeline filters on:
     duration, resolution, codec fourcc, track inventory, truncation.
     MP4/ISO-BMFF payloads walk the public box grammar
-    (``multimodal/containers.py``); MJPEG-AVI payloads reuse the
+    (``multimodal/containers.py``), including the sample tables (round
+    12: mdhd/stts/stsz/stco → per-video-track frame count, fps and
+    bitrate_kbps by pure box arithmetic); MJPEG-AVI payloads reuse the
     existing RIFF demuxer (frame count + dims from the first decoded
     frame header). Coded-frame decode beyond MJPEG stays env-gated.
     Unknown payloads yield format=NULL — total function, filter don't
@@ -361,7 +363,7 @@ def video_container_meta(
         mp4_meta,
     )
 
-    _NULL_ROW = (None, None, None, None, None, 0, None, False)
+    _NULL_ROW = (None, None, None, None, None, 0, None, None, None, False)
 
     def _meta_one(payload: bytes):
         # TOTAL-function contract: a payload passing is_mp4/is_avi magic
@@ -375,7 +377,9 @@ def video_container_meta(
                 v = vids[0] if vids else {}
                 return (
                     "mp4", m["duration_sec"], v.get("width"), v.get("height"),
-                    v.get("codec"), m["n_tracks"], None, bool(m["truncated"]),
+                    v.get("codec"), m["n_tracks"], v.get("n_samples"),
+                    v.get("fps"), v.get("bitrate_kbps"),
+                    bool(m["truncated"]),
                 )
             if is_avi(payload):
                 frames = read_avi_frames(payload)
@@ -385,7 +389,8 @@ def video_container_meta(
                     if dims is not None:
                         h, w = dims
                 return (
-                    "avi-mjpeg", None, w, h, "mjpg", 1, len(frames), False,
+                    "avi-mjpeg", None, w, h, "mjpg", 1, len(frames),
+                    None, None, False,
                 )
             return _NULL_ROW
         except Exception:
@@ -394,7 +399,7 @@ def video_container_meta(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
             "format", "duration_sec", "width", "height", "codec",
-            "n_tracks", "n_frames", "truncated",
+            "n_tracks", "n_frames", "fps", "bitrate_kbps", "truncated",
         )
         for pdf in batches:
             if pdf.empty:
@@ -409,7 +414,8 @@ def video_container_meta(
         schema=(
             f"{id_col} long, format string, duration_sec double,"
             " width int, height int, codec string, n_tracks int,"
-            " n_frames int, truncated boolean"
+            " n_frames int, fps double, bitrate_kbps double,"
+            " truncated boolean"
         ),
     )
 
@@ -487,6 +493,12 @@ def synthesize_media_containers(
                     encode_mp4_skeleton(
                         (500 + 250 * (i % 10)) / 1000.0, 1000,
                         320 + 64 * (i % 5), 240 + 48 * (i % 5), b"avc1",
+                        # sample tables (round 12): frame count / size by
+                        # id arithmetic so the oracle can recompute fps
+                        # and bitrate exactly
+                        n_samples=24 + 12 * (i % 6),
+                        sample_size=800 + 200 * (i % 4),
+                        media_timescale=600,
                     )
                 )
         return pd.Series(out)

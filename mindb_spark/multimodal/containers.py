@@ -309,8 +309,25 @@ def mp4_meta(data: bytes) -> dict | None:
                 out["duration_sec"] = dur / ts if ts else 0.0
             elif cc == b"trak":
                 trk = {"kind": None, "width": None, "height": None,
-                       "codec": None}
+                       "codec": None, "n_samples": None, "fps": None,
+                       "bitrate_kbps": None}
                 parse_trak(s, e, trk)
+                # derived per-track rates from the sample tables (round
+                # 12, VERDICT r11 #7): pure box arithmetic — frame count
+                # from stsz (stts as fallback), media seconds from
+                # mdhd's clock (stts tick sum as fallback), payload
+                # bytes from stsz
+                n = trk["n_samples"] or trk.get("stts_samples")
+                ts_m = trk.get("media_timescale")
+                dur_m = trk.get("media_duration") or trk.get("stts_ticks")
+                if n and ts_m and dur_m:
+                    sec = dur_m / ts_m
+                    trk["n_samples"] = n
+                    trk["fps"] = n / sec
+                    if trk.get("sample_bytes"):
+                        trk["bitrate_kbps"] = (
+                            trk["sample_bytes"] * 8 / sec / 1000
+                        )
                 out["tracks"].append(trk)
                 out["n_tracks"] += 1
 
@@ -341,6 +358,67 @@ def mp4_meta(data: bytes) -> dict | None:
                     trk["codec"] = data[s + 12 : s + 16].decode(
                         "ascii", "replace"
                     )
+            elif cc == b"mdhd":
+                # per-track media clock (needed for fps/bitrate): v0
+                # ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4);
+                # v1 widens the times to 8 bytes
+                ver = data[s] if s < e else None
+                if ver == 1 and s + 32 <= e:
+                    trk["media_timescale"] = int.from_bytes(
+                        data[s + 20 : s + 24], "big")
+                    trk["media_duration"] = int.from_bytes(
+                        data[s + 24 : s + 32], "big")
+                elif ver == 0 and s + 20 <= e:
+                    trk["media_timescale"] = int.from_bytes(
+                        data[s + 12 : s + 16], "big")
+                    trk["media_duration"] = int.from_bytes(
+                        data[s + 16 : s + 20], "big")
+                else:
+                    out["truncated"] = True
+            elif cc == b"stts":
+                # time-to-sample: entry_count x (sample_count, delta) —
+                # sample count + total media ticks by pure box arithmetic
+                if e - s < 8:
+                    out["truncated"] = True
+                    continue
+                n_ent = int.from_bytes(data[s + 4 : s + 8], "big")
+                total = ticks = 0
+                p, ok = s + 8, True
+                for _ in range(n_ent):
+                    if p + 8 > e:
+                        out["truncated"] = True
+                        ok = False
+                        break
+                    cnt = int.from_bytes(data[p : p + 4], "big")
+                    total += cnt
+                    ticks += cnt * int.from_bytes(data[p + 4 : p + 8], "big")
+                    p += 8
+                if ok:
+                    trk["stts_samples"] = total
+                    trk["stts_ticks"] = ticks
+            elif cc == b"stsz":
+                # sample sizes: fixed sample_size or per-sample table —
+                # sample count + total payload bytes
+                if e - s < 12:
+                    out["truncated"] = True
+                    continue
+                fixed = int.from_bytes(data[s + 4 : s + 8], "big")
+                cnt = int.from_bytes(data[s + 8 : s + 12], "big")
+                trk["n_samples"] = cnt
+                if fixed:
+                    trk["sample_bytes"] = fixed * cnt
+                elif s + 12 + 4 * cnt <= e:
+                    trk["sample_bytes"] = sum(
+                        int.from_bytes(data[p : p + 4], "big")
+                        for p in range(s + 12, s + 12 + 4 * cnt, 4)
+                    )
+                else:
+                    out["truncated"] = True
+            elif cc == b"stco":
+                if e - s >= 8:
+                    trk["n_chunks"] = int.from_bytes(data[s + 4 : s + 8], "big")
+                else:
+                    out["truncated"] = True
             elif cc == b"!trunc":
                 out["truncated"] = True
 
@@ -363,9 +441,19 @@ def encode_mp4_skeleton(
     height: int = 360,
     video_codec: bytes = b"avc1",
     with_audio: bool = True,
+    n_samples: int = 0,
+    sample_size: int = 1000,
+    media_timescale: int = 600,
 ) -> bytes:
     """Fixture constructor: a structurally valid MP4 metadata skeleton
-    (ftyp + moov with mvhd and video/audio traks; no mdat frames)."""
+    (ftyp + moov with mvhd and video/audio traks; no mdat frames).
+
+    With ``n_samples > 0`` the video trak additionally carries real
+    sample tables (round 12, VERDICT r11 #7): mdhd (media clock at
+    ``media_timescale``), one-entry stts (uniform deltas summing to the
+    media duration), fixed-size stsz (``n_samples`` x ``sample_size``
+    bytes) and a one-chunk stco — enough for ``mp4_meta`` to derive
+    frame count, fps and bitrate by pure box arithmetic."""
     dur = int(round(duration_sec * timescale))
     mvhd = bytes(4) + bytes(8) + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big") + bytes(80)
     def trak(kind: bytes, codec: bytes, w: int, h: int) -> bytes:
@@ -373,8 +461,23 @@ def encode_mp4_skeleton(
         hdlr = bytes(8) + kind + bytes(12)
         stsd = bytes(4) + (1).to_bytes(4, "big") + _box(codec, bytes(70))
         stbl = _box(b"stsd", stsd)
+        mdia = b""
+        if kind == b"vide" and n_samples > 0:
+            mdur = int(round(duration_sec * media_timescale))
+            delta, rem = divmod(mdur, n_samples)
+            # two stts entries when deltas don't divide evenly, so the
+            # tick sum is EXACTLY the mdhd duration (parser sums entries)
+            entries = [(n_samples - rem, delta)] + ([(rem, delta + 1)] if rem else [])
+            stts = bytes(4) + len(entries).to_bytes(4, "big") + b"".join(
+                c.to_bytes(4, "big") + d.to_bytes(4, "big") for c, d in entries
+            )
+            stsz = bytes(4) + sample_size.to_bytes(4, "big") + n_samples.to_bytes(4, "big")
+            stco = bytes(4) + (1).to_bytes(4, "big") + (0).to_bytes(4, "big")
+            stbl += _box(b"stts", stts) + _box(b"stsz", stsz) + _box(b"stco", stco)
+            mdhd = bytes(4) + bytes(8) + media_timescale.to_bytes(4, "big") + mdur.to_bytes(4, "big") + bytes(4)
+            mdia += _box(b"mdhd", mdhd)
         minf = _box(b"stbl", stbl)
-        mdia = _box(b"hdlr", hdlr) + _box(b"minf", minf)
+        mdia += _box(b"hdlr", hdlr) + _box(b"minf", minf)
         return _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
     moov = _box(b"mvhd", mvhd) + trak(b"vide", video_codec, width, height)
     if with_audio:

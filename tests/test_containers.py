@@ -137,6 +137,53 @@ def test_distributed_lanes_mixed_batch(spark):
     assert v[1].format is None and v[5].format is None
 
 
+def test_mp4_sample_tables_frame_count_fps_bitrate():
+    """Round-12 VERDICT #7: mdhd/stts/stsz/stco walk — per-video-track
+    frame count, fps and bitrate from pure box arithmetic."""
+    v = C.encode_mp4_skeleton(
+        2.0, 1000, 640, 360, b"avc1",
+        n_samples=48, sample_size=1000, media_timescale=600,
+    )
+    m = C.mp4_meta(v)
+    vid = [t for t in m["tracks"] if t["kind"] == "video"][0]
+    assert vid["n_samples"] == 48
+    assert vid["fps"] == pytest.approx(24.0)
+    # 48 kB over 2 s = 192 kbps
+    assert vid["bitrate_kbps"] == pytest.approx(192.0)
+    assert m["truncated"] is False
+    # uneven division: stts gets a second entry; tick sum stays exact
+    m2 = C.mp4_meta(C.encode_mp4_skeleton(
+        1.75, 1000, 320, 240, b"hvc1", with_audio=False,
+        n_samples=36, sample_size=500, media_timescale=600,
+    ))
+    t2 = m2["tracks"][0]
+    assert t2["n_samples"] == 36
+    assert t2["fps"] == pytest.approx(36 / 1.75)
+    assert t2["bitrate_kbps"] == pytest.approx(36 * 500 * 8 / 1.75 / 1000)
+    # audio track (no sample tables) and legacy skeleton stay None
+    aud = [t for t in m["tracks"] if t["kind"] == "audio"][0]
+    assert aud["n_samples"] is None and aud["fps"] is None
+    legacy = C.mp4_meta(C.encode_mp4_skeleton(2.0, 1000, 640, 360))
+    assert legacy["tracks"][0]["fps"] is None
+    # truncation sweep still total with the new boxes present
+    for cut in range(0, len(v) + 1, 3):
+        C.mp4_meta(v[:cut])
+
+
+def test_video_lane_surfaces_sample_table_fields(spark):
+    from mindb_spark.multimodal import video_container_meta
+
+    v = C.encode_mp4_skeleton(
+        2.5, 1000, 1280, 720, b"avc1",
+        n_samples=60, sample_size=1200, media_timescale=600,
+    )
+    df = spark.createDataFrame([(1, v)], "doc_id long, content binary")
+    r = video_container_meta(df).collect()[0]
+    assert r.n_frames == 60
+    assert r.fps == pytest.approx(24.0)
+    assert r.bitrate_kbps == pytest.approx(60 * 1200 * 8 / 2.5 / 1000)
+
+
 def test_mp4_meta_empty_boxes_at_eof_total():
     """Round-12 ADVICE fix: a crafted ftyp + moov whose mvhd/tkhd box
     body is EMPTY and ends exactly at EOF must report truncated, not
