@@ -204,6 +204,7 @@ def _ann_index(
         emb, params, idx_dir, id_col="vec_id", n_buckets=n_buckets,
         use_two_level=two_level,
         carry_cols=("vector",) if covering else (),
+        total_rows=n, dim=d,
     )
     _ANN_CACHE[key] = (artifacts, os.path.join(idx_dir, "codes"), n_buckets)
     return _ANN_CACHE[key]
@@ -401,7 +402,9 @@ def _clustered_eval_corpus(spark: SparkSession):
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
-    artifacts, _ = build_index(vdf, params, idx_dir, n_buckets=16)
+    artifacts, _ = build_index(
+        vdf, params, idx_dir, n_buckets=16, total_rows=30_000, dim=64
+    )
     codes = spark.read.parquet(os.path.join(idx_dir, "codes"))
     _CLUSTERED_CACHE["fixture"] = (vdf, mat, codes, artifacts, params)
     return _CLUSTERED_CACHE["fixture"]
@@ -686,9 +689,15 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # language + quality are PER-ROW projections: fuse them onto the
     # survivor rows (column builders) instead of shuffle-joining three
-    # per-doc frames — one dedup shuffle is the whole exchange budget
+    # per-doc frames — one dedup shuffle is the whole exchange budget.
+    # widen first (round 12): the survivor frame inherits the scan's
+    # split count through the broadcast anti-join, so on a small file the
+    # language/quality regex work — the CPU of this pipeline — ran as ONE
+    # task; at cluster scale the scan is already wide and this is a no-op
+    from mindb_spark.session import widen
+
     lang, qual = language_columns("text"), quality_columns("text")
-    kept = dedup_exact_survivors(docs).select(
+    kept = widen(dedup_exact_survivors(docs)).select(
         "source",
         lang["detected_lang"].alias("detected_lang"),
         qual["quality_score"].alias("quality_score"),
@@ -1049,9 +1058,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle."""
     import tempfile
 
-    from mindb_spark.streaming import run_stream_to_memory, streaming_dedup
+    from mindb_spark.streaming import (
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+        streaming_dedup,
+    )
 
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
     raw = (
         spark.readStream.schema(
             spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir).schema
@@ -1059,10 +1071,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    out = streaming_dedup(raw)
+    # emit_text=False: this entry consumes only (doc_id, fingerprint) —
+    # the document text must not cross the opaque Python boundary twice
+    # (guide §4). State-store width derived from input size, not the
+    # session's batch shuffle default (guide §2).
+    out = streaming_dedup(raw, emit_text=False)
     name = "stream_dedup_entry"
+    parts = stream_shuffle_partitions(spark, f"{sf_dir}/documents.parquet")
     with tempfile.TemporaryDirectory() as ckpt:
-        run_stream_to_memory(out, name, ckpt, output_mode="append")
+        run_stream_to_memory(
+            out, name, ckpt, output_mode="append", shuffle_partitions=parts
+        )
     return spark.table(name).select("doc_id", "fingerprint").localCheckpoint()
 
 
@@ -1605,8 +1624,11 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = windowed_event_counts(raw, window="1 hour", watermark="1 hour")
     name = "win_counts_entry"
+    from mindb_spark.streaming import stream_shuffle_partitions
+
+    parts = stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet")
     with tempfile.TemporaryDirectory() as ckpt:
-        run_stream_to_memory(agg, name, ckpt)
+        run_stream_to_memory(agg, name, ckpt, shuffle_partitions=parts)
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("window_epoch"),
         "event_type",
@@ -1644,16 +1666,16 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "interval_join_entry"
     # a stateful stream-stream join materializes one state store per
-    # shuffle partition PER SIDE; at this volume 32 partitions are pure
-    # checkpoint overhead. The partition count is baked into the (fresh)
-    # checkpoint, so narrowing it here never affects other queries.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        with tempfile.TemporaryDirectory() as ckpt:
-            run_stream_to_memory(out, name, ckpt, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # shuffle partition PER SIDE; the width is baked into the (fresh)
+    # checkpoint. Round 12: derived from input size (guide §2) instead of
+    # the round-10 constant 8 — same idea, scale-adaptive.
+    from mindb_spark.streaming import stream_shuffle_partitions
+
+    parts = stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet")
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(
+            out, name, ckpt, output_mode="append", shuffle_partitions=parts
+        )
     return spark.table(name).localCheckpoint()
 
 
@@ -1678,8 +1700,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = sessionized_event_stats(raw, gap="30 minutes", watermark="1 hour")
     name = "stream_sessions_entry"
+    from mindb_spark.streaming import stream_shuffle_partitions
+
+    parts = stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet")
     with tempfile.TemporaryDirectory() as ckpt:
-        run_stream_to_memory(agg, name, ckpt)
+        run_stream_to_memory(agg, name, ckpt, shuffle_partitions=parts)
     return spark.table(name).select(
         "user_id", "session_start_us", "session_end_us", "n_events",
         _fl6(F.col("sum_value")).alias("sum_value"),

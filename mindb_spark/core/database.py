@@ -1026,6 +1026,7 @@ class VectorDB:
                 # trade. The reference holds full vectors in Faiss RAM
                 # alongside the pickled store (mindb.py), the same 2x.
                 carry_cols=("vector", "metadata") if covering else (),
+                total_rows=n, dim=dim,
             )
             with self._lock:
                 if self._pstate.epoch != self._epoch:

@@ -102,6 +102,7 @@ def _to_matrix(rows: list, col: str) -> np.ndarray:
 def fit_pca(
     df: DataFrame, vector_col: str, pca_dim: int, seed: int = 42,
     sample_rows: int = 200_000,
+    total_rows: int | None = None, dim: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit a centered PCA. Returns (mean (d,), components (d, pca_dim)).
 
@@ -112,9 +113,14 @@ def fit_pca(
     the ~10 jobs MLlib PCA schedules (RowMatrix Gram + Summarizer passes),
     which dominate build time for moderate corpora. Faiss's PCAMatrix also
     centers; skipping centering loses recall.
+
+    ``total_rows``/``dim`` (round 12): callers that already ran the
+    count/first jobs pass them in — the sample collect is then this
+    function's ONLY job (the build pipeline was paying the same two
+    scans three times over: caller, build_index, here).
     """
-    n = df.count()
-    d0 = len(df.select(vector_col).first()[0])
+    n = total_rows if total_rows is not None else df.count()
+    d0 = dim if dim is not None else len(df.select(vector_col).first()[0])
     # bound driver memory: ~128 MB of float64 sample regardless of width
     cap = min(sample_rows, max(10_000, 16_000_000 // max(1, d0)))
     fraction = min(1.0, cap / max(n, 1))
@@ -175,7 +181,7 @@ def _project_df(
 
 def train_centroids_subsampling(
     projected: DataFrame, k: int, proj_col: str = "_proj", seed: int = 42,
-    total_rows: int | None = None,
+    total_rows: int | None = None, dim: int | None = None,
 ) -> np.ndarray:
     """Subsampling strategy (ref train.py:45-96): KMeans over a sample
     with >= 39 rows per centroid.
@@ -192,7 +198,8 @@ def train_centroids_subsampling(
     fraction = min(1.0, target / max(n, 1))
     sample = projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
 
-    dim = len(sample.select(proj_col).first()[0])
+    if dim is None:  # width of the projected space — callers know it
+        dim = len(sample.select(proj_col).first()[0])
     if target * dim <= 32_000_000:
         mat = _to_matrix(sample.select(proj_col).collect(), proj_col)
         return PQ._kmeans(mat, min(k, mat.shape[0]), seed=seed).astype(np.float64)
@@ -510,6 +517,7 @@ def build_index(
     seed: int = 42,
     n_buckets: int | None = None,
     carry_cols: tuple = (),
+    total_rows: int | None = None, dim: int | None = None,
 ) -> tuple[IndexArtifacts, int]:
     """Train + populate an IVF-PQ index from a (snapshot of a) vectors table.
 
@@ -520,8 +528,12 @@ def build_index(
     ``carry_cols`` (e.g. ``("vector", "metadata")``) makes the codes table
     a COVERING index — see :func:`encode_all`.
     """
-    n = vectors.count()
-    d = len(vectors.select(vector_col).first()[0])
+    # round 12: accept the caller's count/width instead of re-running the
+    # two jobs every build path already ran (guide §1.2 — don't compute
+    # things you throw away; the count and first-row scans were paid 3x
+    # across _ann_index -> build_index -> fit_pca)
+    n = total_rows if total_rows is not None else vectors.count()
+    d = dim if dim is not None else len(vectors.select(vector_col).first()[0])
     pca_dim = min(params.pca_dimension or d, d)
     # OPQ (off by default, reference training_params.py:7) rotates + cuts
     # the projected space to opq_dimension; PQ then operates there
@@ -532,7 +544,9 @@ def build_index(
     while eff_dim % m != 0:
         m -= 1
 
-    mean, pca_mat = fit_pca(vectors, vector_col, pca_dim, seed=seed)
+    mean, pca_mat = fit_pca(
+        vectors, vector_col, pca_dim, seed=seed, total_rows=n, dim=d
+    )
     if apply_opq:
         # train the rotation on a bounded projected sample and FOLD it into
         # the projection matrix — downstream (centroids, residuals, encode,
@@ -548,7 +562,9 @@ def build_index(
         if use_two_level:
             centroids = train_centroids_two_level(projected, k, seed=seed, total_rows=n)
         else:
-            centroids = train_centroids_subsampling(projected, k, seed=seed, total_rows=n)
+            centroids = train_centroids_subsampling(
+                projected, k, seed=seed, total_rows=n, dim=pca_mat.shape[1]
+            )
         # SPACE-FILLING CELL IDS: permute the centroid rows into a
         # PCA-tree leaf order so geometrically close cells get close ids.
         # Cluster id IS the centroid's row position, so the permutation

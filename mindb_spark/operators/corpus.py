@@ -206,7 +206,12 @@ def quality_deciles(
     from mindb_spark.operators.textops import quality_columns
 
     qual = quality_columns(text_col)
-    scored = df.select(
+    # widen BEFORE scoring (round 12): the quality expressions are the
+    # CPU of this operator (token/punct/stopword passes per row) and the
+    # range sampler below evaluates its input once more for boundary
+    # picking — both runs inherit the scan's split count without this
+    # (a small file scans as ONE task and serializes the regex work)
+    scored = widen(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         qual["quality_score"].alias("quality_score"),
     ).withColumn("_ns", -F.col("quality_score"))

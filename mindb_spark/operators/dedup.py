@@ -135,6 +135,38 @@ def dedup_exact_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
+def _sorted_cooccur_pairs(ids_col, pair_fn=None):
+    """All (id_a < id_b) struct pairs from a SORTED id array.
+
+    Round 12 (guide §2.3/§2.4): the classic candidate/intersection
+    formulation self-joins the exploded (id, key) table on the key —
+    which shuffles every exploded row TWICE (once per join side) and
+    then discards half the generated pairs to the ``id_a < id_b``
+    filter. Grouping ids per key first (``collect_list`` — ONE exchange
+    of the same rows) and generating the c(c-1)/2 ordered pairs in
+    place emits exactly the surviving pairs: half the fan-out, half the
+    heavy shuffle. The fan-out itself is unchanged (a key shared by c
+    docs still yields c(c-1)/2 rows — bound c upstream with the df-cut,
+    exactly as the join formulation had to).
+
+    ``pair_fn(x, y) -> struct`` customizes the emitted pair payload (the
+    SimHash lane carries both signatures through); the default emits
+    ``struct(id_a, id_b)``.
+    """
+    if pair_fn is None:
+        def pair_fn(x, y):
+            return F.struct(x.alias("id_a"), y.alias("id_b"))
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
+                lambda y: pair_fn(x, y),
+            ),
+        )
+    )
+
+
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(_id, shingle): one exploded row per distinct shingle of each doc.
     See ``exploded_word_shingles`` for the plan rationale (widen-first,
@@ -192,19 +224,21 @@ def ngram_jaccard_pairs(
         # excluded from the join.
         shingled = cached
         sizes = shingled.groupBy("_id").agg(F.count("*").alias("_n"))
+        # round 12: ONE exchange groups each shingle's doc ids; the
+        # df-cut is then a plain size filter on the grouped list (the
+        # old shape paid a separate df aggregation + a semi-join + a
+        # two-sided self-join — four exchanges of the exploded rows
+        # where one suffices; see _sorted_cooccur_pairs)
+        lists = (
+            shingled.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+            .where(F.size("_ids") > 1)
+        )
         if max_shingle_freq is not None:
-            freq_ok = (
-                shingled.groupBy("shingle")
-                .agg(F.count("*").alias("_df"))
-                .where(F.col("_df") <= max_shingle_freq)
-                .select("shingle")
-            )
-            shingled = shingled.join(freq_ok, "shingle", "left_semi")
-        a = shingled.select("shingle", F.col("_id").alias("id_a"))
-        b = shingled.select("shingle", F.col("_id").alias("id_b"))
+            lists = lists.where(F.size("_ids") <= max_shingle_freq)
         inter = (
-            a.join(b, "shingle")
-            .where(F.col("id_a") < F.col("id_b"))
+            lists.select(F.explode(_sorted_cooccur_pairs(F.col("_ids"))).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("intersection"))
         )
@@ -366,21 +400,21 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new = (
+        # round 12: carry old+new labels through the checkpoint so the
+        # convergence probe is a filter over the ALREADY-MATERIALIZED
+        # rows instead of a fresh shuffle join of new vs old labels —
+        # one exchange per round removed (guide §2.4)
+        new2 = (
             labels.join(prop, labels.id == prop.dst, "left")
             .select(
-                "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+                "id",
+                F.col("lbl").alias("_old"),
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where("n.lbl != o.lbl")
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new2.where("lbl != _old").limit(1).count()
+        labels = new2.select("id", "lbl")
         if changed == 0:
             converged = True
             break
@@ -866,13 +900,19 @@ def minhash_lsh_pairs(
     bands = band_buckets(sigs, id_col, num_hashes, n_bands, fast)
 
     def _candidates(band_slice) -> DataFrame:
+        # round 12: one exchange groups each (band, bucket)'s ids and the
+        # ordered pairs are generated in place — the old bucket
+        # equi-self-join shuffled every band row twice and discarded half
+        # its output to the id_a < id_b filter (see _sorted_cooccur_pairs)
         bsel = bands if band_slice is None else bands.where(band_slice)
-        a = bsel.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-        b = bsel.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+        lists = (
+            bsel.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+            .where(F.size("_ids") > 1)
+        )
         return (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            lists.select(F.explode(_sorted_cooccur_pairs(F.col("_ids"))).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
 
@@ -1067,9 +1107,9 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    # persisted: the chunk self-join reads signatures twice (8 bytes/doc);
-    # released before return (result eagerly localCheckpoint'ed)
-    sigs = simhash64(df, id_col, text_col).persist()
+    # single consumer since the round-12 grouped-pair rewrite (the old
+    # chunk self-join read signatures twice and needed a persist)
+    sigs = simhash64(df, id_col, text_col)
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -1088,23 +1128,43 @@ def simhash_pairs(
         ).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
 
-    a = chunks.select("chunk", "val", F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
-    b = chunks.select("chunk", "val", F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    # round 12: one exchange groups each (chunk, val)'s (id, sig) structs
+    # — sort_array orders by the struct's FIRST field (the unique id), so
+    # the generated pairs are id_a < id_b with both signatures carried
+    # through (the old chunk equi-self-join shuffled every chunk row
+    # twice; see _sorted_cooccur_pairs)
+    lists = (
+        chunks.groupBy("chunk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
+            ).alias("_rows")
+        )
+        .where(F.size("_rows") > 1)
+    )
     cand = (
-        a.join(b, ["chunk", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
+        lists.select(
+            F.explode(
+                _sorted_cooccur_pairs(
+                    F.col("_rows"),
+                    pair_fn=lambda x, y: F.struct(
+                        x[id_col].alias("id_a"),
+                        y[id_col].alias("id_b"),
+                        x["simhash"].alias("_sa"),
+                        y["simhash"].alias("_sb"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.id_a", "_p.id_b", "_p._sa", "_p._sb")
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    try:
-        return (
-            cand.select("id_a", "id_b", hamming.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        sigs.unpersist()
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)
+    )
 
 
 def duplicate_spans(

@@ -36,6 +36,13 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _eq_lit(term: str):
+    """One-arg element predicate for ``F.filter`` (a two-arg lambda would
+    be read as the (element, index) form by the higher-order-function
+    binder, not a captured default)."""
+    return lambda x: x == F.lit(term)
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -56,89 +63,103 @@ def bm25_scores(
     if not terms:
         raise ValueError("bm25 needs at least one query term")
     base = widen(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
-    # document length is a PER-ROW projection (size of the token array) —
-    # no explode/shuffle needed for it; the explode below feeds only the
-    # query-term matches
-    from mindb_spark.functions.text import token_count
-
-    lens = base.select("_id", token_count(text_col).alias("dl"))
-    # one stats job: corpus size (ids are primary keys, so count(*) ==
-    # count distinct) + avgdl as exact-long-sum / count — NOT avg(), so
-    # the double is the same single division in every engine regardless
-    # of accumulation order. avgdl averages docs with >= 1 token, matching
-    # the explode-based definition (empty docs contribute no tokens).
-    n_docs, tot, cnt = lens.agg(
-        F.count("*"),
-        F.sum("dl"),
-        F.count(F.when(F.col("dl") > 0, True)),
-    ).first()
-    if not cnt:  # no document has a single token: nothing can match
-        return base.select("_id").limit(0).select(
-            F.col("_id").alias(id_col),
-            F.lit(0).cast("long").alias("n_matched_terms"),
-            F.lit(0.0).alias("score"),
-        )
-    avgdl = tot / cnt
-
-    tok = base.select(
-        "_id", F.explode(tokens(text_col)).alias("term")
-    ).withColumn("term", F.lower(F.col("term")))
-    qt = F.array(*[F.lit(t) for t in terms])
-    hits = tok.where(F.array_contains(qt, F.col("term")))
-    # persist the posting-list-sized tf table: dfreq and the scored join
-    # both consume it, and Spark re-runs the corpus explode per consumer
-    # otherwise (no cross-consumer exchange reuse) — at corpus scale that
-    # doubles the dominant scan+regex cost
-    tf = hits.groupBy("_id", "term").agg(F.count("*").alias("tf")).persist()
+    # Round 12 (guide §2.3/§2.4): tf is a PER-ROW quantity — count the
+    # query term's occurrences inside each doc's token array directly
+    # instead of exploding every corpus token into a (doc, term) shuffle.
+    # The whole query then runs on ONE tokenize pass over the corpus and
+    # ZERO exchanges: the old plan tokenized three times (dl stats, the
+    # explode, the dl join's lens side) and paid two hash-agg exchanges
+    # plus two joins; here the per-doc stats row (id, dl, tf_0..tf_k —
+    # a few longs) is persisted, one combined aggregate computes
+    # n_docs/avgdl/df_t, and the scored output is a plain filter+project
+    # over the cached rows. Values are bit-identical: tf/df/dl are the
+    # same integers, and every double op below replays the old
+    # expression tree's IEEE order (idf folded from the same (N, df)
+    # doubles, per-term products in the same sorted-term order).
+    # two-step projection: the lowered token array materializes ONCE per
+    # row (CollapseProject keeps non-cheap expressions single-evaluated),
+    # then dl and every per-term tf read it — one regex pass per row
+    lowered = base.select("_id", F.transform(tokens(text_col), F.lower).alias("_lt"))
+    per_doc = lowered.select(
+        "_id",
+        F.size("_lt").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("_lt", _eq_lit(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).persist()
     try:
-        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-        idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
-            F.col("df") + F.lit(0.5)
-        )
-        scored = (
-            tf.join(F.broadcast(dfreq), "term")
-            .join(
-                lens.withColumnRenamed("_id", "_did"),
-                F.col("_id") == F.col("_did"),
+        # one stats job over the cached narrow rows: corpus size (ids are
+        # primary keys, so count(*) == count distinct), avgdl as
+        # exact-long-sum / count — NOT avg(), so the double is the same
+        # single division in every engine regardless of accumulation
+        # order (avgdl averages docs with >= 1 token, matching the
+        # explode-based definition) — and per-term document frequency
+        # df_t = #docs with tf_t > 0, all in a single aggregate.
+        stats = per_doc.agg(
+            F.count("*"),
+            F.sum("dl"),
+            F.count(F.when(F.col("dl") > 0, True)),
+            *[
+                F.count(F.when(F.col(f"_tf{i}") > 0, True))
+                for i in range(len(terms))
+            ],
+        ).first()
+        n_docs, tot, cnt = stats[0], stats[1], stats[2]
+        dfs = [stats[3 + i] for i in range(len(terms))]
+        if not cnt:  # no document has a single token: nothing can match
+            return base.select("_id").limit(0).select(
+                F.col("_id").alias(id_col),
+                F.lit(0).cast("long").alias("n_matched_terms"),
+                F.lit(0.0).alias("score"),
             )
-            .withColumn(
-                "_s",
-                idf
-                * F.col("tf")
+        avgdl = tot / cnt
+
+        # idf_t replayed in Python doubles with the old op order
+        # ((N - df) + 0.5) / (df + 0.5) — identical IEEE result to the
+        # old in-plan fold over the same values.
+        idfs = [
+            (float(n_docs) - dfs[i] + 0.5) / (dfs[i] + 0.5)
+            for i in range(len(terms))
+        ]
+        matched = [F.col(f"_tf{i}") > 0 for i in range(len(terms))]
+        n_matched = None
+        for m in matched:
+            c = F.when(m, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            n_matched = c if n_matched is None else n_matched + c
+        # per-term score with the old expression's exact IEEE op order;
+        # a non-matching term contributes 0.0, like the old coalesce of
+        # the absent pivot cell
+        total = None
+        for i in range(len(terms)):
+            s = (
+                F.lit(idfs[i])
+                * F.col(f"_tf{i}")
                 * F.lit(k1 + 1.0)
                 / (
-                    F.col("tf")
+                    F.col(f"_tf{i}")
                     + F.lit(k1)
                     * (
                         F.lit(1.0 - b)
                         + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
                     )
-                ),
+                )
             )
-        )
-        # per-term pivot then a FIXED-ORDER sum (sorted terms): float
-        # addition is order-sensitive in the last ulp, and a groupBy sum()
-        # leaves the order to the engine — this keeps scores bit-identical
-        # to the oracle
-        per_term = [
-            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
-            for i, t in enumerate(terms)
-        ]
-        agg = scored.groupBy("_id").agg(
-            F.count("*").alias("n_matched_terms"), *per_term
-        )
-        total = None
-        for i in range(len(terms)):
-            c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            c = F.when(matched[i], s).otherwise(F.lit(0.0))
             total = c if total is None else total + c
-        out = agg.select(
-            F.col("_id").alias(id_col), "n_matched_terms", total.alias("score")
+        any_match = matched[0]
+        for m in matched[1:]:
+            any_match = any_match | m
+        out = per_doc.where(any_match).select(
+            F.col("_id").alias(id_col),
+            n_matched.alias("n_matched_terms"),
+            total.alias("score"),
         )
-        # eager materialization so the cache can be released before return:
-        # the scored output is matched-docs-sized, tiny next to the explode
+        # eager materialization so the cache can be released before
+        # return: the scored output is matched-docs-sized
         return out.localCheckpoint(eager=True)
     finally:
-        tf.unpersist()
+        per_doc.unpersist()
 
 
 def rrf_fuse(

@@ -3,6 +3,7 @@ from mindb_spark.streaming.ingest import (
     run_stream_to_memory,
     sessionized_event_stats,
     stream_ingest_vectors,
+    stream_shuffle_partitions,
     streaming_dedup,
     windowed_event_counts,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "interval_join_attribution",
     "sessionized_event_stats",
     "stream_ingest_vectors",
+    "stream_shuffle_partitions",
     "streaming_dedup",
     "windowed_event_counts",
     "run_stream_to_memory",

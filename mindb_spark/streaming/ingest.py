@@ -188,10 +188,56 @@ def sessionized_event_stats(
     )
 
 
+def stream_shuffle_partitions(
+    spark,
+    *paths: str,
+    bytes_per_partition: int = 128 << 20,
+    env: str = "SPARK_GRAFT_STREAM_PARTS",
+) -> int:
+    """Scale-adaptive state-store width for a FRESH streaming checkpoint.
+
+    A stateful streaming query materializes one state store (plus its
+    checkpoint files and per-commit fsyncs) per shuffle partition — and the
+    partition count is frozen into the checkpoint at first start. The
+    session default (`spark.sql.shuffle.partitions` = core count) is a
+    BATCH setting: at bench shape it buys 32 state stores for a few MB of
+    input (pure checkpoint overhead, measured as the dominant wall of the
+    availableNow drains), while a 100 TB stream wants far more than core
+    count. Deriving the width from the INPUT SIZE (guide §2: make
+    partitioning scale-adaptive, not a constant tuned for either local
+    mode or the cluster) serves both: ceil(input_bytes / 128 MB), floored
+    at 1, capped at 4x the cluster's default parallelism (past that, more
+    state stores stop helping a fresh bounded drain; long-lived production
+    checkpoints should size explicitly via the env override).
+
+    ``paths`` are the source files/dirs (os.walk'd, no Spark job). The
+    ``env`` variable overrides everything when set — the production knob.
+    """
+    import os as _os
+
+    override = _os.environ.get(env)
+    if override:
+        return max(1, int(override))
+    total = 0
+    for p in paths:
+        if _os.path.isfile(p):
+            total += _os.path.getsize(p)
+            continue
+        for root, _dirs, files in _os.walk(p):
+            for fn in files:
+                try:
+                    total += _os.path.getsize(_os.path.join(root, fn))
+                except OSError:
+                    pass
+    cap = 4 * spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-total // bytes_per_partition)))
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    emit_text: bool = True,
 ) -> DataFrame:
     """Cross-batch streaming exact dedup: emit each document the FIRST time
     its canonical fingerprint is seen, drop every later duplicate.
@@ -203,12 +249,27 @@ def streaming_dedup(
     dedup key; no timeout — dedup state is permanent by definition (bound
     it at 100 TB with a TTL timeout if re-emission after expiry is
     acceptable).
+
+    ``emit_text=False`` (round 12, guide §4): ``applyInPandasWithState``
+    is opaque to Catalyst, so every column in its input crosses
+    JVM -> Python -> JVM whether the caller uses it or not. A caller that
+    only needs the surviving (id, fingerprint) — the dedup DECISION, to
+    re-attach to payloads later — should not ship the document text
+    through the Python boundary twice; with ``emit_text=False`` the
+    stateful operator sees and emits only the two narrow columns.
     """
     from mindb_spark.functions.text import fingerprint
 
-    keyed = stream_df.select(
-        F.col(id_col), F.col(text_col), fingerprint(text_col).alias("fingerprint")
-    ).groupBy("fingerprint")
+    cols = [F.col(id_col)] + ([F.col(text_col)] if emit_text else []) + [
+        fingerprint(text_col).alias("fingerprint")
+    ]
+    keyed = stream_df.select(*cols).groupBy("fingerprint")
+    out_cols = [id_col] + ([text_col] if emit_text else []) + ["fingerprint"]
+    out_schema = (
+        f"{id_col} long, "
+        + (f"{text_col} string, " if emit_text else "")
+        + "fingerprint string"
+    )
 
     def dedup_fn(key, pdfs, state):
         # the runtime may split a large fingerprint group across several
@@ -218,7 +279,7 @@ def streaming_dedup(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            cand = pdf.sort_values(id_col).iloc[[0]]
+            cand = pdf.loc[[pdf[id_col].idxmin()]]
             if best is None or cand.iloc[0][id_col] < best.iloc[0][id_col]:
                 best = cand
         if state.exists or best is None:
@@ -227,11 +288,11 @@ def streaming_dedup(
                 state.update((True,))
             return iter(())
         state.update((True,))
-        return iter([best[[id_col, text_col, "fingerprint"]]])
+        return iter([best[out_cols]])
 
     return keyed.applyInPandasWithState(
         dedup_fn,
-        outputStructType=f"{id_col} long, {text_col} string, fingerprint string",
+        outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf="NoTimeout",
@@ -239,23 +300,43 @@ def streaming_dedup(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain a streaming aggregation into an in-memory table (availableNow).
 
     Blocks until every available input file is processed; results are then
     in ``spark.table(query_name)``. Test/demo helper — production sinks
     should write parquet/Delta instead.
+
+    ``shuffle_partitions`` (round 12): stateful operators freeze the
+    shuffle-partition count into the (fresh) checkpoint as the state-store
+    width; pass :func:`stream_shuffle_partitions`'s input-derived value so
+    the drain pays for the state stores the data needs, not the session's
+    batch default. Set/restored around the query start only — never
+    affects other queries.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def interval_join_attribution(

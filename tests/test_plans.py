@@ -161,26 +161,39 @@ def test_sq_knn_is_codegen_with_partial_group_limit(spark, sf_dir, qs):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_keyword_search_single_corpus_explode(spark, sf_dir):
-    """BM25 must run the corpus explode ONCE: document lengths are a
-    per-row projection and document-frequency reads the persisted tf
-    table, so the pre-checkpoint plan contains exactly one Generate."""
-    from mindb_spark.functions.text import token_count
+def test_keyword_search_no_explode_no_exchange(spark, sf_dir):
+    """BM25 (round 12): tf/dl are per-row array expressions over ONE
+    tokenize pass — the scoring pipeline has NO Generate (no corpus
+    explode) and NO Exchange (no shuffle); only the stats aggregate's
+    single-partition gather touches exchange machinery, and the returned
+    frame is an eager checkpoint of a filter+project over the cached
+    per-doc stats."""
     from mindb_spark.operators.search import bm25_scores
 
-    # probe the internal plan shape on a tiny in-memory corpus by counting
-    # Generate nodes in the pre-persist logical pipeline: build the same
-    # shape bm25_scores builds and confirm only the hits branch explodes
     docs = spark.createDataFrame(
         [(i, "hash scan table x") for i in range(10)], "doc_id long, text string"
     )
+    # pin the pre-checkpoint scoring plan: same shape bm25_scores builds
+    from pyspark.sql import functions as F
+    from mindb_spark.functions.text import tokens
+
+    lowered = docs.select(
+        "doc_id", F.transform(tokens("text"), F.lower).alias("_lt")
+    )
+    per_doc = lowered.select(
+        "doc_id",
+        F.size("_lt").cast("long").alias("dl"),
+        F.size(F.filter("_lt", lambda x: x == F.lit("hash"))).cast("long").alias("_tf0"),
+    )
+    scoring = per_doc.where(F.col("_tf0") > 0)
+    p = plan_of(scoring)
+    assert "Generate" not in p, p
+    assert "Exchange" not in p, p
+    # and the public operator still returns an eager checkpoint with the
+    # contract columns
     out = bm25_scores(docs, ["hash", "scan"])
-    # the returned frame is an eager localCheckpoint: recomputation-proof
-    p = plan_of(out)
-    assert "Scan ExistingRDD" in p
-    # and doc lengths never exploded: token_count is size(), not Generate
-    lp = plan_of(docs.select(token_count("text").alias("dl")))
-    assert "Generate" not in lp
+    assert "Scan ExistingRDD" in plan_of(out)
+    assert set(out.columns) == {"doc_id", "n_matched_terms", "score"}
 
 
 def test_funnel_joins_on_user_key_without_cartesian(spark, sf_dir, qs):
@@ -387,3 +400,58 @@ def test_minhash_verify_join_streams_sets_without_sort(spark, sf_dir):
     for line in p.splitlines():
         if "Sort " in line and "InMemoryTableScan" not in line:
             raise AssertionError(f"unexpected sort at scale shape: {line}")
+
+
+def test_cooccur_pairs_single_exchange_no_self_join(spark, sf_dir):
+    """Round 12: candidate/intersection pair generation groups ids per key
+    (ONE hash exchange) and emits ordered pairs in place — the plan must
+    contain no join operator and exactly one exchange up to the pair
+    aggregation's own shuffle (the old equi-self-join shuffled the
+    exploded rows twice and planned a SortMergeJoin/ShuffledHashJoin)."""
+    from pyspark.sql import functions as F
+
+    from mindb_spark.functions.text import exploded_shingle_hashes
+    from mindb_spark.operators.dedup import _sorted_cooccur_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = exploded_shingle_hashes(docs, "doc_id", "text", 3)
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    pairs = lists.select(
+        F.explode(_sorted_cooccur_pairs(F.col("_ids"))).alias("_p")
+    ).select("_p.id_a", "_p.id_b")
+    p = plan_of(pairs)
+    assert "Join" not in p, p
+    # widen()'s deliberate round-robin + the grouping hash exchange
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_cooccur_pair_values_match_self_join(spark):
+    """The grouped pair generator must emit exactly the ordered pair
+    multiset the equi-self-join produced (same keys -> same c(c-1)/2
+    fan-out, id_a < id_b)."""
+    from pyspark.sql import functions as F
+
+    from mindb_spark.operators.dedup import _sorted_cooccur_pairs
+
+    rows = [(k, i) for k in ("x", "y", "z") for i in ([1, 2, 3, 9] if k != "z" else [7])]
+    df = spark.createDataFrame(rows, "k string, _id long")
+    lists = df.groupBy("k").agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+    got = sorted(
+        (r.k, r.id_a, r.id_b)
+        for r in lists.select(
+            "k", F.explode(_sorted_cooccur_pairs(F.col("_ids"))).alias("_p")
+        ).select("k", "_p.id_a", "_p.id_b").collect()
+    )
+    a = df.select("k", F.col("_id").alias("id_a"))
+    b = df.select("k", F.col("_id").alias("id_b"))
+    want = sorted(
+        (r.k, r.id_a, r.id_b)
+        for r in a.join(b, "k").where(F.col("id_a") < F.col("id_b")).collect()
+    )
+    assert got == want and len(want) == 12  # C(4,2) per 4-doc key, 0 for the singleton

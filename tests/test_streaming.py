@@ -757,3 +757,55 @@ def test_stream_near_dup_grow_corpus_catches_cross_batch(spark, tmpdir):
     # (200, 100): caught only because batch 1's index rows were appended
     assert (200, 100) in pairs
     assert all(c != 1 for _n, c in pairs)  # corpus doc matches nothing
+
+
+def test_streaming_dedup_slim_columns_and_adaptive_state_width(spark, tmpdir):
+    """Round 12: emit_text=False keeps the document text out of the opaque
+    Python boundary (narrow input AND output schema) with identical
+    surviving ids; stream_shuffle_partitions derives the state-store width
+    from input bytes (1 for a KB-sized source), honors the env override,
+    and run_stream_to_memory restores the session conf afterwards."""
+    from mindb_spark.streaming import (
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+        streaming_dedup,
+    )
+
+    src = os.path.join(tmpdir, "docs_slim")
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    parts = stream_shuffle_partitions(spark, src)
+    assert parts == 1  # a few KB of input -> one state store
+    os.environ["SPARK_GRAFT_STREAM_PARTS"] = "7"
+    try:
+        assert stream_shuffle_partitions(spark, src) == 7
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_PARTS"]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, emit_text=False)
+    assert out.columns == ["doc_id", "fingerprint"]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    run_stream_to_memory(
+        out,
+        "dedup_stream_slim",
+        os.path.join(tmpdir, "ck_slim"),
+        output_mode="append",
+        shuffle_partitions=parts,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    rows = spark.table("dedup_stream_slim").collect()
+    # same survivors as the emit_text=True path: min id per fingerprint,
+    # cross-batch duplicate suppressed
+    assert sorted(r.doc_id for r in rows) == [1, 2, 5]
