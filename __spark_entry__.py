@@ -683,30 +683,52 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and the final rollup is a second; only doc_id/text/lang/
     source/n_chars are read (column pruning).
     """
+    from mindb_spark.functions.text import tokens
     from mindb_spark.operators.dedup import dedup_exact_survivors
     from mindb_spark.operators.textops import language_columns, quality_columns
+    from mindb_spark.session import widen
 
     docs = _docs(spark, sf_dir)
     # language + quality are PER-ROW projections: fuse them onto the
     # survivor rows (column builders) instead of shuffle-joining three
     # per-doc frames — one dedup shuffle is the whole exchange budget.
-    # widen first (round 12): the survivor frame inherits the scan's
-    # split count through the broadcast anti-join, so on a small file the
-    # language/quality regex work — the CPU of this pipeline — ran as ONE
-    # task; at cluster scale the scan is already wide and this is a no-op
-    from mindb_spark.session import widen
-
-    lang, qual = language_columns("text"), quality_columns("text")
-    kept = widen(dedup_exact_survivors(docs)).select(
+    # Round 12 (guide §4.4 analog): the old WHERE on the computed
+    # lang/quality columns was pushed below the projection, re-deriving
+    # the tokenize regex ~20x per row inside the pushed filter (measured
+    # in plans/r12/pipeline_curation_before.txt). Restructured so the
+    # token array materializes ONCE per row (its own projection — non-
+    # cheap, multiply-referenced, so CollapseProject keeps it) and the
+    # quality gate becomes CONDITIONAL AGGREGATION (count/sum/avg over
+    # WHEN(ok, x)) + a post-agg filter on the group key, which nothing
+    # can push back into the scan. widen first so the per-row work runs
+    # at driver parallelism on a small file (no-op at cluster scale).
+    tokd = widen(dedup_exact_survivors(docs)).select(
+        "source", "text", tokens("text").alias("_toks")
+    )
+    lang = language_columns("text", toks=F.col("_toks"))
+    qual = quality_columns("text", toks=F.col("_toks"))
+    per_doc = tokd.select(
         "source",
         lang["detected_lang"].alias("detected_lang"),
         qual["quality_score"].alias("quality_score"),
         qual["n_tokens"].alias("n_tokens"),
-    ).where((F.col("detected_lang") == "en") & (F.col("quality_score") >= 0.5))
-    return kept.groupBy("detected_lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        _fl6(F.avg("quality_score")).alias("avg_quality"),
+    )
+    ok = F.col("quality_score") >= 0.5
+    return (
+        per_doc.groupBy("detected_lang", "source")
+        .agg(
+            F.count(F.when(ok, True)).alias("n_docs"),
+            F.sum(F.when(ok, F.col("n_tokens"))).alias("total_tokens"),
+            _fl6(F.avg(F.when(ok, F.col("quality_score")))).alias("avg_quality"),
+        )
+        # single non-splittable predicate: a bare `detected_lang == 'en'`
+        # conjunct is a group-key filter that Catalyst pushes back through
+        # the aggregate and both projections, re-deriving the tokenize
+        # regex inside a scan-level filter — the WHEN form references the
+        # aggregate output n_docs, so the whole predicate stays above the
+        # agg (where it filters a handful of group rows)
+        .where(F.when(F.col("n_docs") > 0, F.col("detected_lang") == "en")
+               .otherwise(F.lit(False)))
     )
 
 
@@ -1077,7 +1099,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session's batch shuffle default (guide §2).
     out = streaming_dedup(raw, emit_text=False)
     name = "stream_dedup_entry"
-    parts = stream_shuffle_partitions(spark, f"{sf_dir}/documents.parquet")
+    # floor at core count: applyInPandasWithState makes one Python call
+    # per fingerprint group — width IS that work's CPU parallelism
+    parts = stream_shuffle_partitions(
+        spark, f"{sf_dir}/documents.parquet",
+        floor=spark.sparkContext.defaultParallelism,
+    )
     with tempfile.TemporaryDirectory() as ckpt:
         run_stream_to_memory(
             out, name, ckpt, output_mode="append", shuffle_partitions=parts

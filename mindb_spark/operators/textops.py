@@ -34,21 +34,35 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
 
 
-def language_scores(text_col: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts for a text column."""
-    toks = tokens(text_col)
-    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
+def language_scores(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    """Per-language marker-hit counts for a text column.
+
+    ``toks`` (round 12): a pre-materialized token-array column. The
+    marker counts reference the token array many times (one filter per
+    language plus the argmax CASE's re-references), and each reference
+    re-runs the tokenize regex when it is an inline expression — pass
+    the array as its own projected column and the regex runs once per
+    row (guide §4.4's duplicate-evaluation problem, built-in-expression
+    form).
+    """
+    t = toks if toks is not None else tokens(text_col)
+    return {lang: _marker_hits(t, markers) for lang, markers in LANG_MARKERS.items()}
 
 
-def language_columns(text_col: Column | str) -> dict[str, Column]:
+def language_columns(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Column-level language ID: {'detected_lang', 'marker_hits'}.
 
     Exposed so pipelines can FUSE the projection onto another frame
     (e.g. dedup survivors) instead of paying a per-doc shuffle join.
     Tie-break is alphabetical-by-language (deterministic); zero hits in
-    every language yields 'und' (undetermined).
+    every language yields 'und' (undetermined). ``toks``: see
+    :func:`language_scores`.
     """
-    scores = language_scores(text_col)
+    scores = language_scores(text_col, toks=toks)
     # build greatest-by-count with deterministic tie-break via ordered CASE
     langs = sorted(scores)  # alphabetical
     best_count = F.greatest(*[scores[l] for l in langs])
@@ -72,7 +86,9 @@ def detect_language(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def quality_columns(text_col: Column | str) -> dict[str, Column]:
+def quality_columns(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Column-level quality features — fuse-able like :func:`language_columns`.
 
     Keys (all deterministic arithmetic, rounded where fractional):
@@ -82,8 +98,11 @@ def quality_columns(text_col: Column | str) -> dict[str, Column]:
     - stopword_ratio  = EN-stopword tokens / tokens
     - quality_score   = heuristic blend in [0, 1]: length signal x
                         (has sane avg token len) x (has some stopwords)
+
+    ``toks``: pre-materialized token array — see :func:`language_scores`.
     """
-    toks = tokens(text_col)
+    if toks is None:
+        toks = tokens(text_col)
     tcol = F.col(text_col) if isinstance(text_col, str) else text_col
     n_chars = F.length(tcol)
     n_tokens = F.size(toks)
