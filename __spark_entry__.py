@@ -402,8 +402,11 @@ def _clustered_eval_corpus(spark: SparkSession):
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # total_rows/dim derived from the data in scope (ADVICE r12): if the
+    # fixture shape changes, the index trains with the right n/d
     artifacts, _ = build_index(
-        vdf, params, idx_dir, n_buckets=16, total_rows=30_000, dim=64
+        vdf, params, idx_dir, n_buckets=16,
+        total_rows=mat.shape[0], dim=mat.shape[1],
     )
     codes = spark.read.parquet(os.path.join(idx_dir, "codes"))
     _CLUSTERED_CACHE["fixture"] = (vdf, mat, codes, artifacts, params)

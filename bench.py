@@ -226,20 +226,42 @@ def _index_at(micro: list, pos: float) -> float:
     return micro[-1][1]
 
 
-def _timed_pass(spark, qs, order, errors, sf_dir, label, to_index):
+# Timed-loop queries whose dominant cost is DRIVER-side BLAS (k-means /
+# PCA training inside the trained-index builds), not Spark-JVM work
+# (round 13, VERDICT r12 #4): normalizing them by the jvm micro-sentinel
+# mis-attributes BLAS-substrate weather — r12 read filtered_knn_trained
+# at 0.33x while the same-host A/B read it improved, purely because the
+# jvm index cannot see BLAS-pool preemption. These two entries normalize
+# by the gemm micro instead; their jvm-normalized values are kept in
+# BENCH_FULL.json's "queries_norm_jvm" for cross-round comparison.
+GEMM_NORMALIZED = {"filtered_knn_trained", "ann_clustered_query"}
+
+
+def _timed_pass(spark, qs, order, errors, sf_dir, label, to_index,
+                to_gemm_index):
     """One timed pass over ``order``: each query runs ONCE (the other
     pass, in reverse order, provides the second run — min-of-orders
     replaces round-10's back-to-back best-of-2 so a slow half-hour
-    degrades each query in at most ONE of its two runs), with a micro-
-    sentinel reading every MICRO_EVERY queries bracketing the walls."""
+    degrades each query in at most ONE of its two runs), with jvm AND
+    gemm micro-sentinel readings every MICRO_EVERY queries bracketing
+    the walls (the gemm series attributes the GEMM_NORMALIZED queries)."""
     walls: dict[str, float] = {}
     micro: list = []
+    micro_gemm: list = []
+
+    def read_micros(pos: float) -> None:
+        try:
+            micro.append((pos, to_index(_micro_wall(spark))))
+        except Exception as e:
+            print(f"# micro sentinel failed: {e}", file=sys.stderr)
+        try:
+            micro_gemm.append((pos, to_gemm_index(_micro_gemm_wall())))
+        except Exception as e:
+            print(f"# gemm micro sentinel failed: {e}", file=sys.stderr)
+
     for i, name in enumerate(order):
         if i % MICRO_EVERY == 0:
-            try:
-                micro.append((float(i), to_index(_micro_wall(spark))))
-            except Exception as e:
-                print(f"# micro sentinel failed: {e}", file=sys.stderr)
+            read_micros(float(i))
         fn = qs[name]
         # fault-isolated per query (round-2 lesson: one data-drift throw
         # must degrade ONE row, not zero out the whole scoreboard)
@@ -256,13 +278,12 @@ def _timed_pass(spark, qs, order, errors, sf_dir, label, to_index):
             errors.setdefault(name, f"{type(e).__name__}: {e}"[:300])
             print(f"# [{label}] {name}: FAILED {errors[name]}",
                   file=sys.stderr)
-    try:
-        micro.append((float(len(order)), to_index(_micro_wall(spark))))
-    except Exception as e:
-        print(f"# micro sentinel failed: {e}", file=sys.stderr)
+    read_micros(float(len(order)))
     if not micro:
         micro = [(0.0, 1.0)]
-    return walls, micro
+    if not micro_gemm:
+        micro_gemm = [(0.0, 1.0)]
+    return walls, micro, micro_gemm
 
 
 class BenchQualityRegression(RuntimeError):
@@ -350,6 +371,21 @@ def _normalized_block(timings_norm, sentinel, probe_index, ann_ms, routed_ms,
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    # Gate-cert store isolation (round 13, VERDICT r12 #3): the similarity
+    # lanes auto-persist their recall certifications; with the default
+    # user-cache store, ANY earlier run on this machine would pre-certify
+    # the benched lanes and the timed region would skip every gate job —
+    # cross-run cached intermediates keyed on the test data. Pin the store
+    # to a fresh per-run temp file so pass A always pays the real gate and
+    # in-run reuse (pass B, side probes) is the only reuse. The flags are
+    # recorded in the output JSON ("gate_cert").
+    import tempfile
+
+    _gate_store = os.path.join(
+        tempfile.mkdtemp(prefix="bench_gate_certs_"), "gate_certs.json"
+    )
+    os.environ["MINDB_SPARK_GATE_CERT_STORE"] = _gate_store
+
     import __spark_entry__ as E
     from mindb_spark.session import get_spark
 
@@ -451,26 +487,46 @@ def main() -> None:
             return None
         return round(float(np.exp(np.mean(np.log(vals)))), 3)
 
-    walls_a, micro_a = _timed_pass(
-        spark, qs, order_a, errors, SF_DIR, "A", to_index)
+    walls_a, micro_a, mgemm_a = _timed_pass(
+        spark, qs, order_a, errors, SF_DIR, "A", to_index, to_gemm_index)
+    # reused-certification observability (VERDICT r12 #3): after pass A
+    # the lanes certified against the fresh per-run store, so their
+    # reports must NOT say reused; pass B and the side probes then hit
+    # the in-run certs by design
+    gate_first = {
+        k.rsplit("_", 1)[1]: bool(E.GATE_REPORTS.get(k, {}).get("reused", False))
+        for k in ("similarity_join_lsh", "similarity_join_ivf")
+    }
     _quiesce(spark)
-    walls_b, micro_b = _timed_pass(
-        spark, qs, order_b, errors, SF_DIR, "B", to_index)
+    walls_b, micro_b, mgemm_b = _timed_pass(
+        spark, qs, order_b, errors, SF_DIR, "B", to_index, to_gemm_index)
     timings: dict[str, float] = {}
     timings_norm: dict[str, float] = {}
+    timings_norm_jvm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        raw, norm = [], []
+        # driver-BLAS entries normalize by the gemm micro series
+        # (VERDICT r12 #4); everything else by the jvm series
+        curve_a, curve_b = (
+            (mgemm_a, mgemm_b) if name in GEMM_NORMALIZED else (micro_a, micro_b)
+        )
+        raw, norm, norm_jvm = [], [], []
         if name in walls_a:
             pos = order_a.index(name) + 0.5
             raw.append(walls_a[name])
-            norm.append(walls_a[name] / _index_at(micro_a, pos))
+            norm.append(walls_a[name] / _index_at(curve_a, pos))
+            norm_jvm.append(walls_a[name] / _index_at(micro_a, pos))
         if name in walls_b:
             pos = order_b.index(name) + 0.5
             raw.append(walls_b[name])
-            norm.append(walls_b[name] / _index_at(micro_b, pos))
+            norm.append(walls_b[name] / _index_at(curve_b, pos))
+            norm_jvm.append(walls_b[name] / _index_at(micro_b, pos))
         if raw:
             timings[name] = round(min(raw), 3)
             timings_norm[name] = round(min(norm), 3)
+            if name in GEMM_NORMALIZED:
+                # the old (jvm-normalized) reading, kept for cross-round
+                # comparison per the measurement-change contract
+                timings_norm_jvm[name] = round(min(norm_jvm), 3)
     # a query that succeeded in either pass is not an error
     errors = {k: v for k, v in errors.items() if k not in timings}
     micro_vals = [v for _, v in micro_a + micro_b]
@@ -1110,7 +1166,16 @@ def main() -> None:
         # differs from the run average). Curve probes also interleave
         # their two repetitions across full passes instead of
         # back-to-back best-of-2.
-        "bench_schema": 8,
+        # v9 (round 13): (a) TIMED-LOOP dual-substrate attribution
+        # (VERDICT r12 #4) — the passes also take gemm micro readings,
+        # and the GEMM_NORMALIZED queries (driver-BLAS trained builds)
+        # normalize by that series; their jvm-normalized values stay in
+        # "queries_norm_jvm". Raw walls ("queries" here) are unchanged in
+        # meaning. (b) gate-cert store pinned to a per-run temp file
+        # (VERDICT r12 #3) with first-pass/last reused flags recorded
+        # under "gate_cert" — similarity-lane walls are now comparable
+        # across runs (pass A always pays the real gate).
+        "bench_schema": 9,
         # measurement discipline, recorded in the artifact itself: headline
         # queries run once per pass in two opposite-order passes (min =
         # steady state) with cache-clear + JVM GC quiesce before each;
@@ -1119,10 +1184,24 @@ def main() -> None:
         "discipline": "min over two opposite-order passes, clearCache+System.gc before each query, micro-sentinel every 8 queries; side probes bracketed by jvm+gemm micro readings with probe-local normalization and interleaved repetition passes; point_query_ms median-of-3/5 warm",
         "queries": timings,
         "queries_norm": timings_norm,
+        "queries_norm_jvm": timings_norm_jvm,
+        "gemm_normalized": sorted(GEMM_NORMALIZED),
         "micro_sentinels": {
             "every": MICRO_EVERY,
             "pass_a": [[p, round(v, 3)] for p, v in micro_a],
             "pass_b": [[p, round(v, 3)] for p, v in micro_b],
+            "pass_a_gemm": [[p, round(v, 3)] for p, v in mgemm_a],
+            "pass_b_gemm": [[p, round(v, 3)] for p, v in mgemm_b],
+        },
+        "gate_cert": {
+            "store": "per-run-temp",
+            "reused_first_pass": gate_first,
+            "reused_last": {
+                k.rsplit("_", 1)[1]: bool(
+                    E.GATE_REPORTS.get(k, {}).get("reused", False)
+                )
+                for k in ("similarity_join_lsh", "similarity_join_ivf")
+            },
         },
         "sf": sf_val,
         "host_sentinel": sentinel,

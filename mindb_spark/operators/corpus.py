@@ -19,9 +19,11 @@ Scale notes
   fingerprint column (pruned scan), and the join shuffles fingerprints,
   not documents. Within-batch duplicates resolve by min-id in the same
   aggregation.
-- ``tfidf_top_terms`` is explode → two hash aggregations → one ranked
-  window bounded by WindowGroupLimit; shuffle bytes are bounded by
-  distinct (doc, term) pairs.
+- ``tfidf_top_terms`` / ``unigram_logprob`` compute the per-doc (term, tf)
+  table PER ROW (sorted-run counting over the token array — round 13, the
+  BM25 recipe): the corpus is never exploded into a (doc, term) shuffle;
+  the only exchanges left are the vocab-bounded term-stats aggregates and
+  the per-doc finisher, both over map-side partials.
 """
 
 from __future__ import annotations
@@ -241,12 +243,72 @@ def quality_deciles(
     )
 
 
+def _doc_term_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, term, tf) — the per-doc term-frequency table, computed PER ROW.
+
+    Round 13 (guide §1.2/§2.3, the BM25 recipe generalized to an unbounded
+    vocabulary): tf of a term within a doc is a per-row quantity, so the
+    corpus-token explode + (doc, term) hash-agg exchange the old shape
+    paid is replaced by sorted-run counting over each row's token array —
+    sort the lowered tokens once (O(n log n) per row), find the run-start
+    positions, and the gaps between consecutive starts are the tfs. The
+    emitted rows are the distinct (doc, term) pairs with their counts;
+    downstream consumers aggregate them WITHOUT ever shuffling one row
+    per corpus token.
+
+    Projections are staged so CollapseProject keeps each non-cheap array
+    (the tokenize+sort, the run starts) single-evaluated per row — the
+    same duplicate-evaluation guard as bm25_scores/pipeline_curation.
+    ``F.get`` (0-based, null out-of-bounds) handles the array edges
+    without ANSI index errors; a doc with zero tokens emits no rows,
+    exactly like the explode formulation.
+    """
+    sorted_toks = widen(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select(
+        "_id", F.array_sort(F.transform(tokens(text_col), F.lower)).alias("_s")
+    )
+    s = F.col("_s")
+    n = F.size(s)
+    # 1-based positions where a new run starts: position 1, or value
+    # differs from its predecessor (F.get is 0-based; at i=1 the
+    # predecessor read is null, and `x != null` is null => the i=1 branch
+    # carries the row)
+    with_starts = sorted_toks.select(
+        "_id",
+        "_s",
+        F.when(n <= 0, F.array().cast("array<int>"))
+        .otherwise(
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == F.lit(1))
+                | (F.get(s, i - 1) != F.get(s, i - 2)),
+            )
+        )
+        .alias("_st"),
+    )
+    st = F.col("_st")
+    # run j (0-based) spans [st[j], next_start) with next_start = st[j+1]
+    # or n+1 for the last run — its length is the term's tf
+    pairs = F.transform(
+        st,
+        lambda b, j: F.struct(
+            F.element_at(F.col("_s"), b).alias("term"),
+            (F.coalesce(F.get(st, j + 1), F.size(F.col("_s")) + 1) - b)
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
+    return with_starts.select("_id", F.inline(pairs))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     top_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-document top-``top_n`` terms by tf-idf (linear idf variant).
 
@@ -258,27 +320,33 @@ def tfidf_top_terms(
 
     Returns (id, term, tf, df, tfidf_score, rank).
 
-    Plan: the corpus tokenize+explode runs ONCE — the (doc, term) tf table
-    is persisted because its two consumers (term document-frequency and
-    the scoring join) would otherwise each re-run the whole explode
-    (Spark does not reuse plan subtrees across consumers). The final
-    per-doc rank is a ranked window that Spark bounds with
-    WindowGroupLimit (partial top-n before the shuffle); the result is
-    eagerly checkpointed (top_n x docs rows) so the cache can be
-    released before return.
+    Plan (round 13, guide §1.2/§2.3): the (doc, term, tf) table comes from
+    :func:`_doc_term_tf` — per-row sorted-run counting, NO corpus-token
+    explode and NO (doc, term) exchange. It is persisted (narrow rows:
+    two keys + a long) because its two consumers (the term
+    document-frequency aggregate and the scoring join) would otherwise
+    each re-run the tokenize+sort pass. df-per-term is one vocab-bounded
+    hash aggregate; the df table is broadcast back (``broadcast_stats``,
+    default True — term-df is vocab-sized, Heaps'-law sublinear in the
+    corpus; pass False to shuffle-join instead for a pathological
+    vocabulary), so the scored rows never leave their doc's partition
+    until the final ranked window — which Spark bounds with
+    WindowGroupLimit (partial top-n per partition == final top-n per doc,
+    since each doc's rows are co-located by construction). Result is
+    eagerly checkpointed (top_n x docs rows) so the cache releases before
+    return.
 
     ``materialize=False`` returns the LAZY single-pipeline plan instead
     (no persist, no checkpoint) — for plan inspection and composition;
     the caller then owns the recompute-per-consumer risk.
     """
-    tok = widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id", F.explode(tokens(text_col)).alias("term")
-    ).withColumn("term", F.lower(F.col("term")))
-    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    tf = _doc_term_tf(df, id_col, text_col)
     if materialize:
         tf = tf.persist()
     try:
         dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        if broadcast_stats:
+            dfreq = F.broadcast(dfreq)
         # ids are primary keys: plain count == count distinct, and a plain
         # count over a parquet scan is metadata-only (no shuffle)
         n_docs = df.count()
@@ -312,6 +380,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Corpus-unigram-LM document scoring (pseudo-perplexity).
 
@@ -328,28 +397,35 @@ def unigram_logprob(
     external model). Equivalently computed from the (doc, term, tf)
     table: ``sum(tf*ln c)/sum(tf) - ln T``.
 
-    Plan: ONE tokenize+explode pass persisted as (doc, term, tf); term
-    totals are a vocab-bounded hash agg over it; the scoring join+agg
-    shuffles distinct (doc, term) pairs, never corpus bytes. No float
-    enters an ordering (unlike tf-idf's rank there is nothing to flip on
-    a last-ulp ``ln`` difference), so rounding the final score to 6 dp
-    makes it engine-portable.
+    Plan (round 13, guide §1.2/§2.3): the (doc, term, tf) table comes
+    from :func:`_doc_term_tf` — per-row sorted-run counting, NO
+    corpus-token explode and NO (doc, term) exchange; it is persisted
+    (narrow rows) for its two stats consumers, and ONE driver stats
+    action (the corpus token total) doubles as the eager cache pin, then
+    replays into the plan as a literal long — the same
+    ``ln(cast(total as double))`` the in-plan form evaluates. Term
+    totals are one vocab-bounded hash agg broadcast back into the
+    scoring pass (``broadcast_stats`` — see :func:`tfidf_top_terms`).
+    The lazy variant keeps the total IN-PLAN (1-row aggregate crossJoin)
+    so it really is lazy. The per-doc finisher aggregates rows that
+    never left their doc's partition, so its exchange moves one narrow
+    partial row per doc. No
+    float enters an ordering (unlike tf-idf's rank there is nothing to
+    flip on a last-ulp ``ln`` difference), so rounding the final score to
+    6 dp makes it engine-portable.
 
     Returns (id, n_tokens, avg_logprob).
     """
-    tok = widen(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id", F.explode(tokens(text_col)).alias("term")
-    ).withColumn("term", F.lower(F.col("term")))
-    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
-    if materialize:
-        tf = tf.persist()
-    try:
+    tf = _doc_term_tf(df, id_col, text_col)
+    if not materialize:
+        # lazy variant: the corpus total stays IN-PLAN (1-row aggregate
+        # broadcast into the scoring pass) so building the frame runs no
+        # job at all; the caller owns the recompute-per-consumer risk
         termc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-        # corpus total stays IN-PLAN (1-row aggregate broadcast into the
-        # scoring join): no eager driver round-trip, and the lazy variant
-        # really is lazy — no hidden second corpus pass at build time
-        total = termc.agg(F.sum("c").alias("_t"))
-        out = (
+        if broadcast_stats:
+            termc = F.broadcast(termc)
+        total = tf.agg(F.sum("tf").alias("_t"))
+        return (
             tf.join(termc, "term")
             .crossJoin(F.broadcast(total))
             .groupBy("_id")
@@ -365,7 +441,35 @@ def unigram_logprob(
             )
             .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
         )
-        return out.localCheckpoint(eager=True) if materialize else out
+    tf = tf.persist()
+    try:
+        # ONE stats action doubles as the eager cache pin (the BM25
+        # recipe): AQE submits independent leaf stages CONCURRENTLY, so
+        # without a pin the term-total and scoring branches would race
+        # the unpopulated cache and each recompute the tokenize+sort
+        # pass. The corpus token total rides the pin job; it re-enters
+        # the plan as a literal LONG (same ln(cast to double) expression
+        # the in-plan form evaluates — bit-identical).
+        tot = tf.agg(F.sum("tf")).first()[0]
+        if tot is None:
+            tot = 1  # empty corpus: no rows exist for the expression below
+        termc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+        if broadcast_stats:
+            termc = F.broadcast(termc)
+        out = (
+            tf.join(termc, "term")
+            .groupBy("_id")
+            .agg(
+                F.sum("tf").cast("long").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("tf") * F.log(F.col("c").cast("double")))
+                    / F.sum("tf")
+                    - F.log(F.lit(int(tot)).cast("double")),
+                    6,
+                ).alias("avg_logprob"),
+            )
+            .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
+        )
+        return out.localCheckpoint(eager=True)
     finally:
-        if materialize:
-            tf.unpersist()
+        tf.unpersist()

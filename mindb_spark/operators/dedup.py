@@ -135,8 +135,10 @@ def dedup_exact_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
-def _sorted_cooccur_pairs(ids_col, pair_fn=None):
-    """All (id_a < id_b) struct pairs from a SORTED id array.
+def _cooccur_pair_rows(
+    lists: DataFrame, ids_col: str = "_ids", pair_fn=None, carry: tuple = ()
+) -> DataFrame:
+    """One row per (id_a < id_b) pair from each row's SORTED id array.
 
     Round 12 (guide §2.3/§2.4): the classic candidate/intersection
     formulation self-joins the exploded (id, key) table on the key —
@@ -145,25 +147,39 @@ def _sorted_cooccur_pairs(ids_col, pair_fn=None):
     filter. Grouping ids per key first (``collect_list`` — ONE exchange
     of the same rows) and generating the c(c-1)/2 ordered pairs in
     place emits exactly the surviving pairs: half the fan-out, half the
-    heavy shuffle. The fan-out itself is unchanged (a key shared by c
-    docs still yields c(c-1)/2 rows — bound c upstream with the df-cut,
-    exactly as the join formulation had to).
+    heavy shuffle.
+
+    Round 13 (guide §5, VERDICT r12 #2): pair generation is TWO staged
+    Generates, not one — the round-12 ``flatten(transform(...))`` built
+    the ENTIRE c(c-1)/2 pair array inside a single row before exploding,
+    so one degenerate group (a hot LSH band bucket, a constant simhash
+    chunk — neither has a frequency cap) of c members held O(c²) structs
+    on one task's heap. Posexploding the LEFT element first keeps every
+    intermediate row O(c): the carried array once, plus one O(c) suffix
+    slice per left element; the explode streams the pairs out. The
+    emitted pair set is unchanged. (The collect_list buffer itself stays
+    O(c) per group — the linear floor any grouped formulation pays.)
 
     ``pair_fn(x, y) -> struct`` customizes the emitted pair payload (the
     SimHash lane carries both signatures through); the default emits
-    ``struct(id_a, id_b)``.
+    ``struct(id_a, id_b)``. ``carry`` names extra columns of ``lists``
+    to keep on every pair row.
     """
     if pair_fn is None:
         def pair_fn(x, y):
             return F.struct(x.alias("id_a"), y.alias("id_b"))
-    return F.flatten(
-        F.transform(
-            ids_col,
-            lambda x, i: F.transform(
-                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
-                lambda y: pair_fn(x, y),
-            ),
-        )
+    ids = F.col(ids_col)
+    left = lists.select(
+        *carry, ids.alias("_pids"), F.posexplode(ids).alias("_li", "_lx")
+    )
+    # elements strictly after the left element's 0-based position _li:
+    # 1-based start _li + 2; slice clamps the over-long length
+    suffix = F.slice(
+        F.col("_pids"), F.col("_li") + F.lit(2), F.size(F.col("_pids"))
+    )
+    pairs = F.transform(suffix, lambda y: pair_fn(F.col("_lx"), y))
+    return left.select(*carry, F.explode(pairs).alias("_p")).select(
+        *carry, "_p.*"
     )
 
 
@@ -224,21 +240,36 @@ def ngram_jaccard_pairs(
         # excluded from the join.
         shingled = cached
         sizes = shingled.groupBy("_id").agg(F.count("*").alias("_n"))
-        # round 12: ONE exchange groups each shingle's doc ids; the
-        # df-cut is then a plain size filter on the grouped list (the
-        # old shape paid a separate df aggregation + a semi-join + a
-        # two-sided self-join — four exchanges of the exploded rows
-        # where one suffices; see _sorted_cooccur_pairs)
+        if max_shingle_freq is not None:
+            # round 13 (ADVICE r12, guide §5): the df-cut must bound
+            # AGGREGATION memory, not just the pair fan-out — cutting on
+            # the grouped list's size (round 12) let a stop-shingle
+            # shared by c docs grow a c-element collect_list buffer
+            # before being discarded. Cut BEFORE the grouping: the hot
+            # set (df > max) is tiny by the Zipf tail (≤ rows/max keys
+            # even adversarially), so an anti-join against it drops
+            # stop-shingle rows ahead of the wide operation; AQE turns
+            # the join into a broadcast at runtime when the hot side is
+            # as small as it always is. Emitted pairs are identical (df
+            # == grouped-list size by construction).
+            hot = (
+                shingled.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") > max_shingle_freq)
+                .select("shingle")
+            )
+            shingled = shingled.join(hot, "shingle", "left_anti")
+        # round 12: ONE exchange groups each shingle's doc ids and the
+        # ordered pairs are generated in place (the old shape paid a
+        # two-sided equi-self-join of the exploded rows; see
+        # _cooccur_pair_rows)
         lists = (
             shingled.groupBy("shingle")
             .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
             .where(F.size("_ids") > 1)
         )
-        if max_shingle_freq is not None:
-            lists = lists.where(F.size("_ids") <= max_shingle_freq)
         inter = (
-            lists.select(F.explode(_sorted_cooccur_pairs(F.col("_ids"))).alias("_p"))
-            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            _cooccur_pair_rows(lists)
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("intersection"))
         )
@@ -903,18 +934,16 @@ def minhash_lsh_pairs(
         # round 12: one exchange groups each (band, bucket)'s ids and the
         # ordered pairs are generated in place — the old bucket
         # equi-self-join shuffled every band row twice and discarded half
-        # its output to the id_a < id_b filter (see _sorted_cooccur_pairs)
+        # its output to the id_a < id_b filter. Round 13: two staged
+        # Generates keep a degenerate bucket's per-row memory O(c), not
+        # O(c²) (see _cooccur_pair_rows).
         bsel = bands if band_slice is None else bands.where(band_slice)
         lists = (
             bsel.groupBy("band", "bucket")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
             .where(F.size("_ids") > 1)
         )
-        return (
-            lists.select(F.explode(_sorted_cooccur_pairs(F.col("_ids"))).alias("_p"))
-            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        return _cooccur_pair_rows(lists).dropDuplicates(["id_a", "id_b"])
 
     sets = None
     try:
@@ -1132,7 +1161,8 @@ def simhash_pairs(
     # — sort_array orders by the struct's FIRST field (the unique id), so
     # the generated pairs are id_a < id_b with both signatures carried
     # through (the old chunk equi-self-join shuffled every chunk row
-    # twice; see _sorted_cooccur_pairs)
+    # twice). Round 13: staged Generates bound a degenerate chunk-value
+    # group's per-row memory at O(c) (see _cooccur_pair_rows).
     lists = (
         chunks.groupBy("chunk", "val")
         .agg(
@@ -1142,23 +1172,16 @@ def simhash_pairs(
         )
         .where(F.size("_rows") > 1)
     )
-    cand = (
-        lists.select(
-            F.explode(
-                _sorted_cooccur_pairs(
-                    F.col("_rows"),
-                    pair_fn=lambda x, y: F.struct(
-                        x[id_col].alias("id_a"),
-                        y[id_col].alias("id_b"),
-                        x["simhash"].alias("_sa"),
-                        y["simhash"].alias("_sb"),
-                    ),
-                )
-            ).alias("_p")
-        )
-        .select("_p.id_a", "_p.id_b", "_p._sa", "_p._sb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _cooccur_pair_rows(
+        lists,
+        ids_col="_rows",
+        pair_fn=lambda x, y: F.struct(
+            x[id_col].alias("id_a"),
+            y[id_col].alias("id_b"),
+            x["simhash"].alias("_sa"),
+            y["simhash"].alias("_sb"),
+        ),
+    ).dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))

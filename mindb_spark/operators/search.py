@@ -58,6 +58,15 @@ def bm25_scores(
     Terms are matched on lowercased whitespace tokens. Returns
     (id, n_matched_terms, score) — rank downstream with a deterministic
     (score desc, id) order.
+
+    Small-query assumption (ADVICE r12): scoring evaluates one
+    ``size(filter(tokens))`` pass per query term per row — O(k · doc_len)
+    with k query terms — and caches k+1 longs per doc. That beats the
+    explode formulation decisively for the short queries keyword search
+    serves (k ≲ 32); for a very long term list (hundreds of terms, i.e.
+    more a join than a query) the old term-count-independent explode
+    shape would win — compose one from ``_doc_term_tf`` +
+    ``F.broadcast`` of the term list if that workload ever appears.
     """
     terms = sorted({t.lower() for t in query_terms})
     if not terms:

@@ -225,13 +225,26 @@ def stream_shuffle_partitions(
     """
     import os as _os
 
+    import warnings as _warnings
+
     override = _os.environ.get(env)
     if override:
         return max(1, int(override))
     total = 0
     for p in paths:
+        # a nonexistent/typo'd path must not silently read as 0 bytes and
+        # collapse the state-store width to the floor (ADVICE r12)
+        if not _os.path.exists(p):
+            _warnings.warn(
+                f"stream_shuffle_partitions: source path does not exist: {p!r}"
+                " — contributing 0 bytes to the width derivation"
+            )
+            continue
         if _os.path.isfile(p):
-            total += _os.path.getsize(p)
+            try:
+                total += _os.path.getsize(p)
+            except OSError:
+                pass
             continue
         for root, _dirs, files in _os.walk(p):
             for fn in files:

@@ -114,6 +114,42 @@ def test_tfidf_tie_breaks_by_term(spark):
     assert out == ["aa", "bb"]  # equal scores -> alphabetical
 
 
+def test_doc_term_tf_matches_explode_formulation(spark):
+    """Round-13 internals pin: the per-row sorted-run (doc, term, tf)
+    table is value-identical to the classic tokenize-explode-groupBy
+    formulation, including case folding, repeated runs, single-token and
+    empty documents."""
+    from pyspark.sql import functions as F
+
+    from mindb_spark.functions.text import tokens
+    from mindb_spark.operators.corpus import _doc_term_tf
+
+    docs = _docs(
+        spark,
+        [
+            (0, "The the THE cat cat sat"),
+            (1, "solo"),
+            (2, ""),
+            (3, "  spaced   out   spaced "),
+            (4, "a b a b a c C"),
+        ],
+    )
+    got = {
+        (r._id, r.term): r.tf for r in _doc_term_tf(docs, "doc_id", "text").collect()
+    }
+    expected_rows = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("t"))
+        .select("doc_id", F.lower("t").alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .collect()
+    )
+    expected = {(r.doc_id, r.t): r["count"] for r in expected_rows}
+    assert got == expected
+    assert (0, "the") in got and got[(0, "the")] == 3
+    assert not any(doc == 2 for doc, _ in got)  # empty doc emits no rows
+
+
 # ---------------------------------------------------------------------- SQ8
 def test_sq8_roundtrip_and_search_recall(spark):
     from mindb_spark.index.sq import encode_query, sq_encode, sq_search, sq_train
