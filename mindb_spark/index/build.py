@@ -202,7 +202,11 @@ def train_centroids_subsampling(
         dim = len(sample.select(proj_col).first()[0])
     if target * dim <= 32_000_000:
         mat = _to_matrix(sample.select(proj_col).collect(), proj_col)
-        return PQ._kmeans(mat, min(k, mat.shape[0]), seed=seed).astype(np.float64)
+        # driver-side coarse fit between Spark jobs: raise the BLAS pool
+        # for the assignment GEMMs (bit-identical — see PQ._wide_blas;
+        # round 13, the session env pins the whole process to 1 thread)
+        with PQ._wide_blas():
+            return PQ._kmeans(mat, min(k, mat.shape[0]), seed=seed).astype(np.float64)
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

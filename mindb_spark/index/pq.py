@@ -124,6 +124,51 @@ def _apply_pin():
 
 
 @contextlib.contextmanager
+def _wide_blas(n_threads: int | None = None):
+    """Scoped BLAS thread-pool RAISE for driver-side training GEMMs.
+
+    The session builder exports ``OMP_NUM_THREADS=1`` before the JVM
+    launches (executor Python workers must not nest BLAS pools under
+    Spark's task parallelism), which also nails the DRIVER's pool to one
+    thread — so the coarse k-means fit, a pure driver-side GEMM loop
+    running between Spark jobs on an otherwise idle machine, was
+    single-threaded (round 13, VERDICT r12 #5; measured ~3x on the 30k
+    fixture's assignment GEMM at 32 threads).
+
+    Bit-identity: OpenBLAS partitions these GEMMs over OUTPUT tiles
+    (M=sample rows), keeping each element's K-loop sequential, so the
+    raised-pool result is BIT-IDENTICAL to the single-threaded one —
+    asserted for the training shapes in
+    tests/test_pq.py::test_kmeans_bit_identical_across_blas_threads.
+    Do not wrap reductions whose output is smaller than the thread count
+    (split-K risk) without extending that test.
+
+    No-ops (yields) when the pool is already wider than one thread, when
+    no control handle is available, or when a ``_single_threaded_blas``
+    pin is active (never fight the pin — it exists to protect executor
+    workers and the m-way book pool).
+    """
+    import os
+
+    n = n_threads or os.cpu_count() or 1
+    with _PIN_LOCK:
+        pinned = _PIN_DEPTH > 0
+    controls = _blas_controls()
+    prev = []
+    if not pinned and controls:
+        for h, set_fn, get_fn in controls:
+            p = getattr(h, get_fn)()
+            if 0 < p < n:
+                getattr(h, set_fn)(n)
+                prev.append((h, set_fn, p))
+    try:
+        yield
+    finally:
+        for h, set_fn, p in prev:
+            getattr(h, set_fn)(p)
+
+
+@contextlib.contextmanager
 def _single_threaded_blas():
     """Pin the BLAS pool to one thread for the duration of the block.
 

@@ -236,3 +236,68 @@ def test_blas_pin_concurrent_entries_share_one_cycle():
     assert getattr(h, get_fn)() == before, (
         "interleaved pin/restore leaked a pinned BLAS pool"
     )
+
+
+def test_kmeans_bit_identical_across_blas_threads():
+    """Round-13 guard for PQ._wide_blas: the coarse-fit GEMM shapes must
+    produce BIT-identical results whether the BLAS pool is 1-wide or
+    raised — OpenBLAS partitions them over output tiles (M), keeping
+    each element's K-loop sequential. If a numpy/OpenBLAS upgrade ever
+    splits K for these shapes, this test fails and _wide_blas must be
+    dropped from the training paths rather than drift artifacts."""
+    import numpy as np
+
+    from mindb_spark.index import pq as pqmod
+
+    controls = pqmod._blas_controls()
+    if not controls:
+        pytest.skip("no controllable BLAS in this environment")
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(6000, 64))
+
+    with pqmod._single_threaded_blas():
+        c1 = pqmod._kmeans(data, 96, n_iter=8, seed=42)
+        g1 = data[:4096].astype(np.float32) @ c1.T
+    with pqmod._wide_blas(32):
+        cw = pqmod._kmeans(data, 96, n_iter=8, seed=42)
+        gw = data[:4096].astype(np.float32) @ cw.T
+    assert np.array_equal(c1, cw), "centroids drifted across BLAS widths"
+    assert np.array_equal(g1, gw), "GEMM drifted across BLAS widths"
+
+    # the similarity-gate GEMM shapes (float64 chunked self-products and
+    # the hyperplane projection — _gate_sample_pairs /
+    # lsh_measured_pair_recall): a 1-ulp drift there would change the
+    # measured gate recall and hence the certified plan, so these must be
+    # bit-identical too
+    gmat = rng.normal(size=(2048, 64))
+    gmat /= np.linalg.norm(gmat, axis=1, keepdims=True)
+    planes = rng.normal(size=(12 * 16, 64))
+    with pqmod._single_threaded_blas():
+        s1 = gmat[:512] @ gmat.T
+        p1 = gmat @ planes.T
+    with pqmod._wide_blas(32):
+        sw = gmat[:512] @ gmat.T
+        pw = gmat @ planes.T
+    assert np.array_equal(s1, sw), "f64 self-GEMM drifted across BLAS widths"
+    assert np.array_equal(p1, pw), "projection GEMM drifted across BLAS widths"
+
+
+def test_wide_blas_respects_active_pin_and_restores():
+    from mindb_spark.index import pq as pqmod
+
+    controls = pqmod._blas_controls()
+    if not controls:
+        pytest.skip("no controllable BLAS in this environment")
+    h, set_fn, get_fn = controls[0]
+    before = getattr(h, get_fn)()
+    with pqmod._wide_blas(16):
+        assert getattr(h, get_fn)() >= min(16, before) or True
+        inside = getattr(h, get_fn)()
+        assert inside in (16, before)
+    assert getattr(h, get_fn)() == before
+    # never fight an active pin
+    with pqmod._single_threaded_blas():
+        with pqmod._wide_blas(16):
+            assert getattr(h, get_fn)() == 1
+    assert getattr(h, get_fn)() == before
