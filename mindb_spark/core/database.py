@@ -647,11 +647,21 @@ class VectorDB:
             self._refresh_manifest()  # disk is the id-allocation authority
             start = self.max_id + 1
             ids = list(range(start, start + n))
-            rows = [
-                (ids[i], [float(x) for x in vectors[i]], json.dumps(metadata[i]))
-                for i in range(n)
-            ]
-            df = self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+            # Arrow ship (round 13, guide §6): the list-of-tuples path
+            # pickled every row (and built n*d Python floats first);
+            # pandas+Arrow crosses as columnar batches. Same rows, same
+            # order; the explicit schema keeps the float32 vector cast
+            # (IEEE round-to-nearest, identical to the row path's).
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {
+                    "id": np.arange(start, start + n, dtype=np.int64),
+                    "vector": list(np.asarray(vectors, dtype=np.float64)),
+                    "metadata": [json.dumps(m) for m in metadata],
+                }
+            )
+            df = self.spark.createDataFrame(pdf, VECTOR_SCHEMA)
             df.write.mode("append").parquet(self._data_dir)
             self._manifest["vector_dimension"] = self._manifest["vector_dimension"] or int(vectors.shape[1])
             self._manifest["max_id"] = ids[-1]

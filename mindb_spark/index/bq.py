@@ -165,9 +165,14 @@ def _hamming_partial_topk(
             )  # (n, nw)
             bits = _unpack_bits(words)  # (n, nw*64)
             row_pop = bits.sum(axis=1)  # (n,)
-            ham = (
-                row_pop[:, None] + q_pop[None, :] - 2.0 * (bits @ qbits.T)
-            ).astype(np.int64)  # (n, Q)
+            # in place on the GEMM output (round 13): saves three fresh
+            # (n, Q) temps per batch; integer-valued floats, so the
+            # reordering is exact
+            ham = bits @ qbits.T
+            ham *= -2.0
+            ham += row_pop[:, None]
+            ham += q_pop[None, :]
+            ham = ham.astype(np.int64)  # (n, Q)
             # the composite key below is order-equivalent to (hamming, id)
             # ONLY for ids in [0, 2^44); validate per batch so an
             # out-of-range id fails loudly instead of silently breaking

@@ -99,6 +99,33 @@ def _to_matrix(rows: list, col: str) -> np.ndarray:
     return np.array([r[col] for r in rows], dtype=np.float64)
 
 
+def _collect_matrix(df: DataFrame, col: str) -> np.ndarray:
+    """(n, d) float64 matrix of a uniform-width numeric array column,
+    collected as ARROW batches instead of pickled rows (guide §6: Arrow
+    for driver transfers — the training sample collects were the
+    dominant driver cost of every index build once the k-means fits were
+    fixed; a 30k x 64 pickled-row collect measures seconds, the Arrow
+    path tens of ms).
+
+    Values and row order are identical to
+    ``_to_matrix(df.select(col).collect(), col)``: ``toArrow()`` gathers
+    partitions in the same order ``collect()`` does, and float32→float64
+    widening is exact either way. Falls back to the row path for
+    ragged/null vectors (same contract as the arrowkit helpers)."""
+    sel = df.select(col)
+    try:
+        tbl = sel.toArrow()
+    except Exception:
+        return _to_matrix(sel.collect(), col)
+    from mindb_spark.arrowkit import fixed_width_matrix, one_chunk
+
+    arr = one_chunk(tbl.column(0))
+    mat = fixed_width_matrix(arr)
+    if mat is None:  # ragged/null: slow per-row path
+        return _to_matrix(sel.collect(), col)
+    return np.asarray(mat, dtype=np.float64)
+
+
 def fit_pca(
     df: DataFrame, vector_col: str, pca_dim: int, seed: int = 42,
     sample_rows: int = 200_000,
@@ -125,7 +152,7 @@ def fit_pca(
     cap = min(sample_rows, max(10_000, 16_000_000 // max(1, d0)))
     fraction = min(1.0, cap / max(n, 1))
     sample = df.sample(fraction=fraction, seed=seed) if fraction < 1.0 else df
-    mat = _to_matrix(sample.select(vector_col).collect(), vector_col)
+    mat = _collect_matrix(sample, vector_col)
     mean = mat.mean(axis=0)
     centered = mat - mean
     d = mat.shape[1]
@@ -201,7 +228,7 @@ def train_centroids_subsampling(
     if dim is None:  # width of the projected space — callers know it
         dim = len(sample.select(proj_col).first()[0])
     if target * dim <= 32_000_000:
-        mat = _to_matrix(sample.select(proj_col).collect(), proj_col)
+        mat = _collect_matrix(sample, proj_col)
         # driver-side coarse fit between Spark jobs: raise the BLAS pool
         # for the assignment GEMMs (bit-identical — see PQ._wide_blas;
         # round 13, the session env pins the whole process to 1 thread)
@@ -329,10 +356,10 @@ def train_pq_on_residuals(
     spark = projected.sparkSession
     n = total_rows if total_rows is not None else projected.count()
     fraction = min(1.0, PQ_TRAIN_ROWS / max(n, 1))
-    sample_rows = (
+    sample = (
         projected.sample(fraction=fraction, seed=seed) if fraction < 1.0 else projected
-    ).select(proj_col).collect()
-    mat = _to_matrix(sample_rows, proj_col)
+    )
+    mat = _collect_matrix(sample, proj_col)
     cid = assign_cells(mat, centroids)
     residuals = mat - centroids[cid]
     return PQ.train_codebooks(residuals.astype(np.float32), m, seed=seed)
@@ -361,9 +388,15 @@ def assign_cells(
     out = np.empty(mat.shape[0], dtype=np.int64)
     for s in range(0, mat.shape[0], step):
         chunk = mat[s : s + step]
-        out[s : s + step] = np.argmin(
-            c2[None, :] - 2.0 * (chunk @ centroids.T), axis=1
-        )
+        # in place on the GEMM output (round 13): `c2 - 2.0*g` allocates
+        # two fresh (rows, k) temps per chunk — pure page-fault cost at
+        # these sizes. g*=-2; g+=c2 reuses the just-written buffer and is
+        # BIT-identical (IEEE: -2*g is an exact sign flip of 2*g, and
+        # a + (-b) == a - b exactly).
+        g = chunk @ centroids.T
+        g *= -2.0
+        g += c2[None, :]
+        out[s : s + step] = np.argmin(g, axis=1)
     return out
 
 
@@ -557,7 +590,7 @@ def build_index(
         # ADC) is unchanged, and search-time cost is identical to plain PCA
         fraction = min(1.0, PQ_TRAIN_ROWS / max(n, 1))
         s = vectors.sample(fraction=fraction, seed=seed) if fraction < 1.0 else vectors
-        smat = _to_matrix(s.select(vector_col).collect(), vector_col)
+        smat = _collect_matrix(s, vector_col)
         rot = PQ.fit_opq((smat - mean) @ pca_mat, m, eff_dim, seed=seed)
         pca_mat = pca_mat @ rot
     projected = _project_df(vectors, vector_col, mean, pca_mat).persist()

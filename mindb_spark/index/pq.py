@@ -230,14 +230,29 @@ def _kmeans(data: np.ndarray, k: int, n_iter: int = 25, seed: int = 42) -> np.nd
     d64 = np.asarray(data, dtype=np.float64)
     d = d32.shape[1]
     centroids = d32[rng.choice(n, size=k, replace=False)].copy()
+    # ONE (chunk, k) score buffer reused across all iterations (round 13):
+    # the assignment expression `c2 - 2.0*(chunk @ centroids.T)` allocated
+    # three fresh (chunk, k) arrays per chunk per iteration — 25x per fit —
+    # and fresh-page faults dominate at training sizes. np.matmul(out=) +
+    # in-place scale/shift write the same IEEE values into the same buffer
+    # (-2*g is an exact sign flip; a + (-b) == a - b exactly), so
+    # assignments are bit-identical to the allocating form.
+    g_buf = np.empty((min(n, 65536), k), dtype=np.float32)
+    assign = np.empty(n, dtype=np.int64)
     for _ in range(n_iter):
         # assignment via the GEMM identity argmin ||x-c||^2 = argmin c2 - 2x.c
         # (BLAS inner loop; never materializes an (n, k, d) tensor)
         c2 = (centroids**2).sum(axis=1)
-        assign = np.empty(n, dtype=np.int64)
         for start in range(0, n, 65536):
             chunk = d32[start : start + 65536]
-            assign[start : start + 65536] = np.argmin(c2[None, :] - 2.0 * (chunk @ centroids.T), axis=1)
+            g = g_buf[: chunk.shape[0]]
+            # same transposed-view GEMM as `chunk @ centroids.T` (same
+            # BLAS kernel variant and accumulation order), just writing
+            # into the reused buffer
+            np.matmul(chunk, centroids.T, out=g)
+            g *= -2.0
+            g += c2[None, :]
+            assign[start : start + 65536] = np.argmin(g, axis=1)
         # means via bincount scatter (one pass per dim, not one mask per cluster)
         counts = np.bincount(assign, minlength=k)
         sums = np.empty((k, d), dtype=np.float64)
@@ -351,7 +366,13 @@ def encode(vectors: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
         # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
         dots = sub @ book.T  # (n, 256)
         c2 = (book**2).sum(axis=1)  # (256,)
-        codes[:, i] = np.argmin(c2[None, :] - 2.0 * dots, axis=1)
+        # in place on the GEMM output (round 13): saves two fresh (n, 256)
+        # temps per book per batch in the full-corpus encode pass;
+        # bit-identical (IEEE: -2*dots is an exact sign flip,
+        # a + (-b) == a - b exactly)
+        dots *= -2.0
+        dots += c2[None, :]
+        codes[:, i] = np.argmin(dots, axis=1)
     return codes
 
 
@@ -430,7 +451,12 @@ def adc_query_tables(queries_proj: np.ndarray, codebooks: np.ndarray) -> np.ndar
     q = np.asarray(queries_proj, dtype=np.float64).reshape(nq, m, dsub)
     dots = np.einsum("qjd,jkd->qjk", q, codebooks.astype(np.float64))
     c2 = (codebooks.astype(np.float64) ** 2).sum(axis=2)  # (m, 256)
-    return (c2[None, :, :] - 2.0 * dots).astype(np.float32)
+    # in place on the einsum output (round 13): saves two (Q, m, 256)
+    # float64 temps per query batch; bit-identical (exact sign flip +
+    # IEEE a + (-b) == a - b)
+    dots *= -2.0
+    dots += c2[None, :, :]
+    return dots.astype(np.float32)
 
 
 def cell_code_term(

@@ -214,8 +214,11 @@ def _gate_sample_pairs(
         return None
     frac = min(1.0, (gate_sample * 1.25) / n)
     sdf = norm.sample(fraction=frac, seed=seed) if frac < 1.0 else norm
-    rows = sdf.limit(gate_sample).collect()
-    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # Arrow collect (round 13, guide §6): same rows in the same order as
+    # the pickled-row collect, zero value conversion
+    from mindb_spark.index.build import _collect_matrix
+
+    mat = _collect_matrix(sdf.limit(gate_sample), sdf.columns[1])
     if mat.size == 0:
         return None
     # chunked exact self-join so the (rows, rows) score block stays
@@ -741,10 +744,14 @@ def cosine_pairs_ivf(
             )
         k = int(n_cells or max(4, round(n**0.5)))
         frac = min(1.0, sample_rows / n)
-        sample = (
-            norm.sample(fraction=frac, seed=seed) if frac < 1.0 else norm
-        ).select(vector_col).collect()
-        smat = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+        # Arrow collect (round 13, guide §6): identical rows/order/values
+        # to the pickled-row collect
+        from mindb_spark.index.build import _collect_matrix
+
+        smat = _collect_matrix(
+            norm.sample(fraction=frac, seed=seed) if frac < 1.0 else norm,
+            vector_col,
+        )
         # driver-side quantizer fit between Spark jobs: raise the BLAS
         # pool for the assignment GEMMs (bit-identical; see PQ._wide_blas)
         with PQ._wide_blas():
@@ -827,7 +834,13 @@ def cosine_pairs_ivf(
             step = max(1, int((1 << 27) // (8 * max(kcells, 1))))
             rows = []
             for s in range(0, mat.shape[0], step):
-                d2 = c2[None, :] - 2.0 * (mat[s : s + step] @ centroids.T)
+                # in place on the GEMM output (round 13): saves two fresh
+                # (rows, k) temps per chunk on every executor; argpartition
+                # input is bit-identical (exact sign flip + IEEE
+                # a + (-b) == a - b)
+                d2 = mat[s : s + step] @ centroids.T
+                d2 *= -2.0
+                d2 += c2[None, :]
                 if na < d2.shape[1]:
                     part = np.argpartition(d2, kth=na - 1, axis=1)[:, :na]
                 else:
