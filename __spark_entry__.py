@@ -849,8 +849,11 @@ def _filtered_trained_db(spark: SparkSession, sf_dir: str):
     data = []
     for rep in range(11):
         rolled = np.roll(base, -rep, axis=1)
+        # ndarray rows, not .tolist() (round 13): add() accepts arrays and
+        # converts f64->f32 at the same point the list path did, so the
+        # stored values are identical — this skips 55k list round-trips
         data.extend(
-            (rolled[i].tolist(), {"label": labels[i], "bucket": int(i % 25)})
+            (rolled[i], {"label": labels[i], "bucket": int(i % 25)})
             for i in range(n)
         )
     db.add(data)
