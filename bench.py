@@ -183,6 +183,7 @@ def _micro_wall(spark) -> float:
 
 
 _MICRO_GEMM_A = None
+_MICRO_GEMM_BUFS = None
 
 
 def _micro_gemm_wall() -> float:
@@ -200,16 +201,29 @@ def _micro_gemm_wall() -> float:
     substrate's current level through that flap."""
     import numpy as np
 
-    global _MICRO_GEMM_A
+    global _MICRO_GEMM_A, _MICRO_GEMM_BUFS
     if _MICRO_GEMM_A is None:
         _MICRO_GEMM_A = np.random.default_rng(0).normal(size=(1536, 1536))
+        # schema 10: preallocated ping-pong buffers — the allocating form
+        # (`b = np.tanh(b @ a * 1e-3)`, three fresh 18 MB temps per op)
+        # measured the page allocator, not the BLAS kernel, and swung
+        # ~30x within one bench run on allocator weather. Used
+        # relatively (wall / anchor_wall, same function both sides), so
+        # the scale change cancels inside a run.
+        _MICRO_GEMM_BUFS = (
+            np.empty_like(_MICRO_GEMM_A), np.empty_like(_MICRO_GEMM_A)
+        )
     a = _MICRO_GEMM_A
     ts = []
     for _ in range(3):
         t0 = time.time()
-        b = a
-        for _ in range(6):
-            b = np.tanh(b @ a * 1e-3)
+        b, c = a, _MICRO_GEMM_BUFS[0]
+        for i in range(6):
+            np.matmul(b, a, out=c)
+            c *= 1e-3
+            np.tanh(c, out=c)
+            b, c = c, (_MICRO_GEMM_BUFS[1] if c is _MICRO_GEMM_BUFS[0]
+                       else _MICRO_GEMM_BUFS[0])
         ts.append(time.time() - t0)
     return sorted(ts)[1]
 
@@ -226,14 +240,21 @@ def _index_at(micro: list, pos: float) -> float:
     return micro[-1][1]
 
 
-# Timed-loop queries whose dominant cost is DRIVER-side BLAS (k-means /
-# PCA training inside the trained-index builds), not Spark-JVM work
-# (round 13, VERDICT r12 #4): normalizing them by the jvm micro-sentinel
-# mis-attributes BLAS-substrate weather — r12 read filtered_knn_trained
-# at 0.33x while the same-host A/B read it improved, purely because the
-# jvm index cannot see BLAS-pool preemption. These two entries normalize
-# by the gemm micro instead; their jvm-normalized values are kept in
-# BENCH_FULL.json's "queries_norm_jvm" for cross-round comparison.
+# Timed-loop queries whose dominant cost WAS driver-side BLAS (k-means /
+# PCA training inside the trained-index builds) — the two entries r12's
+# jvm-normalized readings flagged as phantom regressions (VERDICT r12
+# #4). Schema 9 normalized these two by the gemm micro; schema 10
+# REVERTS their canonical values to the jvm series: (a) the round-13
+# training rewrites (buffered GEMMs, Arrow sample collects) removed the
+# page-fault-bound BLAS cost that the jvm index could not see, so the
+# original mis-attribution source is largely gone (their pass-B walls
+# are Spark work now); (b) the gemm micro measured that very allocator
+# pathology and swung ~30x WITHIN one run (anchor wall taken at a cold
+# moment; sentinel gemm probe read 2.37 s at start vs 0.43 s at end of
+# the same run), inflating the two normalized values ~8x — worse
+# attribution, not better. The gemm-normalized values are still emitted
+# as "queries_norm_gemm" observability, and the per-pass gemm micro
+# series stays in "micro_sentinels" for the side-probe brackets.
 GEMM_NORMALIZED = {"filtered_knn_trained", "ann_clustered_query"}
 
 
@@ -502,31 +523,28 @@ def main() -> None:
         spark, qs, order_b, errors, SF_DIR, "B", to_index, to_gemm_index)
     timings: dict[str, float] = {}
     timings_norm: dict[str, float] = {}
-    timings_norm_jvm: dict[str, float] = {}
+    timings_norm_gemm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # driver-BLAS entries normalize by the gemm micro series
-        # (VERDICT r12 #4); everything else by the jvm series
-        curve_a, curve_b = (
-            (mgemm_a, mgemm_b) if name in GEMM_NORMALIZED else (micro_a, micro_b)
-        )
-        raw, norm, norm_jvm = [], [], []
+        # every query's canonical normalized value uses the jvm series
+        # (schema 10 — directly comparable with the schema-8 r12 values);
+        # the two driver-BLAS entries ALSO record a gemm-normalized
+        # reading as observability (see GEMM_NORMALIZED note above)
+        raw, norm, norm_gemm = [], [], []
         if name in walls_a:
             pos = order_a.index(name) + 0.5
             raw.append(walls_a[name])
-            norm.append(walls_a[name] / _index_at(curve_a, pos))
-            norm_jvm.append(walls_a[name] / _index_at(micro_a, pos))
+            norm.append(walls_a[name] / _index_at(micro_a, pos))
+            norm_gemm.append(walls_a[name] / _index_at(mgemm_a, pos))
         if name in walls_b:
             pos = order_b.index(name) + 0.5
             raw.append(walls_b[name])
-            norm.append(walls_b[name] / _index_at(curve_b, pos))
-            norm_jvm.append(walls_b[name] / _index_at(micro_b, pos))
+            norm.append(walls_b[name] / _index_at(micro_b, pos))
+            norm_gemm.append(walls_b[name] / _index_at(mgemm_b, pos))
         if raw:
             timings[name] = round(min(raw), 3)
             timings_norm[name] = round(min(norm), 3)
             if name in GEMM_NORMALIZED:
-                # the old (jvm-normalized) reading, kept for cross-round
-                # comparison per the measurement-change contract
-                timings_norm_jvm[name] = round(min(norm_jvm), 3)
+                timings_norm_gemm[name] = round(min(norm_gemm), 3)
     # a query that succeeded in either pass is not an error
     errors = {k: v for k, v in errors.items() if k not in timings}
     micro_vals = [v for _, v in micro_a + micro_b]
@@ -1167,15 +1185,23 @@ def main() -> None:
         # their two repetitions across full passes instead of
         # back-to-back best-of-2.
         # v9 (round 13): (a) TIMED-LOOP dual-substrate attribution
-        # (VERDICT r12 #4) — the passes also take gemm micro readings,
-        # and the GEMM_NORMALIZED queries (driver-BLAS trained builds)
-        # normalize by that series; their jvm-normalized values stay in
-        # "queries_norm_jvm". Raw walls ("queries" here) are unchanged in
-        # meaning. (b) gate-cert store pinned to a per-run temp file
-        # (VERDICT r12 #3) with first-pass/last reused flags recorded
-        # under "gate_cert" — similarity-lane walls are now comparable
-        # across runs (pass A always pays the real gate).
-        "bench_schema": 9,
+        # (VERDICT r12 #4) — the passes also take gemm micro readings.
+        # (b) gate-cert store pinned to a per-run temp file (VERDICT r12
+        # #3) with first-pass/last reused flags recorded under
+        # "gate_cert" — similarity-lane walls are now comparable across
+        # runs (pass A always pays the real gate).
+        # v10 (round 13, same round): every query's canonical normalized
+        # value is back on the jvm series (directly comparable with
+        # schema 8's r12 values); the two driver-BLAS entries' gemm-
+        # normalized readings moved to observability
+        # ("queries_norm_gemm") after the gemm micro was measured
+        # swinging ~30x within one run on allocator weather (see the
+        # GEMM_NORMALIZED note). The gemm micro itself is now
+        # allocation-free (preallocated buffers) so the side-probe
+        # brackets read the BLAS kernel substrate, not the page
+        # allocator; side-probe NORMALIZED values therefore change scale
+        # at v10 (raw side-probe values remain comparable, as with v8).
+        "bench_schema": 10,
         # measurement discipline, recorded in the artifact itself: headline
         # queries run once per pass in two opposite-order passes (min =
         # steady state) with cache-clear + JVM GC quiesce before each;
@@ -1184,8 +1210,7 @@ def main() -> None:
         "discipline": "min over two opposite-order passes, clearCache+System.gc before each query, micro-sentinel every 8 queries; side probes bracketed by jvm+gemm micro readings with probe-local normalization and interleaved repetition passes; point_query_ms median-of-3/5 warm",
         "queries": timings,
         "queries_norm": timings_norm,
-        "queries_norm_jvm": timings_norm_jvm,
-        "gemm_normalized": sorted(GEMM_NORMALIZED),
+        "queries_norm_gemm": timings_norm_gemm,
         "micro_sentinels": {
             "every": MICRO_EVERY,
             "pass_a": [[p, round(v, 3)] for p, v in micro_a],
